@@ -1,0 +1,165 @@
+"""Argparse <-> ExperimentConfig bridge.
+
+Covers every flag of the reference CLI surface (train_model.py:25-238,
+preprocess_data.py:76-130, eval_model.py:10-39) with identical defaults and
+semantics, mapped onto the typed config sections.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pytorch_scalablefhvae_tpu.config import (
+    DataConfig,
+    ExperimentConfig,
+    FeatureConfig,
+    ModelConfig,
+    OptimConfig,
+    TrainConfig,
+)
+
+
+def add_common_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--dataset", type=str, default="timit",
+                   choices=["timit", "librispeech", "synthetic"], help="Dataset to use")
+    p.add_argument("--raw-data-dir", type=str, default=None, help="Location of the raw data")
+    p.add_argument("--feat-type", "--feat_type", dest="feat_type", type=str, default="fbank",
+                   choices=["fbank", "spec"],
+                   help="Feature type to compute (only affects numpy data)")
+    p.add_argument("--data-format", type=str, default="numpy", choices=["kaldi", "numpy"],
+                   help="Format used to store data")
+    p.add_argument("--sample-rate", type=int, default=None,
+                   help="Sample rate to use for resampling audio samples")
+    p.add_argument("--win-size", type=float, default=0.025,
+                   help="Window size for spectrogram in seconds")
+    p.add_argument("--hop-size", type=float, default=0.010,
+                   help="Window stride for spectrogram in seconds")
+    p.add_argument("--mels", type=int, default=80, help="Number of filter banks")
+    p.add_argument("--fbank-conf", type=str, default="./misc/fbank.conf",
+                   help="Path to the fbank.conf used by the kaldi-semantics extractor")
+    p.add_argument("--kaldi-root", type=str, default="./kaldi/",
+                   help="Accepted for reference-CLI parity; extraction is in-process")
+
+
+def add_train_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--model-type", type=str, default="fhvae",
+                   choices=["fhvae", "simple_fhvae"], help="Model architecture")
+    p.add_argument("--alpha-dis", type=float, default=10.0,
+                   help="Discriminative objective weight")
+    p.add_argument("--epochs", type=int, default=100, help="Number of maximum training epochs")
+    p.add_argument("--patience", type=int, default=10,
+                   help="Number of maximum consecutive non-improving epochs")
+    p.add_argument("--preprocessed", action="store_true", dest="is_preprocessed",
+                   help="Use this flag if the data is already preprocessed")
+    p.add_argument("--learning-rate", type=float, default=0.001, help="Learning rate")
+    p.add_argument("--beta-one", type=float, default=0.95, help="Beta1 for Adam")
+    p.add_argument("--beta-two", type=float, default=0.999, help="Beta2 for Adam")
+    p.add_argument("--min-len", type=int, default=None,
+                   help="Minimum sequence length; defaults to the segment length")
+    p.add_argument("--mvn-path", type=str, default=None,
+                   help="Path to a precomputed mean/variance normalization file")
+    p.add_argument("--seg-len", type=int, default=20, help="Segment length to use")
+    p.add_argument("--seg-shift", type=int, default=8,
+                   help="Segment shift if rand-seg is false; otherwise "
+                        "floor(seq_len/seg_shift) segments are extracted per sequence")
+    p.add_argument("--rand-seg", type=lambda s: s.lower() in ("true", "1"), default=False,
+                   help="If true, segments are randomly extracted")
+    p.add_argument("--training-batch-size", type=int, default=256, help="Training batch size")
+    p.add_argument("--dev-batch-size", type=int, default=2048, help="Dev-eval batch size")
+    p.add_argument("--z1-hus", type=int, default=[128, 128], nargs=2,
+                   help="Hidden units for the two z1 encoder layers")
+    p.add_argument("--z2-hus", type=int, default=[128, 128], nargs=2,
+                   help="Hidden units for the two z2 encoder layers")
+    p.add_argument("--z1-dim", type=int, default=16, help="Dimensionality of z1")
+    p.add_argument("--z2-dim", type=int, default=16, help="Dimensionality of z2")
+    p.add_argument("--x-hus", type=int, default=[128, 128], nargs=2,
+                   help="Hidden units per decoder layer")
+    p.add_argument("--device", type=str, default="tpu",
+                   help="Accepted for parity; JAX selects the platform")
+    p.add_argument("--seed", type=int, default=0, help="PRNG seed")
+    p.add_argument("--compute-dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"], help="Matmul compute dtype")
+    p.add_argument("--tensorboard", action="store_true", help="Enable TensorBoard logging")
+    p.add_argument("--visdom", action="store_true",
+                   help="Accepted for parity; metrics go to JSONL/TensorBoard")
+    p.add_argument("--tb-log-dir", default="./visualize/tensorboard",
+                   help="Location of tensorboard log")
+    p.add_argument("--log-params", action="store_true",
+                   help="Log parameter histograms")
+    p.add_argument("--continue-from", type=str, default=None,
+                   help="Checkpoint for continuing training")
+    p.add_argument("--finetune", action="store_true",
+                   help="Fine-tune from the checkpoint (weights only)")
+    p.add_argument("--hierarchical", action="store_true", dest="sample_hierarchical",
+                   help="Use hierarchical sampling over sequence subsets")
+    p.add_argument("--num-hierarchical-sequences", type=int, default=5000,
+                   help="Number of sequences per hierarchical sampling round")
+    p.add_argument("--legacy", action="store_true",
+                   help="Emulate original-paper behavior (step-based epochs)")
+    p.add_argument("--steps-per-epoch", type=int, default=5000,
+                   help="Training steps per legacy epoch")
+    p.add_argument("--log-interval", type=int, default=200,
+                   help="Step interval for printing info (legacy)")
+    p.add_argument("--exp-root", type=str, default="./experiments",
+                   help="Root directory for experiment outputs")
+    p.add_argument("--data-root", type=str, default=".",
+                   help="Root directory holding preprocessed datasets")
+    p.add_argument("--mesh", type=str, default=None,
+                   help="Device mesh as 'data,model' (e.g. '8,1'); default: all devices data-parallel")
+
+
+def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
+    mesh_shape = (1, 1)
+    if getattr(args, "mesh", None):
+        parts = tuple(int(x) for x in args.mesh.split(","))
+        mesh_shape = (parts + (1, 1))[:2]
+    return ExperimentConfig(
+        features=FeatureConfig(
+            feat_type=args.feat_type,
+            data_format=args.data_format,
+            sample_rate=args.sample_rate,
+            win_t=args.win_size,
+            hop_t=args.hop_size,
+            n_mels=args.mels,
+        ),
+        data=DataConfig(
+            dataset=args.dataset,
+            raw_data_dir=args.raw_data_dir,
+            min_len=getattr(args, "min_len", None),
+            mvn_path=getattr(args, "mvn_path", None),
+            seg_len=getattr(args, "seg_len", 20),
+            seg_shift=getattr(args, "seg_shift", 8),
+            rand_seg=getattr(args, "rand_seg", False),
+            training_batch_size=getattr(args, "training_batch_size", 256),
+            dev_batch_size=getattr(args, "dev_batch_size", 2048),
+        ),
+        model=ModelConfig(
+            model_type=getattr(args, "model_type", "simple_fhvae"),
+            z1_hus=tuple(getattr(args, "z1_hus", (128, 128))),
+            z2_hus=tuple(getattr(args, "z2_hus", (128, 128))),
+            z1_dim=getattr(args, "z1_dim", 16),
+            z2_dim=getattr(args, "z2_dim", 16),
+            x_hus=tuple(getattr(args, "x_hus", (128, 128))),
+            compute_dtype=getattr(args, "compute_dtype", "float32"),
+        ),
+        optim=OptimConfig(
+            learning_rate=getattr(args, "learning_rate", 1e-3),
+            beta_one=getattr(args, "beta_one", 0.95),
+            beta_two=getattr(args, "beta_two", 0.999),
+            alpha_dis=getattr(args, "alpha_dis", 10.0),
+        ),
+        train=TrainConfig(
+            epochs=getattr(args, "epochs", 100),
+            patience=getattr(args, "patience", 10),
+            seed=getattr(args, "seed", 0),
+            legacy=getattr(args, "legacy", False),
+            steps_per_epoch=getattr(args, "steps_per_epoch", 5000),
+            log_interval=getattr(args, "log_interval", 200),
+            sample_hierarchical=getattr(args, "sample_hierarchical", False),
+            num_hierarchical_sequences=getattr(args, "num_hierarchical_sequences", 5000),
+            tensorboard=getattr(args, "tensorboard", False),
+            tb_log_dir=getattr(args, "tb_log_dir", "./visualize/tensorboard"),
+            log_params=getattr(args, "log_params", False),
+            mesh_shape=mesh_shape,
+        ),
+    )

@@ -1,0 +1,160 @@
+"""``sfhvae`` command-line interface.
+
+Single entry point with subcommands covering the reference's script surface
+(SURVEY.md §9): ``preprocess`` (preprocess_data.py), ``train``
+(train_model.py), ``eval`` (eval_model.py, fully implemented here), plus
+corpus-level helpers ``prep-timit`` / ``prep-librispeech``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from pathlib import Path
+
+
+def _honor_platform_env() -> None:
+    """Make ``JAX_PLATFORMS`` authoritative.
+
+    Some environments programmatically select a platform at interpreter
+    startup (overriding the env var); re-assert the user's choice here.
+    """
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
+from pytorch_scalablefhvae_tpu.cli.args import (
+    add_common_flags,
+    add_train_flags,
+    config_from_args,
+)
+
+
+def _cmd_preprocess(args) -> int:
+    from pytorch_scalablefhvae_tpu.features.pipeline import preprocess_data
+
+    config = config_from_args(args)
+    paths = preprocess_data(config, root=args.data_root, fbank_conf=args.fbank_conf)
+    for split, d in paths.items():
+        print(split, {k: str(v) for k, v in d.items()})
+    return 0
+
+
+def _cmd_train(args) -> int:
+    from pytorch_scalablefhvae_tpu.train.driver import train_from_config
+
+    config = config_from_args(args)
+    result = train_from_config(
+        config,
+        data_root=args.data_root,
+        exp_root=args.exp_root,
+        is_preprocessed=args.is_preprocessed,
+        continue_from=args.continue_from,
+        finetune=args.finetune,
+        fbank_conf=args.fbank_conf,
+    )
+    return 2 if result.diverged else 0
+
+
+def _cmd_eval(args) -> int:
+    from pytorch_scalablefhvae_tpu.eval.evaluate import evaluate_experiment
+
+    evaluate_experiment(
+        exp_dir=args.exp_dir,
+        set_name=args.set_name,
+        seqlist=args.seqlist,
+        step=args.step,
+        data_root=args.data_root,
+        output_dir=args.output_dir,
+        num_reconstructions=args.num_reconstructions,
+    )
+    return 0
+
+
+def _cmd_prep_timit(args) -> int:
+    from pytorch_scalablefhvae_tpu.corpus.timit import process_timit
+
+    process_timit(args.raw_data_dir, args.output_dir, args.dev_spk, args.test_spk)
+    return 0
+
+
+def _cmd_prep_librispeech(args) -> int:
+    from pytorch_scalablefhvae_tpu.corpus.librispeech import process_librispeech
+
+    process_librispeech(
+        args.raw_data_dir, args.output_dir, args.data_format,
+        args.train_list, args.dev_list, args.test_list,
+    )
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="sfhvae",
+        description="TPU-native ScalableFHVAE framework",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("preprocess", help="Prepare corpus + extract features",
+                       formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    add_common_flags(p)
+    p.add_argument("--data-root", type=str, default=".", help="Output root for datasets")
+    p.set_defaults(fn=_cmd_preprocess)
+
+    p = sub.add_parser("train", help="Train a model",
+                       formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    add_common_flags(p)
+    add_train_flags(p)
+    p.set_defaults(fn=_cmd_train)
+
+    p = sub.add_parser("eval", help="Evaluate a trained experiment",
+                       formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("exp_dir", type=str, help="Experiment directory")
+    p.add_argument("--set-name", type=str, default="dev",
+                   choices=["train", "dev", "test"], help="Dataset partition to evaluate")
+    p.add_argument("--seqlist", type=str, default=None,
+                   help="File listing a subset of sequences to evaluate")
+    p.add_argument("--step", type=int, default=-1,
+                   help="Epoch checkpoint to load; -1 loads the best checkpoint")
+    p.add_argument("--data-root", type=str, default=".",
+                   help="Root directory holding preprocessed datasets")
+    p.add_argument("--output-dir", type=str, default=None,
+                   help="Where to write latents/reconstructions (default: exp_dir/eval)")
+    p.add_argument("--num-reconstructions", type=int, default=8,
+                   help="Number of example segment reconstructions to dump")
+    p.set_defaults(fn=_cmd_eval)
+
+    p = sub.add_parser("prep-timit", help="Generate TIMIT wav.scp manifests",
+                       formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("raw_data_dir", type=str, help="TIMIT raw data directory")
+    p.add_argument("output_dir", type=str, help="Directory for data output")
+    p.add_argument("--dev_spk", type=str, default="./misc/timit_dev_spk.list")
+    p.add_argument("--test_spk", type=str, default="./misc/timit_test_spk.list")
+    p.set_defaults(fn=_cmd_prep_timit)
+
+    p = sub.add_parser("prep-librispeech", help="Generate LibriSpeech wav.scp manifests",
+                       formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("raw_data_dir", type=str, help="LibriSpeech raw data directory")
+    p.add_argument("output_dir", type=str, help="Directory for data output")
+    p.add_argument("--data-format", type=str, default="numpy", choices=["numpy", "kaldi"])
+    p.add_argument("--train_list", type=str, nargs="*", default=["train-clean-100"])
+    p.add_argument("--dev_list", type=str, nargs="*", default=["dev-clean", "dev-other"])
+    p.add_argument("--test_list", type=str, nargs="*", default=["test-clean", "test-other"])
+    p.set_defaults(fn=_cmd_prep_librispeech)
+
+    return parser
+
+
+def main(argv=None) -> int:
+    _honor_platform_env()
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,199 @@
+"""Typed experiment configuration.
+
+Covers the full flag surface of the reference CLI (reference:
+train_model.py:25-238, preprocess_data.py:76-130, eval_model.py:10-39) as
+dataclasses, serialized as JSON alongside checkpoints (the reference pickled
+argparse namespaces, reference utils.py:105-113 — see SURVEY.md B14 for why
+JSON is used here instead).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+
+@dataclass(frozen=True)
+class FeatureConfig:
+    """Feature-extraction settings.
+
+    Defaults mirror the reference (train_model.py:86-104 and
+    misc/fbank.conf:1-9): 16 kHz audio, 25 ms window, 10 ms hop, 80 mel bins,
+    hamming window, pre-emphasis 0.97.
+    """
+
+    feat_type: str = "fbank"  # "fbank" | "spec"
+    data_format: str = "numpy"  # "numpy" | "kaldi"
+    sample_rate: int | None = None  # resample target; None = native rate
+    win_t: float = 0.025
+    hop_t: float = 0.010
+    n_mels: int = 80
+    window: str = "hamming"
+    preemphasis: float = 0.97
+    # librosa-semantics path (numpy/jax backends)
+    mel_norm: str = "slaney"
+    log_floor_spec: float = -50.0
+    log_floor_mel: float = -20.0
+    # kaldi-semantics path (native backend; misc/fbank.conf parity)
+    dither: float = 1.0
+    remove_dc_offset: bool = True
+    use_energy: bool = False
+    htk_compat: bool = True
+    dither_seed: int = 0  # reference dither is unseeded; ours is deterministic
+
+    @property
+    def n_fft(self) -> int:
+        """librosa path: n_fft == win_length (prepare_numpy_data.py:38,47)."""
+        sr = self.sample_rate or 16000
+        return int(sr * self.win_t)
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Segment-dataset settings (reference datasets.py:50-98)."""
+
+    dataset: str = "timit"  # "timit" | "librispeech" | "synthetic"
+    raw_data_dir: str | None = None
+    min_len: int | None = None  # None -> seg_len (train_model.py:269-270)
+    mvn_path: str | None = None
+    seg_len: int = 20
+    seg_shift: int = 8
+    rand_seg: bool = False
+    training_batch_size: int = 256
+    dev_batch_size: int = 2048
+    # librispeech subset lists (preprocess_librispeech.py:98-103; B17 fixed:
+    # test list is test-clean + test-other)
+    train_list: tuple[str, ...] = ("train-clean-100",)
+    dev_list: tuple[str, ...] = ("dev-clean", "dev-other")
+    test_list: tuple[str, ...] = ("test-clean", "test-other")
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Model architecture (reference simple_fhvae.py:8-37, fhvae.py:5-14)."""
+
+    model_type: str = "simple_fhvae"  # "simple_fhvae" | "fhvae"
+    z1_hus: tuple[int, ...] = (128, 128)
+    z2_hus: tuple[int, ...] = (128, 128)
+    z1_dim: int = 16
+    z2_dim: int = 16
+    x_hus: tuple[int, ...] = (128, 128)
+    # priors (simple_fhvae.py:22-23,88): pz1 = N(0,1); pmu2 = N(0,1);
+    # pz2 = N(mu2, pz2_std^2)
+    pz2_std: float = 0.5
+    mu2_init_std: float = 1.0
+    # numerics: params fp32; matmuls optionally bf16 (TPU MXU). The reference
+    # trained in fp64 (train_model.py:438) which TPUs do not support; this is a
+    # documented deviation (SURVEY.md B15).
+    compute_dtype: str = "float32"  # "float32" | "bfloat16"
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    """Optimizer settings (train_model.py:71-79,409-411)."""
+
+    learning_rate: float = 1e-3
+    beta_one: float = 0.95
+    beta_two: float = 0.999
+    alpha_dis: float = 10.0
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Training-loop settings (train_model.py:54-68,192-237)."""
+
+    epochs: int = 100
+    patience: int = 10
+    seed: int = 0
+    # legacy per-step epoch emulation (train_model.py:216-237)
+    legacy: bool = False
+    steps_per_epoch: int = 5000
+    log_interval: int = 200
+    # hierarchical sampling (train_model.py:203-214,424-436)
+    sample_hierarchical: bool = False
+    num_hierarchical_sequences: int = 5000
+    # observability
+    tensorboard: bool = False
+    tb_log_dir: str = "./visualize/tensorboard"
+    log_params: bool = False
+    # parallelism: data-parallel and mu2-table (model) mesh axes
+    mesh_shape: tuple[int, ...] = (1, 1)  # (data, model)
+    donate_state: bool = True
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    features: FeatureConfig = field(default_factory=FeatureConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+
+    # ---- experiment naming (reference utils.py:20-42) ----
+
+    def base_string(self) -> str:
+        ds = self.data.dataset
+        ds += "_np" if self.features.data_format.lower() == "numpy" else "_kd"
+        feat = "fbank" if self.features.data_format == "kaldi" else self.features.feat_type
+        return f"{ds}_{feat}"
+
+    def exp_string(self) -> str:
+        t = self.train
+        if t.legacy:
+            return (
+                f"{self.model.model_type}_e{t.epochs}_s{t.steps_per_epoch}"
+                f"_p{t.patience}_a{self.optim.alpha_dis}_legacy"
+            )
+        return f"{self.model.model_type}_e{t.epochs}_p{t.patience}_a{self.optim.alpha_dis}"
+
+    def run_id(self) -> str:
+        return f"{self.base_string()}_{self.exp_string()}"
+
+    def exp_dir(self, exp_root: str | Path = "./experiments") -> Path:
+        return Path(exp_root) / self.base_string() / self.exp_string()
+
+    # ---- (de)serialization ----
+
+    def to_dict(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "ExperimentConfig":
+        def build(tp, sub):
+            kw = {}
+            for f in dataclasses.fields(tp):
+                if f.name in sub:
+                    v = sub[f.name]
+                    if isinstance(v, list):
+                        v = tuple(v)
+                    kw[f.name] = v
+            return tp(**kw)
+
+        return cls(
+            features=build(FeatureConfig, d.get("features", {})),
+            data=build(DataConfig, d.get("data", {})),
+            model=build(ModelConfig, d.get("model", {})),
+            optim=build(OptimConfig, d.get("optim", {})),
+            train=build(TrainConfig, d.get("train", {})),
+        )
+
+    @classmethod
+    def from_json(cls, s: str) -> "ExperimentConfig":
+        return cls.from_dict(json.loads(s))
+
+    def save(self, path: str | Path) -> None:
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
+        Path(path).write_text(self.to_json())
+
+    @classmethod
+    def load(cls, path: str | Path) -> "ExperimentConfig":
+        return cls.from_json(Path(path).read_text())
+
+    def replace(self, **sections: Any) -> "ExperimentConfig":
+        return dataclasses.replace(self, **sections)

@@ -1,0 +1,128 @@
+"""Packed in-memory feature store.
+
+The reference's datasets re-open one ``.npy`` file (or seek into a Kaldi ark)
+per *segment* fetch (datasets.py:214-223, 254-262) — hundreds of file opens
+per batch. TPUs need the host to produce fixed-shape batches faster than the
+device consumes them, so this store packs every kept utterance into one
+contiguous ``[total_frames, dim]`` float32 array plus per-sequence offsets;
+a batch of segments is then a single vectorized gather.
+
+Supports both reference on-disk formats (SURVEY.md §9): ``feats.scp``
+pointing at per-utterance ``.npy`` files (numpy backend) or at
+``ark:offset`` rxspecifiers (kaldi backend), with ``len.scp`` for lengths.
+Mean/variance normalization matches the reference's JSON cache schema
+``{"mean": [[...]], "std": [[...]]}`` (datasets.py:107-129).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Sequence
+
+import numpy as np
+
+from pytorch_scalablefhvae_tpu.utils import kaldi_ark
+from pytorch_scalablefhvae_tpu.utils.manifest import read_scp
+
+
+def _load_feat(path_or_rx: str) -> np.ndarray:
+    if ":" in path_or_rx and not path_or_rx.endswith(".npy"):
+        maybe_path, _, off = path_or_rx.rpartition(":")
+        if off.isdigit() and Path(maybe_path).exists():
+            return kaldi_ark.load_mat(path_or_rx)
+    with open(path_or_rx, "rb") as f:
+        return np.load(f)
+
+
+class FeatureStore:
+    """Contiguous packed features for one dataset split."""
+
+    def __init__(
+        self,
+        feat_scp: str | Path,
+        len_scp: str | Path,
+        min_len: int = 1,
+        mvn_path: str | Path | None = None,
+        sequence_list: Sequence[str] | None = None,
+        verbose: bool = True,
+    ):
+        feats = read_scp(feat_scp)
+        lens = read_scp(len_scp, dtype=int, keep_keys=feats.keys())
+
+        if sequence_list is not None:
+            keep = [k for k in sequence_list if k in feats]
+        else:
+            # reference filter: keep sequences no shorter than min_len
+            # (datasets.py:84)
+            keep = [k for k in feats if lens[k] >= min_len]
+        if verbose:
+            print(f"FeatureStore: {len(keep)} out of {len(feats)} kept, min_len = {min_len}")
+
+        self.seq_keys: list[str] = keep
+        self.seq2idx = {k: i for i, k in enumerate(keep)}
+        self.lens = np.array([lens[k] for k in keep], dtype=np.int64)
+
+        mats = [np.asarray(_load_feat(str(feats[k])), dtype=np.float32) for k in keep]
+        for k, m, l in zip(keep, mats, self.lens):
+            if m.shape[0] != l:
+                raise ValueError(f"len.scp disagrees with features for {k}: {l} vs {m.shape[0]}")
+        self.dim = mats[0].shape[1] if mats else 0
+        self.offsets = np.zeros(len(keep) + 1, dtype=np.int64)
+        np.cumsum(self.lens, out=self.offsets[1:])
+        self.data = (
+            np.concatenate(mats, axis=0)
+            if mats
+            else np.zeros((0, 0), dtype=np.float32)
+        )
+
+        self.mvn_params: dict | None = None
+        if mvn_path is not None:
+            self._mvn_prep(Path(mvn_path))
+            self._apply_mvn_inplace()
+
+    # ---- MVN (reference datasets.py:100-136 semantics, JSON schema parity) --
+
+    def _compute_mvn(self) -> dict:
+        n = float(self.data.shape[0])
+        x = self.data.sum(axis=0, dtype=np.float64, keepdims=True)
+        x2 = (self.data.astype(np.float64) ** 2).sum(axis=0, keepdims=True)
+        mean = x / n
+        std = np.sqrt(np.maximum(x2 / n - mean**2, 1e-12))
+        return {"mean": mean.tolist(), "std": std.tolist()}
+
+    def _mvn_prep(self, mvn_path: Path) -> None:
+        if mvn_path.exists():
+            self.mvn_params = json.loads(mvn_path.read_text())
+        else:
+            self.mvn_params = self._compute_mvn()
+            mvn_path.parent.mkdir(parents=True, exist_ok=True)
+            mvn_path.write_text(json.dumps(self.mvn_params))
+
+    def _apply_mvn_inplace(self) -> None:
+        mean = np.asarray(self.mvn_params["mean"], dtype=np.float32)
+        std = np.asarray(self.mvn_params["std"], dtype=np.float32)
+        self.data -= mean.reshape(1, -1)
+        self.data /= std.reshape(1, -1)
+
+    def undo_mvn(self, feats: np.ndarray) -> np.ndarray:
+        if self.mvn_params is None:
+            return feats
+        mean = np.asarray(self.mvn_params["mean"], dtype=np.float32).reshape(1, -1)
+        std = np.asarray(self.mvn_params["std"], dtype=np.float32).reshape(1, -1)
+        return feats * std + mean
+
+    # ---- access ----
+
+    @property
+    def num_seqs(self) -> int:
+        return len(self.seq_keys)
+
+    def sequence(self, i: int) -> np.ndarray:
+        return self.data[self.offsets[i] : self.offsets[i + 1]]
+
+    def gather_segments(self, seq_idx: np.ndarray, starts: np.ndarray, seg_len: int) -> np.ndarray:
+        """Vectorized fetch of ``[B, seg_len, dim]`` segment features."""
+        abs_starts = self.offsets[seq_idx] + starts
+        idx = abs_starts[:, None] + np.arange(seg_len)[None, :]
+        return self.data[idx]

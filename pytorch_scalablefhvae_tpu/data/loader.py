@@ -1,0 +1,135 @@
+"""Fixed-shape batch loader with background prefetch.
+
+Replaces the reference's ``torch.utils.data.DataLoader(num_workers=4)``
+(train_model.py:379-395) with a TPU-appropriate design:
+
+- every batch has the same static shape ``[B, seg_len, dim]`` (jit retraces
+  on shape changes); the final partial batch is padded and carries a weight
+  mask so padded rows contribute zero loss;
+- a batch is one vectorized gather from the packed :class:`FeatureStore`
+  (no per-item file I/O);
+- an optional background thread keeps ``prefetch`` batches ready so host
+  batch assembly overlaps device compute.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+
+from pytorch_scalablefhvae_tpu.data.segments import SegmentDataset
+
+
+@dataclass
+class Batch:
+    """One fixed-shape training batch.
+
+    Attributes:
+        feats:   [B, seg_len, dim] float32
+        seq_idx: [B] int32 — mu2-table row of each segment's sequence
+        nsegs:   [B] float32 — segment count of the owning sequence
+                 (weights log p(mu2) in the ELBO; simple_fhvae.py:116)
+        weight:  [B] float32 — 1 for real rows, 0 for padding
+    """
+
+    feats: np.ndarray
+    seq_idx: np.ndarray
+    nsegs: np.ndarray
+    weight: np.ndarray
+
+    @property
+    def num_real(self) -> int:
+        return int(self.weight.sum())
+
+
+class SegmentLoader:
+    def __init__(
+        self,
+        dataset: SegmentDataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = False,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+        if self.dataset.rand_seg:
+            self.dataset.resample_segments(self.seed + 7919 * epoch)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _order(self) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + 1_000_003 * self._epoch)
+            return rng.permutation(n)
+        return np.arange(n)
+
+    def _assemble(self, idx: np.ndarray) -> Batch:
+        ds = self.dataset
+        B = self.batch_size
+        real = len(idx)
+        if real < B:
+            # pad by repeating the first index; weights zero the extras
+            pad = np.full(B - real, idx[0] if real else 0, dtype=idx.dtype)
+            idx = np.concatenate([idx, pad])
+        seq_idx = ds.seq_idx[idx]
+        feats = ds.store.gather_segments(seq_idx, ds.starts[idx], ds.seg_len)
+        nsegs = ds.nsegs[seq_idx].astype(np.float32)
+        weight = np.zeros(B, dtype=np.float32)
+        weight[:real] = 1.0
+        return Batch(
+            feats=np.ascontiguousarray(feats, dtype=np.float32),
+            seq_idx=seq_idx.astype(np.int32),
+            nsegs=nsegs,
+            weight=weight,
+        )
+
+    def _batches_indices(self) -> Iterator[np.ndarray]:
+        order = self._order()
+        n = len(order)
+        stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        for s in range(0, stop, self.batch_size):
+            yield order[s : s + self.batch_size]
+
+    def __iter__(self) -> Iterator[Batch]:
+        if self.prefetch <= 0:
+            for idx in self._batches_indices():
+                yield self._assemble(idx)
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        _SENTINEL = object()
+
+        def producer():
+            try:
+                for idx in self._batches_indices():
+                    q.put(self._assemble(idx))
+            finally:
+                q.put(_SENTINEL)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                break
+            yield item
+        t.join()

@@ -1,0 +1,135 @@
+"""On-TPU DSP path: fused, batched STFT + mel projection in JAX.
+
+Numerically equivalent to :mod:`dsp_numpy` (the librosa-semantics path of
+reference utils.py:155-272), but designed for XLA/TPU:
+
+- static shapes only — callers pad signals to a fixed length and pass the true
+  length so frame masking stays inside jit;
+- framing expressed as a strided gather; the mel projection and (optionally)
+  the DFT itself as matmuls so the heavy lifting lands on the MXU;
+- batched over utterances: ``[B, T]`` -> ``[B, F, n_mels]``.
+
+For the small FFT sizes used here (n_fft = 400 or 512) a real-DFT-by-matmul
+(``frames @ C`` and ``frames @ S``) is MXU-friendly and is used by default;
+``use_fft=True`` selects ``jnp.fft.rfft`` instead.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pytorch_scalablefhvae_tpu.features.dsp_numpy import periodic_window
+from pytorch_scalablefhvae_tpu.features.mel import mel_filterbank
+
+
+def _rdft_matrices(n_fft: int, dtype=jnp.float32) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Real-DFT cos/sin matrices of shape (n_fft, n_fft // 2 + 1)."""
+    k = np.arange(n_fft // 2 + 1)
+    n = np.arange(n_fft)
+    ang = 2.0 * np.pi * np.outer(n, k) / n_fft
+    return jnp.asarray(np.cos(ang), dtype), jnp.asarray(-np.sin(ang), dtype)
+
+
+def _frame_indices(n_frames: int, n_fft: int, hop: int) -> jnp.ndarray:
+    starts = np.arange(n_frames) * hop
+    idx = starts[:, None] + np.arange(n_fft)[None, :]
+    return jnp.asarray(idx, jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "sr", "n_fft", "hop_t", "win_t", "window", "preemphasis",
+        "n_mels", "log", "norm_mel", "log_floor", "feat_type", "use_fft",
+    ),
+)
+def batched_features(
+    y: jnp.ndarray,
+    lengths: jnp.ndarray,
+    *,
+    sr: int,
+    n_fft: int = 400,
+    hop_t: float = 0.010,
+    win_t: float = 0.025,
+    window: str = "hamming",
+    preemphasis: float = 0.97,
+    n_mels: int = 80,
+    log: bool = True,
+    norm_mel: str | None = "slaney",
+    log_floor: float = -20.0,
+    feat_type: str = "fbank",
+    use_fft: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Compute fbank/spec features for a padded batch of signals.
+
+    Args:
+        y: ``[B, T_max]`` float32 padded signals.
+        lengths: ``[B]`` int32 true signal lengths.
+
+    Returns:
+        feats: ``[B, F_max, n_bins]`` (frames beyond a signal's frame count
+            are zero), and ``n_frames``: ``[B]`` int32 per-signal frame counts
+            (librosa centered convention: ``1 + length // hop``).
+    """
+    B, T = y.shape
+    hop = int(sr * hop_t)
+    win = int(sr * win_t)
+    pad = n_fft // 2
+
+    y = y.astype(jnp.float32)
+    # pre-emphasis (reference utils.py:181-182)
+    if preemphasis > 1e-12:
+        y = y - preemphasis * jnp.pad(y[:, :-1], ((0, 0), (1, 0)))
+        # zero out beyond true length so reflect-padding sees clean tails
+        mask = jnp.arange(T)[None, :] < lengths[:, None]
+        y = jnp.where(mask, y, 0.0)
+
+    # centered reflect pad. XLA-friendly: pad whole batch to T + 2*pad with
+    # reflection around the *true* end handled by gather with mirrored index.
+    n_frames_max = 1 + T // hop
+    n_frames = 1 + lengths // hop
+
+    idx = _frame_indices(n_frames_max, n_fft, hop) - pad  # [F, n_fft], signal coords
+    # reflect at 0 and at (length-1), per-signal
+    idx = jnp.abs(idx)  # left reflection
+    L = lengths[:, None, None]
+    idxb = jnp.broadcast_to(idx[None], (B, n_frames_max, n_fft))
+    idxb = jnp.where(idxb > L - 1, 2 * (L - 1) - idxb, idxb)
+    idxb = jnp.clip(idxb, 0, T - 1)
+    frames = jnp.take_along_axis(y[:, None, :], idxb.reshape(B, -1)[:, None, :], axis=2)
+    frames = frames.reshape(B, n_frames_max, n_fft)
+
+    w = periodic_window(window, win)
+    if win < n_fft:
+        lpad = (n_fft - win) // 2
+        w = np.pad(w, (lpad, n_fft - win - lpad))
+    frames = frames * jnp.asarray(w, jnp.float32)[None, None, :]
+
+    if use_fft:
+        spec = jnp.abs(jnp.fft.rfft(frames, n=n_fft, axis=-1))
+    else:
+        C, S = _rdft_matrices(n_fft)
+        re = jnp.einsum("bfn,nk->bfk", frames, C, preferred_element_type=jnp.float32)
+        im = jnp.einsum("bfn,nk->bfk", frames, S, preferred_element_type=jnp.float32)
+        spec = jnp.sqrt(re * re + im * im + 1e-30)
+
+    if feat_type == "fbank":
+        fb = jnp.asarray(
+            mel_filterbank(sr, n_fft, n_mels=n_mels, htk=False, norm=norm_mel), jnp.float32
+        )
+        out = jnp.einsum("bfk,mk->bfm", spec, fb, preferred_element_type=jnp.float32)
+    elif feat_type == "spec":
+        out = spec
+    else:
+        raise ValueError(f"Unknown feat_type {feat_type!r}")
+
+    if log:
+        out = jnp.maximum(jnp.log(jnp.maximum(out, 1e-38)), log_floor)
+
+    frame_mask = jnp.arange(n_frames_max)[None, :] < n_frames[:, None]
+    out = jnp.where(frame_mask[:, :, None], out, 0.0)
+    return out, n_frames

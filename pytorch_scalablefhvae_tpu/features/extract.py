@@ -1,0 +1,149 @@
+"""Feature-extraction drivers: wav.scp -> features + manifests.
+
+Covers both reference backends with identical on-disk results:
+
+- ``numpy`` backend (prepare_numpy_data.py:53-129): librosa-semantics fbank or
+  spec per utterance, one ``.npy`` per utterance + ``feats.scp``/``len.scp``;
+- ``kaldi`` backend (prepare_kaldi_data.py:10-82): Kaldi-semantics fbank per
+  ``misc/fbank.conf`` written to a binary ``feats.ark`` + ``feats.scp`` +
+  ``len.scp``. The extraction itself runs in-process — the native C++
+  extractor when built (native/fbank.cc), else the NumPy mirror — instead of
+  shelling out to an external Kaldi checkout.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import numpy as np
+
+from pytorch_scalablefhvae_tpu.features import dsp_numpy
+from pytorch_scalablefhvae_tpu.features.kaldi_fbank import (
+    fbank_kwargs_from_conf,
+    kaldi_fbank,
+    parse_fbank_conf,
+)
+from pytorch_scalablefhvae_tpu.utils.audio_io import read_audio
+from pytorch_scalablefhvae_tpu.utils.kaldi_ark import ArkWriter
+from pytorch_scalablefhvae_tpu.utils.manifest import read_scp
+
+
+def generate_feat(
+    ftype: str,
+    y: np.ndarray,
+    sr: int,
+    win_t: float = 0.025,
+    hop_t: float = 0.010,
+    n_mels: int = 80,
+) -> np.ndarray:
+    """One utterance -> (frames, bins); reference generate_feat parity
+    (prepare_numpy_data.py:14-50, n_fft = sr * win_t)."""
+    n_fft = int(sr * win_t)
+    if ftype == "fbank":
+        return dsp_numpy.log_melspec(y, sr, n_fft=n_fft, hop_t=hop_t, win_t=win_t, n_mels=n_mels)
+    if ftype == "spec":
+        return dsp_numpy.log_spectrogram(y, sr, n_fft=n_fft, hop_t=hop_t, win_t=win_t)
+    raise ValueError(f"Unknown feature type {ftype!r}")
+
+
+def prepare_numpy(
+    dataset: str,
+    set_name: str,
+    dataset_dir: str | Path,
+    output_dir: str | Path | None = None,
+    ftype: str = "fbank",
+    sample_rate: int | None = None,
+    win_t: float = 0.025,
+    hop_t: float = 0.010,
+    n_mels: int = 80,
+    verbose: bool = True,
+) -> tuple[int, tuple[Path, Path, Path]]:
+    """NumPy-backend extraction for one split; returns
+    (count, (wav_scp, feats_scp, len_scp)) like the reference."""
+    set_path = Path(output_dir or dataset_dir) / set_name
+    wav_path = set_path / "wav.scp"
+    feat_path = set_path / "feats.scp"
+    len_path = set_path / "len.scp"
+    if not wav_path.exists():
+        raise ValueError(f"The wav.scp file at {wav_path} does not exist!")
+    set_path.mkdir(parents=True, exist_ok=True)
+
+    start = time.time()
+    count = 0
+    locked_sr = sample_rate
+    with open(feat_path, "w") as ff, open(len_path, "w") as lf:
+        for seq, path in read_scp(wav_path).items():
+            y, sr = read_audio(path, sample_rate)
+            if locked_sr is None:
+                locked_sr = sr
+            elif locked_sr != sr:
+                raise ValueError(f"Inconsistent sample rate ({locked_sr} != {sr}).")
+            feat = generate_feat(ftype, y, locked_sr, win_t, hop_t, n_mels)
+            np_path = set_path / f"{seq}.npy"
+            with open(np_path, "wb") as nf:
+                np.save(nf, feat)
+            ff.write(f"{seq} {np_path}\n")
+            lf.write(f"{seq} {len(feat)}\n")
+            count += 1
+    if verbose:
+        print(f"{set_name}: {count} utterances in {time.time() - start:.2f}s (numpy/{ftype})")
+    return count, (wav_path, feat_path, len_path)
+
+
+def _native_fbank():
+    """Return the C++ extractor entry point if the shared lib is built."""
+    try:
+        from pytorch_scalablefhvae_tpu.native.binding import native_fbank
+
+        return native_fbank
+    except Exception:
+        return None
+
+
+def prepare_kaldi(
+    dataset_dir: str | Path,
+    set_name: str,
+    fbank_conf: str | Path = "./misc/fbank.conf",
+    kaldi_root: str | Path | None = None,  # accepted for CLI parity; unused
+    sample_rate: int | None = None,
+    verbose: bool = True,
+    use_native: bool = True,
+) -> tuple[int, tuple[Path, Path, Path, Path]]:
+    """Kaldi-backend extraction for one split; returns
+    (count, (dataset_dir, feats_ark, feats_scp, len_scp)) like the reference
+    (prepare_kaldi_data.py:82)."""
+    set_dir = Path(dataset_dir) / set_name
+    wav_scp = set_dir / "wav.scp"
+    feat_ark = set_dir / "feats.ark"
+    feat_scp = set_dir / "feats.scp"
+    len_scp = set_dir / "len.scp"
+    if not wav_scp.exists():
+        raise ValueError(f"The wav.scp file at {wav_scp} does not exist!")
+
+    conf_kwargs = fbank_kwargs_from_conf(parse_fbank_conf(str(fbank_conf)))
+    native = _native_fbank() if use_native else None
+
+    start = time.time()
+    count = 0
+    with ArkWriter(feat_ark, feat_scp) as writer, open(len_scp, "w") as lf:
+        for seq, path in read_scp(wav_scp).items():
+            y, sr = read_audio(path, sample_rate)
+            kwargs = dict(conf_kwargs)
+            kwargs.setdefault("sr", sr)
+            # per-utterance deterministic dither stream
+            seed = abs(hash(seq)) % (2**31)
+            if native is not None:
+                feat = native(y, seed=seed, **kwargs)
+            else:
+                feat = kaldi_fbank(y, seed=seed, **kwargs)
+            writer.write(seq, feat)
+            lf.write(f"{seq} {len(feat)}\n")
+            count += 1
+            if verbose and count % 200 == 0:
+                print(f"{set_name.capitalize():7} processed {count} utterances "
+                      f"in {time.time() - start:.2f} seconds")
+    if verbose:
+        print(f"{set_name.capitalize()} feature computation completed in "
+              f"{time.time() - start:.2f} seconds")
+    return count, (Path(dataset_dir), feat_ark, feat_scp, len_scp)

@@ -1,0 +1,225 @@
+"""FHVAE: recurrent (LSTM) factorized hierarchical VAE.
+
+The reference left this model as a stub (fhvae.py:5-14,
+``raise NotImplementedError``). This implements the intended recurrent
+architecture of the original ScalableFHVAE papers (arXiv 1709.07902 §3.1,
+1804.03201): LSTM encoders that consume the segment frame-by-frame and LSTM
+decoder that emits per-frame Gaussians, sharing the latent structure, mu2
+table, and discriminative objective with :class:`SimpleFHVAE`.
+
+TPU notes: recurrence is ``jax.lax.scan`` over the fixed segment length (a
+static 20 for the default config) so XLA unrolls/pipelines it; all gates of a
+layer are one fused ``[B, in+h] x [in+h, 4h]`` matmul per step on the MXU.
+Hyperparameter mapping: ``z1_hus``/``z2_hus``/``x_hus`` entries are LSTM layer
+widths (the constructor signature matches the reference stub's, fhvae.py:5-13).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pytorch_scalablefhvae_tpu.models import layers
+from pytorch_scalablefhvae_tpu.models.base import (
+    FHVAEOutputs,
+    assemble_elbo,
+    discriminative_log_qy,
+    init_mu2_table,
+)
+
+
+def init_lstm(key: jax.Array, d_in: int, d_hid: int) -> dict:
+    k_w, _ = jax.random.split(key)
+    limit = np.sqrt(6.0 / (d_in + d_hid + 4 * d_hid))
+    w = jax.random.uniform(k_w, (d_in + d_hid, 4 * d_hid), jnp.float32, -limit, limit)
+    b = jnp.zeros((4 * d_hid,), jnp.float32)
+    # forget-gate bias 1.0 (standard trainability fix)
+    b = b.at[d_hid : 2 * d_hid].set(1.0)
+    return {"w": w, "b": b}
+
+
+def lstm_cell(p: dict, h: jnp.ndarray, c: jnp.ndarray, x: jnp.ndarray, cdt=None):
+    inp = jnp.concatenate([x, h], axis=-1)
+    if cdt is not None:
+        gates = jnp.dot(inp.astype(cdt), p["w"].astype(cdt), preferred_element_type=jnp.float32) + p["b"]
+    else:
+        gates = jnp.dot(inp, p["w"], preferred_element_type=jnp.float32) + p["b"]
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+    return h_new, c_new
+
+
+def init_lstm_stack(key: jax.Array, d_in: int, widths: tuple[int, ...]) -> dict:
+    ks = jax.random.split(key, len(widths))
+    cells = []
+    d = d_in
+    for k, w in zip(ks, widths):
+        cells.append(init_lstm(k, d, w))
+        d = w
+    return {"cells": cells}
+
+
+def run_lstm(p: dict, xs: jnp.ndarray, cdt=None) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Run a stacked LSTM over ``xs [B, T, D]``.
+
+    Returns (all-layer-top hidden states [B, T, H_last], last hidden [B, H_last]).
+    """
+    B, T, _ = xs.shape
+    widths = [c["w"].shape[1] // 4 for c in p["cells"]]
+
+    def step(carry, x_t):
+        new_carry = []
+        inp = x_t
+        for cell, (h, c) in zip(p["cells"], carry):
+            h, c = lstm_cell(cell, h, c, inp, cdt)
+            new_carry.append((h, c))
+            inp = h
+        return new_carry, inp
+
+    init_carry = [
+        (jnp.zeros((B, w), jnp.float32), jnp.zeros((B, w), jnp.float32)) for w in widths
+    ]
+    carry, tops = jax.lax.scan(step, init_carry, jnp.swapaxes(xs, 0, 1))
+    return jnp.swapaxes(tops, 0, 1), carry[-1][0]
+
+
+@dataclass(frozen=True)
+class FHVAE:
+    """Recurrent FHVAE; same public surface as :class:`SimpleFHVAE`."""
+
+    input_size: int  # T * F of a segment (kept for constructor parity)
+    z1_hus: tuple[int, ...] = (128, 128)
+    z2_hus: tuple[int, ...] = (128, 128)
+    z1_dim: int = 16
+    z2_dim: int = 16
+    x_hus: tuple[int, ...] = (128, 128)
+    num_seqs: int = 1
+    pz2_std: float = 0.5
+    mu2_init_std: float = 1.0
+    compute_dtype: str = "float32"
+    feat_dim: int = 80  # frames arrive as [B, T, feat_dim]
+
+    model_type = "fhvae"
+
+    @classmethod
+    def from_config(cls, input_size: int, cfg, num_seqs: int, feat_dim: int = 80) -> "FHVAE":
+        return cls(
+            input_size=input_size,
+            z1_hus=tuple(cfg.z1_hus),
+            z2_hus=tuple(cfg.z2_hus),
+            z1_dim=cfg.z1_dim,
+            z2_dim=cfg.z2_dim,
+            x_hus=tuple(cfg.x_hus),
+            num_seqs=num_seqs,
+            pz2_std=cfg.pz2_std,
+            mu2_init_std=cfg.mu2_init_std,
+            compute_dtype=cfg.compute_dtype,
+            feat_dim=feat_dim,
+        )
+
+    @property
+    def pz2_logvar(self) -> float:
+        return float(np.log(self.pz2_std**2))
+
+    @property
+    def _cdt(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
+
+    def init(self, key: jax.Array) -> dict:
+        ks = jax.random.split(key, 7)
+        return {
+            "z2_lstm": init_lstm_stack(ks[0], self.feat_dim, self.z2_hus),
+            "z2_gauss": layers.init_gauss_head(ks[1], self.z2_hus[-1], self.z2_dim),
+            "z1_lstm": init_lstm_stack(ks[2], self.feat_dim + self.z2_dim, self.z1_hus),
+            "z1_gauss": layers.init_gauss_head(ks[3], self.z1_hus[-1], self.z1_dim),
+            "dec_lstm": init_lstm_stack(ks[4], self.z1_dim + self.z2_dim, self.x_hus),
+            "dec_gauss": layers.init_gauss_head(ks[5], self.x_hus[-1], self.feat_dim),
+            "mu2_table": init_mu2_table(ks[6], self.num_seqs, self.z2_dim, self.mu2_init_std),
+        }
+
+    def encode(self, params: dict, x: jnp.ndarray, key: jax.Array, sample: bool = True) -> dict:
+        cdt = self._cdt
+        k2, k1 = jax.random.split(key)
+
+        _, h2 = run_lstm(params["z2_lstm"], x, cdt)
+        z2_mu, z2_logvar, z2 = layers.gauss_head(params["z2_gauss"], h2, k2, cdt, sample)
+
+        T = x.shape[1]
+        z2_tiled = jnp.broadcast_to(z2[:, None, :], (x.shape[0], T, z2.shape[-1]))
+        _, h1 = run_lstm(params["z1_lstm"], jnp.concatenate([x, z2_tiled], axis=-1), cdt)
+        z1_mu, z1_logvar, z1 = layers.gauss_head(params["z1_gauss"], h1, k1, cdt, sample)
+        return {
+            "z1_mu": z1_mu, "z1_logvar": z1_logvar, "z1": z1,
+            "z2_mu": z2_mu, "z2_logvar": z2_logvar, "z2": z2,
+        }
+
+    def decode(
+        self,
+        params: dict,
+        z1: jnp.ndarray,
+        z2: jnp.ndarray,
+        key: jax.Array | None = None,
+        sample: bool = False,
+        out_shape: tuple[int, int] | None = None,
+        num_frames: int | None = None,
+    ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Decode [z1, z2] into per-frame Gaussians over ``T`` frames."""
+        cdt = self._cdt
+        if num_frames is None:
+            num_frames = out_shape[0] if out_shape else self.input_size // self.feat_dim
+        B = z1.shape[0]
+        z = jnp.concatenate([z1, z2], axis=-1)
+        z_seq = jnp.broadcast_to(z[:, None, :], (B, num_frames, z.shape[-1]))
+        tops, _ = run_lstm(params["dec_lstm"], z_seq, cdt)
+        flat = tops.reshape(B * num_frames, -1)
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        x_mu, x_logvar, x_sample = layers.gauss_head(params["dec_gauss"], flat, key, cdt, sample)
+        shape = (B, num_frames, self.feat_dim)
+        return x_mu.reshape(shape), x_logvar.reshape(shape), x_sample.reshape(shape)
+
+    def apply(
+        self,
+        params: dict,
+        x: jnp.ndarray,
+        seq_idx: jnp.ndarray,
+        nsegs: jnp.ndarray,
+        key: jax.Array,
+        sample: bool = True,
+    ) -> FHVAEOutputs:
+        x = x.astype(jnp.float32)
+        k_enc, k_dec = jax.random.split(key)
+        enc = self.encode(params, x, k_enc, sample)
+        x_mu, x_logvar, _ = self.decode(
+            params, enc["z1"], enc["z2"], k_dec, sample=False, num_frames=x.shape[1]
+        )
+
+        mu2_table = params["mu2_table"]
+        mu2 = mu2_table[seq_idx]
+        lower_bound, log_px_z, neg_kld_z1, neg_kld_z2, log_pmu2 = assemble_elbo(
+            x, mu2,
+            enc["z1_mu"], enc["z1_logvar"], enc["z2_mu"], enc["z2_logvar"],
+            x_mu, x_logvar, nsegs,
+            pz2_logvar=self.pz2_logvar,
+        )
+        log_qy = discriminative_log_qy(enc["z2_mu"], mu2_table, seq_idx, self.pz2_logvar)
+        return FHVAEOutputs(
+            lower_bound=lower_bound,
+            log_qy=log_qy,
+            log_px_z=log_px_z,
+            neg_kld_z1=neg_kld_z1,
+            neg_kld_z2=neg_kld_z2,
+            log_pmu2=log_pmu2,
+            z1_mu=enc["z1_mu"],
+            z2_mu=enc["z2_mu"],
+            x_mu=x_mu,
+            x_logvar=x_logvar,
+        )
+
+    def model_params(self) -> tuple:
+        return (self.input_size, list(self.z1_hus), list(self.z2_hus),
+                self.z1_dim, self.z2_dim, list(self.x_hus))

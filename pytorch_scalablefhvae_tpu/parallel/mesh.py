@@ -1,0 +1,105 @@
+"""Device mesh and sharding rules.
+
+The reference has no distributed layer at all (SURVEY.md §2.3); this module
+is the TPU-native equivalent of the absent NCCL/DDP stack, expressed as
+GSPMD sharding rules over a ``jax.sharding.Mesh``:
+
+- axis "data": segment batches are sharded (data parallel); gradients are
+  all-reduced by XLA over ICI;
+- axis "model": the mu2 posterior table is *row*-sharded — it is
+  O(num_sequences x z2_dim) (simple_fhvae.py:51) and reaches ~280k rows on
+  LibriSpeech-960, and the discriminative softmax needs z2_mu against every
+  row (simple_fhvae.py:119-121). With the table sharded on "model", XLA
+  partitions the ``[B, d] x [d, N]`` logits matmul over N and the
+  log-sum-exp's reduction becomes an all-reduce over the "model" axis.
+
+Everything else (MLP/LSTM params, optimizer moments for them) is replicated.
+Optimizer moments for the mu2 table follow the table's sharding
+automatically because shardings are propagated from params to opt_state.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    mesh_shape: tuple[int, int] | None = None, devices=None
+) -> Mesh:
+    """Create a (data, model) mesh. Default: all devices data-parallel."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if mesh_shape is None or tuple(mesh_shape) == (1, 1):
+        mesh_shape = (n, 1)
+    d, m = mesh_shape
+    if d * m != n:
+        raise ValueError(f"mesh_shape {mesh_shape} does not cover {n} devices")
+    dev_array = np.asarray(devices).reshape(d, m)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> dict[str, NamedSharding]:
+    """Shardings for one (feats, seq_idx, nsegs, weight) batch."""
+    return {
+        "feats": NamedSharding(mesh, P(DATA_AXIS, None, None)),
+        "seq_idx": NamedSharding(mesh, P(DATA_AXIS)),
+        "nsegs": NamedSharding(mesh, P(DATA_AXIS)),
+        "weight": NamedSharding(mesh, P(DATA_AXIS)),
+    }
+
+
+def shard_batch(mesh: Mesh, feats, seq_idx, nsegs, weight):
+    sh = batch_sharding(mesh)
+    return (
+        jax.device_put(feats, sh["feats"]),
+        jax.device_put(seq_idx, sh["seq_idx"]),
+        jax.device_put(nsegs, sh["nsegs"]),
+        jax.device_put(weight, sh["weight"]),
+    )
+
+
+def _param_spec(path_str: str) -> P:
+    if "mu2_table" in path_str:
+        return P(MODEL_AXIS, None)  # row-sharded embedding
+    return P()  # replicated
+
+
+def params_shardings(mesh: Mesh, params) -> object:
+    """NamedSharding pytree for a params pytree."""
+
+    def assign(path, leaf):
+        path_str = "/".join(str(p) for p in path)
+        return NamedSharding(mesh, _param_spec(path_str))
+
+    return jax.tree_util.tree_map_with_path(assign, params)
+
+
+def state_shardings(mesh: Mesh, state) -> object:
+    """NamedSharding pytree for a full TrainState.
+
+    The mu2 table's Adam moments share the table's row sharding; every other
+    leaf is replicated. Matching is shape-based for the optimizer state: any
+    leaf with the mu2 table's exact shape is table-aligned.
+    """
+    table_shape = tuple(np.shape(state.params["mu2_table"]))
+
+    def assign(path, leaf):
+        path_str = "/".join(str(p) for p in path)
+        if "mu2_table" in path_str or tuple(np.shape(leaf)) == table_shape:
+            if np.ndim(leaf) == 2:
+                return NamedSharding(mesh, P(MODEL_AXIS, None))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(assign, state)
+
+
+def shard_state(mesh: Mesh, state):
+    """Place a TrainState onto the mesh per :func:`state_shardings`."""
+    shardings = state_shardings(mesh, state)
+    return jax.tree_util.tree_map(jax.device_put, state, shardings)

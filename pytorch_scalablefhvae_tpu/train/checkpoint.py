@@ -1,0 +1,154 @@
+"""Checkpoint save/load.
+
+Capability parity with the reference's most-developed subsystem
+(utils.py:63-152): per-epoch checkpoints carrying the full schema
+{model_type, model_params, parameters, optimizer state, epoch, best_epoch,
+best_val_lb, metric history}, a ``best_model_*`` copy for the best epoch, and
+``--finetune`` semantics (weights only, fresh schedule; utils.py:86-93).
+
+Format: one ``.npz`` of pytree leaves (params + optimizer + RNG key + step)
+plus a JSON sidecar — portable, introspectable, no pickle (fixes B14). The
+pytree structure is reconstructed from the model/optimizer definitions at
+load time; leaf count and shapes are validated. Sharded arrays are gathered
+to host on save and re-placed by the caller's shardings on load.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+
+from pytorch_scalablefhvae_tpu.train.step import TrainState
+
+_SCHEMA_VERSION = 1
+
+
+def _flatten(state: TrainState) -> list[np.ndarray]:
+    leaves = jax.tree_util.tree_leaves(state)
+    return [np.asarray(jax.device_get(leaf)) for leaf in leaves]
+
+
+def save_checkpoint(
+    checkpoint_dir: str | Path,
+    state: TrainState,
+    *,
+    model_type: str,
+    model_params: tuple,
+    run_info: str,
+    epoch: int,
+    best_epoch: int,
+    best_val_lb: float,
+    values: dict,
+    summary_vals: dict | None = None,
+    extra_meta: dict | None = None,
+) -> Path:
+    """Write ``<model>_<run_info>_e<epoch>.npz`` (+ ``best_model_`` copy).
+
+    Naming parity with reference utils.py:148-152.
+    """
+    checkpoint_dir = Path(checkpoint_dir)
+    checkpoint_dir.mkdir(parents=True, exist_ok=True)
+    f_str = f"{model_type}_{run_info}_e{epoch}"
+    npz_path = checkpoint_dir / f"{f_str}.npz"
+    meta_path = checkpoint_dir / f"{f_str}.json"
+
+    leaves = _flatten(state)
+    np.savez(npz_path, **{f"leaf_{i}": leaf for i, leaf in enumerate(leaves)})
+    meta = {
+        "schema_version": _SCHEMA_VERSION,
+        "model_type": model_type,
+        "model_params": list(model_params),
+        "epoch": epoch,
+        "best_epoch": best_epoch,
+        "best_val_lb": float(best_val_lb),
+        "values": values,
+        "summary_vals": summary_vals or {},
+        "num_leaves": len(leaves),
+    }
+    if extra_meta:
+        meta.update(extra_meta)
+    meta_path.write_text(json.dumps(meta, indent=2))
+
+    if best_epoch == epoch:
+        shutil.copyfile(npz_path, checkpoint_dir / f"best_model_{f_str}.npz")
+        shutil.copyfile(meta_path, checkpoint_dir / f"best_model_{f_str}.json")
+    return npz_path
+
+
+def read_checkpoint_meta(checkpoint_file: str | Path) -> dict:
+    meta_path = Path(checkpoint_file).with_suffix(".json")
+    return json.loads(meta_path.read_text())
+
+
+def load_checkpoint(
+    checkpoint_file: str | Path,
+    template_state: TrainState,
+    finetune: bool = False,
+) -> tuple[TrainState, dict]:
+    """Restore a TrainState from ``<name>.npz`` (+ sidecar JSON).
+
+    Args:
+        template_state: freshly-initialized state providing the pytree
+            structure (model/optimizer must match the checkpoint).
+        finetune: load parameters only; optimizer state, step counter, epoch
+            and history are discarded (reference utils.py:86-93).
+
+    Returns:
+        (state, meta). ``meta["start_epoch"]`` is ``epoch + 1`` exactly
+        (fixes B18's double increment); for finetune it is 0.
+    """
+    checkpoint_file = Path(checkpoint_file)
+    meta = read_checkpoint_meta(checkpoint_file)
+    with np.load(checkpoint_file) as z:
+        leaves = [z[f"leaf_{i}"] for i in range(meta["num_leaves"])]
+
+    tmpl_leaves, treedef = jax.tree_util.tree_flatten(template_state)
+    if len(leaves) != len(tmpl_leaves):
+        raise ValueError(
+            f"Checkpoint has {len(leaves)} leaves; current model/optimizer "
+            f"defines {len(tmpl_leaves)} — architecture mismatch."
+        )
+    for i, (saved, tmpl) in enumerate(zip(leaves, tmpl_leaves)):
+        if tuple(saved.shape) != tuple(np.shape(tmpl)):
+            raise ValueError(
+                f"Leaf {i} shape mismatch: checkpoint {saved.shape} vs model {np.shape(tmpl)}"
+            )
+    # PRNG keys need their original dtype semantics
+    cast = [
+        np.asarray(s, dtype=np.asarray(t).dtype) for s, t in zip(leaves, tmpl_leaves)
+    ]
+    state = jax.tree_util.tree_unflatten(treedef, cast)
+
+    if finetune:
+        state = TrainState(
+            params=state.params,
+            opt_state=template_state.opt_state,
+            step=template_state.step,
+            rng=template_state.rng,
+        )
+        meta = dict(meta, start_epoch=0, values={}, best_val_lb=-np.inf, best_epoch=0)
+    else:
+        meta = dict(meta, start_epoch=meta["epoch"] + 1)
+    return state, meta
+
+
+def find_best_checkpoint(exp_dir: str | Path) -> Path:
+    """Locate the best-model checkpoint (eval_model.py:50-53 parity)."""
+    matches = sorted(Path(exp_dir).glob("best_model_*.npz"))
+    if not matches:
+        raise FileNotFoundError(f"No best_model_*.npz under {exp_dir}")
+    return matches[-1]
+
+
+def find_epoch_checkpoint(exp_dir: str | Path, step: int) -> Path:
+    matches = sorted(
+        p for p in Path(exp_dir).glob("*_e*.npz") if not p.name.startswith("best_model_")
+    )
+    if not matches:
+        raise FileNotFoundError(f"No epoch checkpoints under {exp_dir}")
+    return matches[step]

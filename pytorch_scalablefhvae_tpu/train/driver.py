@@ -1,0 +1,114 @@
+"""High-level training driver: config -> data -> training loop.
+
+The glue the reference performed at module scope (train_model.py:264-436):
+device selection (implicit in JAX), preprocessing when needed, dataset and
+loader construction, experiment-directory setup, resume handling (loading the
+saved run config — explicitly, from JSON, rather than silently overwriting
+live flags; B14), and hierarchical sampling (B10 fixed).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from pytorch_scalablefhvae_tpu.config import ExperimentConfig
+from pytorch_scalablefhvae_tpu.data.feature_store import FeatureStore
+from pytorch_scalablefhvae_tpu.data.loader import SegmentLoader
+from pytorch_scalablefhvae_tpu.data.segments import SegmentDataset
+from pytorch_scalablefhvae_tpu.features.pipeline import (
+    dataset_directory,
+    preprocess_data,
+    split_manifests,
+)
+from pytorch_scalablefhvae_tpu.train.loop import TrainResult, run_training
+
+
+def build_loaders(
+    config: ExperimentConfig,
+    data_root: str | Path = ".",
+    is_preprocessed: bool = True,
+    fbank_conf: str | Path = "./misc/fbank.conf",
+    sequence_list=None,
+) -> tuple[SegmentLoader, SegmentLoader]:
+    dcfg = config.data
+    min_len = dcfg.min_len if dcfg.min_len is not None else dcfg.seg_len
+
+    if not is_preprocessed:
+        if dcfg.raw_data_dir is None and dcfg.dataset != "synthetic":
+            raise ValueError(
+                "You must provide a raw data location if the data is not preprocessed!"
+            )
+        paths = preprocess_data(config, root=data_root, fbank_conf=fbank_conf)
+    else:
+        paths = split_manifests(config, root=data_root)
+
+    def make_loader(split: str, batch_size: int, shuffle: bool, seqs=None) -> SegmentLoader:
+        store = FeatureStore(
+            paths[split]["feat_pth"],
+            paths[split]["len_pth"],
+            min_len=min_len,
+            mvn_path=dcfg.mvn_path,
+            sequence_list=seqs,
+        )
+        ds = SegmentDataset(
+            store,
+            seg_len=dcfg.seg_len,
+            seg_shift=dcfg.seg_shift,
+            rand_seg=dcfg.rand_seg,
+            seed=config.train.seed,
+        )
+        return SegmentLoader(ds, batch_size, shuffle=shuffle, seed=config.train.seed)
+
+    train_seqs = sequence_list
+    if config.train.sample_hierarchical and train_seqs is None:
+        # hierarchical sampling: restrict this round to a sampled subset of
+        # sequences so the mu2 table / discriminative softmax stay bounded
+        # (train_model.py:424-436 intent, B10 fixed: proper sequence_list)
+        probe = FeatureStore(
+            paths["train"]["feat_pth"], paths["train"]["len_pth"],
+            min_len=min_len, verbose=False,
+        )
+        rng = np.random.default_rng(config.train.seed)
+        k = min(config.train.num_hierarchical_sequences, probe.num_seqs)
+        train_seqs = list(rng.choice(probe.seq_keys, size=k, replace=False))
+
+    train_loader = make_loader("train", dcfg.training_batch_size, True, train_seqs)
+    dev_loader = make_loader("dev", dcfg.dev_batch_size, False)
+    return train_loader, dev_loader
+
+
+def train_from_config(
+    config: ExperimentConfig,
+    data_root: str | Path = ".",
+    exp_root: str | Path = "./experiments",
+    is_preprocessed: bool = False,
+    continue_from: str | Path | None = None,
+    finetune: bool = False,
+    fbank_conf: str | Path = "./misc/fbank.conf",
+    verbose: bool = True,
+) -> TrainResult:
+    if continue_from is not None:
+        # resume: the run's persisted JSON config defines the experiment
+        # (explicit policy replacing the reference's silent pickle overwrite)
+        saved = Path(continue_from).parent / "config.json"
+        if saved.exists():
+            resumed = ExperimentConfig.load(saved)
+            if verbose and resumed != config:
+                print(f"Using saved run config from {saved}")
+            config = resumed
+
+    exp_dir = config.exp_dir(exp_root)
+    train_loader, dev_loader = build_loaders(
+        config, data_root, is_preprocessed, fbank_conf
+    )
+    return run_training(
+        config,
+        train_loader,
+        dev_loader,
+        exp_dir,
+        continue_from=continue_from,
+        finetune=finetune,
+        verbose=verbose,
+    )

@@ -1,0 +1,215 @@
+"""Training loop orchestration.
+
+The reference's epoch loop (train_model.py:439-541) rebuilt: train phase,
+posterior-mean eval phase, metric recording, best-model tracking with early
+stopping, per-epoch checkpoints, NaN-divergence abort (exit code 2), legacy
+step-based epochs, and hierarchical mu2 re-estimation — with its defects
+fixed (B4 log-interval precedence, B5 val metrics from val tensors, B6
+best-value update, B12 per-term summaries reported).
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+
+from pytorch_scalablefhvae_tpu.config import ExperimentConfig
+from pytorch_scalablefhvae_tpu.data.loader import Batch, SegmentLoader
+from pytorch_scalablefhvae_tpu.models.base import build_model
+from pytorch_scalablefhvae_tpu.train import checkpoint as ckpt
+from pytorch_scalablefhvae_tpu.train.metrics import MetricHistory, MetricWriter
+from pytorch_scalablefhvae_tpu.train.step import (
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+
+
+def check_best(val_lower_bound: float, best_val_lb: float) -> bool:
+    """Higher dev lower bound is better (utils.py:14-17)."""
+    return val_lower_bound > best_val_lb
+
+
+def check_terminate(epoch: int, best_epoch: int, patience: int, epochs: int) -> bool:
+    """Early-stopping rule: stop after ``patience`` consecutive
+    non-improving epochs, or at the epoch budget (train_model.py:254-261
+    intent; the reference's off-by-one meant patience effectively never
+    fired together with B6)."""
+    if epoch - best_epoch >= patience:
+        return True
+    if epoch + 1 >= epochs:
+        return True
+    return False
+
+
+@dataclass
+class TrainResult:
+    state: TrainState
+    best_epoch: int
+    best_val_lb: float
+    last_epoch: int
+    history: MetricHistory
+    diverged: bool = False
+
+
+def evaluate_split(eval_step, params, loader: SegmentLoader, key) -> dict[str, float]:
+    """Full-split evaluation: exact weighted means of every metric."""
+    totals: dict[str, float] = {}
+    count = 0.0
+    for i, b in enumerate(loader):
+        sums = eval_step(
+            params, b.feats, b.seq_idx, b.nsegs, b.weight, jax.random.fold_in(key, i)
+        )
+        sums = {k: float(v) for k, v in sums.items()}
+        n = sums.pop("count")
+        count += n
+        for k, v in sums.items():
+            totals[k] = totals.get(k, 0.0) + v
+    if count == 0:
+        return {k: float("nan") for k in ("loss", "lower_bound", "log_qy")}
+    return {k: v / count for k, v in totals.items()}
+
+
+def run_training(
+    config: ExperimentConfig,
+    train_loader: SegmentLoader,
+    dev_loader: SegmentLoader,
+    exp_dir: str | Path,
+    continue_from: str | Path | None = None,
+    finetune: bool = False,
+    feat_dim: int | None = None,
+    verbose: bool = True,
+) -> TrainResult:
+    exp_dir = Path(exp_dir)
+    exp_dir.mkdir(parents=True, exist_ok=True)
+    config.save(exp_dir / "config.json")  # args persistence (B14: JSON, not pickle)
+
+    ds = train_loader.dataset
+    seg_len, dim = ds.seg_len, ds.store.dim
+    input_size = seg_len * dim
+    num_seqs = ds.num_seqs
+
+    model = build_model(config.model.model_type, input_size, config.model, num_seqs,
+                        feat_dim=dim)
+    optimizer = make_optimizer(
+        config.optim.learning_rate, config.optim.beta_one, config.optim.beta_two
+    )
+    state = create_train_state(model, optimizer, seed=config.train.seed)
+
+    start_epoch = 0
+    best_epoch, best_val_lb = 0, -np.inf
+    history = MetricHistory()
+    if continue_from is not None:
+        state, meta = ckpt.load_checkpoint(continue_from, state, finetune=finetune)
+        start_epoch = meta["start_epoch"]
+        best_epoch = meta.get("best_epoch", 0)
+        best_val_lb = meta.get("best_val_lb", -np.inf)
+        history = MetricHistory(meta.get("values", {}))
+        if verbose:
+            print(f"Resumed from {continue_from} at epoch {start_epoch}")
+
+    train_step = make_train_step(model, optimizer, config.optim.alpha_dis,
+                                 donate=config.train.donate_state)
+    eval_step = make_eval_step(model, config.optim.alpha_dis)
+
+    writer = MetricWriter(
+        exp_dir,
+        config.run_id(),
+        tensorboard=config.train.tensorboard,
+        tb_log_dir=config.train.tb_log_dir,
+        log_params=config.train.log_params,
+    )
+    if start_epoch > 0:
+        writer.replay_history(history, start_epoch)
+
+    eval_key = jax.random.PRNGKey(config.train.seed + 17)
+    legacy = config.train.legacy
+    result = TrainResult(state, best_epoch, best_val_lb, start_epoch - 1, history)
+
+    for epoch in range(start_epoch, config.train.epochs):
+        train_loader.set_epoch(epoch)
+        train_loss_sum, train_count = 0.0, 0.0
+        last_metrics: dict[str, Any] = {}
+        for batch_idx, b in enumerate(train_loader):
+            state, metrics = train_step(state, b.feats, b.seq_idx, b.nsegs, b.weight)
+            loss = float(metrics["loss"])
+            if np.isnan(loss):  # divergence abort (train_model.py:464-466)
+                print("Training diverged")
+                result.state, result.diverged, result.last_epoch = state, True, epoch
+                writer.close()
+                raise SystemExit(2)
+            n = b.num_real
+            train_loss_sum += loss * n
+            train_count += n
+            last_metrics = metrics
+            if legacy and (batch_idx + 1) % config.train.log_interval == 0:  # B4 fixed
+                if verbose:
+                    pct = 100.0 * batch_idx / len(train_loader)
+                    print(
+                        f"====> Train Epoch: {epoch} "
+                        f"[{batch_idx * train_loader.batch_size}/{len(train_loader.dataset)} "
+                        f"({pct:.0f}%)]\tLoss: {loss:.6f}"
+                    )
+            if legacy and (batch_idx + 1) % config.train.steps_per_epoch == 0:
+                break
+
+        train_loss = train_loss_sum / max(train_count, 1.0)
+        if verbose:
+            print(f"====> Train set average loss: {train_loss:.4f}")
+
+        val = evaluate_split(eval_step, state.params, dev_loader,
+                             jax.random.fold_in(eval_key, epoch))
+        if verbose:
+            print(f"====> Validation set loss: {val['loss']:.4f}  "
+                  f"LB: {val['lower_bound']:.4f}")
+
+        history.record(epoch, train_loss, val["loss"], val["lower_bound"],
+                       val["log_qy"])
+        scalars = {
+            "train_loss": train_loss,
+            "val_loss": val["loss"],
+            "val_lower_bound": val["lower_bound"],
+            "val_log_qy": val["log_qy"],
+            # per-term ELBO summaries over the val split (B12 fixed)
+            "val_log_px_z": val.get("log_px_z", float("nan")),
+            "val_neg_kld_z1": val.get("neg_kld_z1", float("nan")),
+            "val_neg_kld_z2": val.get("neg_kld_z2", float("nan")),
+            "val_log_pmu2": val.get("log_pmu2", float("nan")),
+        }
+        writer.write_epoch(epoch, scalars, params=state.params)
+
+        if check_best(val["lower_bound"], best_val_lb):
+            best_epoch = epoch
+            best_val_lb = val["lower_bound"]  # B6 fixed: track the best value
+
+        ckpt.save_checkpoint(
+            exp_dir,
+            state,
+            model_type=model.model_type,
+            model_params=model.model_params(),
+            run_info=config.base_string(),
+            epoch=epoch,
+            best_epoch=best_epoch,
+            best_val_lb=best_val_lb,
+            values=history.to_json_dict(),
+            summary_vals={k: float(v) for k, v in scalars.items()},
+            extra_meta={"num_seqs": num_seqs, "feat_dim": dim, "seg_len": seg_len},
+        )
+
+        result = TrainResult(state, best_epoch, best_val_lb, epoch, history)
+        if check_terminate(epoch, best_epoch, config.train.patience, config.train.epochs):
+            if verbose:
+                print("Training terminated!")
+            break
+
+    writer.close()
+    if verbose:
+        print("Training complete!")
+    return result

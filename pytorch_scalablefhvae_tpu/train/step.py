@@ -1,0 +1,119 @@
+"""Compiled training/eval steps.
+
+The reference's hot loop (train_model.py:443-468: forward, loss, backward,
+Adam step, NaN check) becomes a single jitted, donated function — one XLA
+program per step, no host round-trips except the metric fetch. The same step
+runs under pjit over a device mesh: batch arrays are sharded on the "data"
+axis and the mu2 table on the "model" axis; XLA inserts the gradient
+all-reduce and the log-softmax collectives (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from pytorch_scalablefhvae_tpu.models.base import loss_from_outputs
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray  # int32 scalar
+    rng: jax.Array  # PRNG key threaded through steps
+
+
+def create_train_state(model, optimizer, seed: int = 0) -> TrainState:
+    key = jax.random.PRNGKey(seed)
+    k_init, k_state = jax.random.split(key)
+    params = model.init(k_init)
+    opt_state = optimizer.init(params)
+    return TrainState(params=params, opt_state=opt_state, step=jnp.int32(0), rng=k_state)
+
+
+def make_optimizer(
+    learning_rate: float,
+    beta_one: float,
+    beta_two: float,
+    grad_clip_norm: float | None = 100.0,
+) -> optax.GradientTransformation:
+    """Adam with the reference hyperparameters (train_model.py:409-411).
+
+    A loose global-norm clip (off: ``grad_clip_norm=None``) guards the first
+    few steps on un-normalized features; Adam's per-param scaling makes it a
+    no-op once training settles.
+    """
+    adam = optax.adam(learning_rate, b1=beta_one, b2=beta_two)
+    if grad_clip_norm is None:
+        return adam
+    return optax.chain(optax.clip_by_global_norm(grad_clip_norm), adam)
+
+
+def make_train_step(model, optimizer, alpha: float, donate: bool = True):
+    """Build the jitted train step.
+
+    Step semantics: loss = -mean(lower_bound + alpha * log_qy) over real
+    (non-padded) rows; one Adam update over all params including the mu2
+    table. The per-step PRNG key is derived from the state key and the step
+    counter so runs are deterministic per seed regardless of batch order
+    history.
+    """
+
+    def step_fn(state: TrainState, feats, seq_idx, nsegs, weight):
+        step_key = jax.random.fold_in(state.rng, state.step)
+
+        def loss_fn(params):
+            out = model.apply(params, feats, seq_idx, nsegs, step_key, sample=True)
+            return loss_from_outputs(out, weight, alpha)
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=new_params,
+            opt_state=new_opt_state,
+            step=state.step + 1,
+            rng=state.rng,
+        )
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step_fn, donate_argnums=donate_argnums)
+
+
+def make_eval_step(model, alpha: float):
+    """Jitted eval step: posterior-mean forward pass, no parameter update.
+
+    Returns weighted *sums* of each metric plus the row count so the caller
+    accumulates exact split-level means (fixes reference defect B5/B12 where
+    val metrics used training-loop tensors and summaries were never reduced).
+    """
+
+    def step_fn(params, feats, seq_idx, nsegs, weight, key):
+        out = model.apply(params, feats, seq_idx, nsegs, key, sample=False)
+        loss, metrics = loss_from_outputs(out, weight, alpha)
+        n = jnp.sum(weight)
+        sums = {k: v * n for k, v in metrics.items()}
+        sums["count"] = n
+        return sums
+
+    return jax.jit(step_fn)
+
+
+def make_latent_step(model):
+    """Jitted latent-extraction step for evaluation (eval_model.py TODO:57-59)."""
+
+    def step_fn(params, feats, seq_idx, nsegs, key):
+        out = model.apply(params, feats, seq_idx, nsegs, key, sample=False)
+        return {
+            "z1_mu": out.z1_mu,
+            "z2_mu": out.z2_mu,
+            "x_mu": out.x_mu,
+            "lower_bound": out.lower_bound,
+        }
+
+    return jax.jit(step_fn)

@@ -1,0 +1,198 @@
+"""DSP golden tests.
+
+Validates the librosa-semantics path against independent scipy/numpy
+constructions and the JAX path against the NumPy path (SURVEY.md §4 unit
+tier: "DSP kernels vs golden fbank outputs").
+"""
+
+import numpy as np
+import pytest
+import scipy.signal
+
+from pytorch_scalablefhvae_tpu.features import dsp_numpy, kaldi_fbank, mel
+
+
+SR = 16000
+
+
+def make_signal(rng, seconds=0.5):
+    t = np.arange(int(SR * seconds)) / SR
+    y = 0.5 * np.sin(2 * np.pi * 440.0 * t) + 0.1 * rng.standard_normal(t.shape)
+    return y.astype(np.float32)
+
+
+class TestWindows:
+    def test_periodic_hamming_matches_scipy(self):
+        w = dsp_numpy.periodic_window("hamming", 400)
+        ref = scipy.signal.get_window("hamming", 400, fftbins=True)
+        np.testing.assert_allclose(w, ref, atol=1e-12)
+
+    def test_symmetric_hamming_matches_scipy(self):
+        w = kaldi_fbank.symmetric_window("hamming", 400)
+        ref = scipy.signal.get_window("hamming", 400, fftbins=False)
+        np.testing.assert_allclose(w, ref, atol=1e-12)
+
+
+class TestMelFilterbank:
+    def test_slaney_scale_roundtrip(self):
+        hz = np.array([0.0, 200.0, 999.0, 1000.0, 4000.0, 8000.0])
+        np.testing.assert_allclose(mel.mel_to_hz_slaney(mel.hz_to_mel_slaney(hz)), hz, rtol=1e-10)
+
+    def test_htk_scale_roundtrip(self):
+        hz = np.array([20.0, 300.0, 1000.0, 7600.0])
+        np.testing.assert_allclose(mel.mel_to_hz_htk(mel.hz_to_mel_htk(hz)), hz, rtol=1e-10)
+
+    def test_slaney_filterbank_properties(self):
+        fb = mel.mel_filterbank(SR, 400, n_mels=80, dtype=np.float64)
+        assert fb.shape == (80, 201)
+        assert (fb >= 0).all()
+        # Slaney norm: each filter integrates (over Hz) to ~2/width * area = 1-ish;
+        # check the documented enorm: peak * width/2 * enorm == 1 approx by
+        # verifying area under each triangle in Hz is ~1.
+        freqs = np.linspace(0, SR / 2, 201)
+        areas = np.trapezoid(fb, freqs, axis=1)
+        # interior filters should have unit-ish area (edge discretization aside)
+        assert np.all(np.abs(areas[5:-5] - 1.0) < 0.2)
+
+    def test_kaldi_bins_peak_one(self):
+        fb = mel.kaldi_mel_bins(SR, 512, n_mels=80)
+        assert fb.shape == (80, 257)
+        peaks = fb.max(axis=1)
+        # narrow low-freq triangles may not hit their apex at a discrete bin
+        assert np.all(peaks > 0.2) and np.all(peaks <= 1.0 + 1e-6)
+        assert np.all(peaks[40:] > 0.8)
+
+
+class TestStft:
+    def test_frame_count_centered(self, rng):
+        y = make_signal(rng)
+        spec = dsp_numpy.stft_mag(y, SR, n_fft=400)
+        assert spec.shape == (1 + len(y) // 160, 201)
+
+    def test_matches_scipy_stft_no_center(self, rng):
+        """Cross-check windowed DFT against scipy.signal.stft on one frame."""
+        y = make_signal(rng)
+        yp = dsp_numpy.preemphasize(y, 0.97)
+        frames = dsp_numpy.frame_signal(yp, 400, 160)
+        w = dsp_numpy.periodic_window("hamming", 400)
+        ours = np.abs(np.fft.rfft(frames * w, axis=1))
+        ref = np.abs(np.fft.rfft(frames * scipy.signal.get_window("hamming", 400, True), axis=1))
+        np.testing.assert_allclose(ours, ref, rtol=1e-10)
+
+    def test_pure_tone_peak_bin(self):
+        """440 Hz tone must peak at the 440 Hz bin."""
+        t = np.arange(SR) / SR
+        y = np.sin(2 * np.pi * 440.0 * t).astype(np.float32)
+        spec = dsp_numpy.stft_mag(y, SR, n_fft=400, preemphasis=0.0)
+        peak_bin = spec[10:-10].mean(axis=0).argmax()
+        expected = round(440.0 / (SR / 400))
+        assert abs(int(peak_bin) - expected) <= 1
+
+    def test_log_floor_applied(self, rng):
+        y = np.zeros(8000, dtype=np.float32)
+        spec = dsp_numpy.log_spectrogram(y, SR)
+        assert (spec >= -50.0).all() and (spec == -50.0).any()
+
+
+class TestLogMel:
+    def test_shapes_and_floor(self, rng):
+        y = make_signal(rng)
+        m = dsp_numpy.log_melspec(y, SR, n_fft=400, n_mels=80)
+        assert m.shape == (1 + len(y) // 160, 80)
+        assert (m >= -20.0).all()
+        assert m.dtype == np.float32
+
+    def test_mel_is_filterbank_times_mag(self, rng):
+        y = make_signal(rng)
+        spec = dsp_numpy.stft_mag(y, SR, n_fft=400)
+        fb = mel.mel_filterbank(SR, 400, n_mels=80, dtype=np.float64)
+        expected = np.log(np.maximum(spec @ fb.T, 1e-38))
+        expected[expected < -20] = -20
+        got = dsp_numpy.log_melspec(y, SR, n_fft=400, n_mels=80)
+        np.testing.assert_allclose(got, expected.astype(np.float32), atol=1e-5)
+
+
+class TestKaldiFbank:
+    def test_shape_snip_edges(self, rng):
+        y = make_signal(rng)
+        feats = kaldi_fbank.kaldi_fbank(y, SR, dither=0.0)
+        assert feats.shape == ((len(y) - 400) // 160 + 1, 80)
+
+    def test_dither_seeded_deterministic(self, rng):
+        y = make_signal(rng)
+        a = kaldi_fbank.kaldi_fbank(y, SR, dither=1.0, seed=7)
+        b = kaldi_fbank.kaldi_fbank(y, SR, dither=1.0, seed=7)
+        c = kaldi_fbank.kaldi_fbank(y, SR, dither=1.0, seed=8)
+        np.testing.assert_array_equal(a, b)
+        assert not np.array_equal(a, c)
+
+    def test_conf_parsing(self, tmp_path):
+        conf = tmp_path / "fbank.conf"
+        conf.write_text(
+            "--window-type=hamming\n--use-energy=false\n--sample-frequency=16000\n"
+            "\n--dither=1\n\n--num-mel-bins=80\n--htk-compat=true\n"
+        )
+        opts = kaldi_fbank.parse_fbank_conf(str(conf))
+        kw = kaldi_fbank.fbank_kwargs_from_conf(opts)
+        assert kw == {"window_type": "hamming", "sr": 16000, "dither": 1.0, "n_mels": 80}
+
+    def test_tone_energy_concentrated(self):
+        t = np.arange(SR) / SR
+        y = 0.5 * np.sin(2 * np.pi * 1000.0 * t)
+        feats = kaldi_fbank.kaldi_fbank(y, SR, dither=0.0)
+        mean = feats.mean(axis=0)
+        # 1 kHz lands in the lower third of the 80 HTK-mel bins
+        assert mean.argmax() < 40
+
+
+class TestJaxPath:
+    @pytest.mark.parametrize("use_fft", [False, True])
+    def test_matches_numpy_path(self, rng, use_fft):
+        from pytorch_scalablefhvae_tpu.features.dsp_jax import batched_features
+
+        sigs = [make_signal(rng, 0.3), make_signal(rng, 0.22)]
+        T = max(len(s) for s in sigs)
+        batch = np.zeros((2, T), np.float32)
+        for i, s in enumerate(sigs):
+            batch[i, : len(s)] = s
+        lengths = np.array([len(s) for s in sigs], np.int32)
+
+        feats, n_frames = batched_features(
+            batch, lengths, sr=SR, n_fft=400, n_mels=80, use_fft=use_fft
+        )
+        feats, n_frames = np.asarray(feats), np.asarray(n_frames)
+        for i, s in enumerate(sigs):
+            ref = dsp_numpy.log_melspec(s, SR, n_fft=400, n_mels=80)
+            assert n_frames[i] == ref.shape[0]
+            got = feats[i, : n_frames[i]]
+            # fp32 log-domain comparison: near-silent bins amplify rounding,
+            # so compare where the reference carries energy
+            mask = ref > -15.0
+            assert mask.mean() > 0.5
+            np.testing.assert_allclose(got[mask], ref[mask], atol=2e-2, rtol=2e-2)
+
+    def test_spec_feat_type(self, rng):
+        from pytorch_scalablefhvae_tpu.features.dsp_jax import batched_features
+
+        s = make_signal(rng, 0.2)
+        feats, n = batched_features(
+            s[None, :], np.array([len(s)], np.int32),
+            sr=SR, n_fft=400, feat_type="spec", log_floor=-50.0,
+        )
+        ref = dsp_numpy.log_spectrogram(s, SR, n_fft=400)
+        got = np.asarray(feats)[0, : int(n[0])]
+        mask = ref > -20.0
+        assert mask.mean() > 0.5
+        np.testing.assert_allclose(got[mask], ref[mask], atol=3e-2, rtol=3e-2)
+
+
+class TestVad:
+    def test_silence_vs_speechlike(self, rng):
+        y = np.concatenate([
+            np.zeros(8000, np.float32),
+            0.5 * rng.standard_normal(8000).astype(np.float32),
+        ])
+        vad = dsp_numpy.energy_vad(y, SR)
+        n = len(vad)
+        assert vad[: n // 3].mean() < 0.1
+        assert vad[2 * n // 3 :].mean() > 0.9

@@ -1,0 +1,82 @@
+"""Manifest, audio, and Kaldi-ark I/O round-trip tests."""
+
+import numpy as np
+
+from pytorch_scalablefhvae_tpu.utils import audio_io, kaldi_ark, manifest
+
+
+class TestManifest:
+    def test_roundtrip_and_filter(self, tmp_path):
+        p = tmp_path / "len.scp"
+        manifest.write_scp(p, {"a_1": 10, "b_2": 20})
+        d = manifest.read_scp(p, dtype=int)
+        assert list(d.items()) == [("a_1", 10), ("b_2", 20)]
+        d2 = manifest.read_scp(p, dtype=int, keep_keys=["b_2"])
+        assert dict(d2) == {"b_2": 20}
+
+    def test_value_with_spaces(self, tmp_path):
+        p = tmp_path / "wav.scp"
+        manifest.write_scp(p, {"utt": "/some dir/file.wav"})
+        assert manifest.read_scp(p)["utt"] == "/some dir/file.wav"
+
+
+class TestWav:
+    def test_wav_roundtrip(self, tmp_path, rng):
+        y = (0.3 * rng.standard_normal(16000)).astype(np.float32).clip(-1, 1)
+        p = audio_io.write_wav(tmp_path / "a.wav", y, 16000)
+        y2, sr = audio_io.read_wav(p)
+        assert sr == 16000
+        np.testing.assert_allclose(y, y2, atol=1.0 / 32767)
+
+    def test_sphere_read(self, tmp_path, rng):
+        pcm = (rng.standard_normal(8000) * 8000).astype("<i2")
+        header = (
+            b"NIST_1A\n    1024\n"
+            b"sample_rate -i 16000\n"
+            b"channel_count -i 1\n"
+            b"sample_n_bytes -i 2\n"
+            b"sample_byte_format -s2 01\n"
+            b"sample_coding -s3 pcm\n"
+            b"end_head\n"
+        )
+        p = tmp_path / "t.wav"
+        with open(p, "wb") as f:
+            f.write(header + b" " * (1024 - len(header)))
+            f.write(pcm.tobytes())
+        assert audio_io.is_sphere(p)
+        y, sr = audio_io.read_sphere(p)
+        assert sr == 16000
+        np.testing.assert_allclose(y, pcm.astype(np.float32) / 32768.0, atol=1e-7)
+
+    def test_resample_length(self, rng):
+        y = rng.standard_normal(16000).astype(np.float32)
+        y2 = audio_io.resample(y, 16000, 8000)
+        assert abs(len(y2) - 8000) <= 1
+
+
+class TestArk:
+    def test_write_read_roundtrip(self, tmp_path, rng):
+        mats = {
+            "utt_a": rng.standard_normal((17, 80)).astype(np.float32),
+            "utt_b": rng.standard_normal((5, 80)).astype(np.float32),
+        }
+        ark = tmp_path / "feats.ark"
+        scp = tmp_path / "feats.scp"
+        kaldi_ark.write_ark(ark, mats, scp)
+
+        seq = kaldi_ark.read_ark(ark)
+        assert list(seq.keys()) == ["utt_a", "utt_b"]
+        for k in mats:
+            np.testing.assert_array_equal(seq[k], mats[k])
+
+        # random access through the scp rxspecifier
+        entries = manifest.read_scp(scp)
+        for k, rx in entries.items():
+            np.testing.assert_array_equal(kaldi_ark.load_mat(rx), mats[k])
+
+    def test_float64_matrix(self, tmp_path, rng):
+        m = rng.standard_normal((3, 4))
+        kaldi_ark.write_ark(tmp_path / "d.ark", {"x": m})
+        out = kaldi_ark.read_ark(tmp_path / "d.ark")["x"]
+        assert out.dtype == np.float64
+        np.testing.assert_array_equal(out, m)
