@@ -1,0 +1,166 @@
+"""Benchmark: SimpleFHVAE training throughput (segments/sec) on one chip.
+
+Measures the jitted train step at the reference's measured configuration
+(BASELINE.md: 20x80 fbank segments, batch 256, Adam(1e-3, 0.95/0.999),
+alpha=10, z dims 16, hidden 128x2) on synthetic data, and compares against an
+in-process PyTorch-CPU implementation of the same training step — the
+reference is torch-CPU/GPU fp64 (train_model.py:272-275,438) and publishes no
+numbers of its own (BASELINE.json "published": {}).
+
+Prints ONE JSON line:
+    {"metric": "train_segments_per_sec", "value": N, "unit": "segments/sec",
+     "vs_baseline": ratio, ...}
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+SEG_LEN, N_MELS, BATCH = 20, 80, 256
+NUM_SEQS = 4620  # TIMIT train-partition sequence count
+ALPHA = 10.0
+WARMUP, STEPS = 10, 100
+BASELINE_STEPS = 12
+
+
+def make_batches(rng, n=8):
+    return [
+        (
+            rng.standard_normal((BATCH, SEG_LEN, N_MELS)).astype(np.float32),
+            rng.integers(0, NUM_SEQS, BATCH).astype(np.int32),
+            np.full(BATCH, 10.0, np.float32),
+            np.ones(BATCH, np.float32),
+        )
+        for _ in range(n)
+    ]
+
+
+def bench_jax() -> float:
+    import jax
+
+    from pytorch_scalablefhvae_tpu.models import SimpleFHVAE
+    from pytorch_scalablefhvae_tpu.train.step import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    model = SimpleFHVAE(input_size=SEG_LEN * N_MELS, num_seqs=NUM_SEQS)
+    optimizer = make_optimizer(1e-3, 0.95, 0.999)
+    state = create_train_state(model, optimizer, seed=0)
+    step = make_train_step(model, optimizer, ALPHA, donate=True)
+
+    batches = [tuple(jax.device_put(a) for a in b) for b in make_batches(np.random.default_rng(0))]
+    for i in range(WARMUP):
+        state, metrics = step(state, *batches[i % len(batches)])
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        state, metrics = step(state, *batches[i % len(batches)])
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+    return BATCH * STEPS / dt
+
+
+def bench_torch_baseline() -> float:
+    """Equivalent torch training step (the reference's stack: torch CPU,
+    fp64 per model.double(), same architecture/objective), implemented
+    independently here for a measured baseline."""
+    import torch
+
+    torch.manual_seed(0)
+    dtype = torch.float64
+    D, H, Z = SEG_LEN * N_MELS, 128, 16
+
+    def mlp(din, *hs):
+        layers = []
+        d = din
+        for h in hs:
+            layers += [torch.nn.Linear(d, h), torch.nn.ReLU()]
+            d = h
+        return torch.nn.Sequential(*layers)
+
+    class Model(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.z2_pre = mlp(D, H, H)
+            self.z2_mu = torch.nn.Linear(H, Z)
+            self.z2_lv = torch.nn.Linear(H, Z)
+            self.z1_pre = mlp(D + Z, H, H)
+            self.z1_mu = torch.nn.Linear(H, Z)
+            self.z1_lv = torch.nn.Linear(H, Z)
+            self.dec_pre = mlp(2 * Z, H, H)
+            self.x_mu = torch.nn.Linear(H, D)
+            self.x_lv = torch.nn.Linear(H, D)
+            self.mu2 = torch.nn.Parameter(torch.randn(NUM_SEQS, Z))
+
+        def forward(self, x, idx, nsegs):
+            flat = x.reshape(x.shape[0], -1)
+            h2 = self.z2_pre(flat)
+            m2, lv2 = self.z2_mu(h2), self.z2_lv(h2)
+            z2 = m2 + torch.randn_like(m2) * torch.exp(0.5 * lv2)
+            h1 = self.z1_pre(torch.cat([flat, z2], -1))
+            m1, lv1 = self.z1_mu(h1), self.z1_lv(h1)
+            z1 = m1 + torch.randn_like(m1) * torch.exp(0.5 * lv1)
+            hd = self.dec_pre(torch.cat([z1, z2], -1))
+            xm, xlv = self.x_mu(hd), self.x_lv(hd)
+            mu2 = self.mu2[idx]
+            pz2_lv = float(np.log(0.25))
+            log2pi = float(np.log(2 * np.pi))
+            log_pmu2 = (-0.5 * (log2pi + mu2**2)).sum(-1)
+            kld2 = (-0.5 * (1 + lv2 - pz2_lv - ((m2 - mu2) ** 2 + lv2.exp()) / np.exp(pz2_lv))).sum(-1)
+            kld1 = (-0.5 * (1 + lv1 - ((m1) ** 2 + lv1.exp()))).sum(-1)
+            log_px = (-0.5 * (log2pi + xlv + (flat - xm) ** 2 / xlv.exp())).sum(-1)
+            lb = log_px - kld1 - kld2 + log_pmu2 / nsegs
+            logits = -((m2.unsqueeze(1) - self.mu2.unsqueeze(0)) ** 2).sum(-1) / (2 * np.exp(pz2_lv))
+            log_qy = torch.log_softmax(logits, -1)[torch.arange(x.shape[0]), idx]
+            return -(lb + ALPHA * log_qy).mean()
+
+    model = Model().to(dtype)
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3, betas=(0.95, 0.999))
+    batches = make_batches(np.random.default_rng(0), n=4)
+
+    def run(n):
+        for i in range(n):
+            feats, idx, nsegs, _ = batches[i % len(batches)]
+            x = torch.from_numpy(feats).to(dtype)
+            loss = model(x, torch.from_numpy(idx).long(), torch.from_numpy(nsegs).to(dtype))
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+
+    run(2)  # warmup
+    t0 = time.perf_counter()
+    run(BASELINE_STEPS)
+    dt = time.perf_counter() - t0
+    return BATCH * BASELINE_STEPS / dt
+
+
+def main() -> None:
+    jax_sps = bench_jax()
+    try:
+        base_sps = bench_torch_baseline()
+    except Exception as e:  # baseline failure must not kill the benchmark
+        print(f"# torch baseline failed: {e}")
+        base_sps = float("nan")
+
+    import jax
+
+    result = {
+        "metric": "train_segments_per_sec",
+        "value": round(jax_sps, 1),
+        "unit": "segments/sec",
+        "vs_baseline": round(jax_sps / base_sps, 2) if np.isfinite(base_sps) else None,
+        "baseline_torch_cpu_segments_per_sec": round(base_sps, 1) if np.isfinite(base_sps) else None,
+        "config": f"simple_fhvae b{BATCH} {SEG_LEN}x{N_MELS} z16 h128x2 n_seqs{NUM_SEQS}",
+        "platform": jax.devices()[0].platform,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

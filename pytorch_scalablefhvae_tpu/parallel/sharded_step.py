@@ -1,0 +1,91 @@
+"""Mesh-sharded training: pjit-compiled step with explicit shardings.
+
+Builds the same train/eval steps as ``train/step.py`` but compiled against a
+``(data, model)`` mesh:
+
+- batch rows sharded over "data" (pure data parallelism; XLA all-reduces
+  gradients over ICI);
+- the mu2 table and its Adam moments row-sharded over "model"; the
+  discriminative ``[B, d] x [d, N]`` matmul partitions over N and the
+  log-sum-exp reduces over the "model" axis with an XLA collective — the
+  distributed softmax of SURVEY.md §2.3 expressed through GSPMD rather than
+  hand-written collectives.
+
+Requirement: the global batch size must divide the "data" axis size, and the
+mu2 row count should be padded to a multiple of the "model" axis size (see
+:func:`padded_num_seqs`).
+"""
+
+from __future__ import annotations
+
+import jax
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pytorch_scalablefhvae_tpu.models.base import loss_from_outputs
+from pytorch_scalablefhvae_tpu.parallel.mesh import (
+    DATA_AXIS,
+    batch_sharding,
+    state_shardings,
+)
+from pytorch_scalablefhvae_tpu.train.step import TrainState
+
+
+def make_sharded_train_step(model, optimizer, alpha: float, mesh: Mesh, donate: bool = True):
+    """pjit the train step with explicit in/out shardings over ``mesh``."""
+
+    def step_fn(state: TrainState, feats, seq_idx, nsegs, weight):
+        step_key = jax.random.fold_in(state.rng, state.step)
+
+        def loss_fn(params):
+            out = model.apply(params, feats, seq_idx, nsegs, step_key, sample=True)
+            return loss_from_outputs(out, weight, alpha)
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(new_params, new_opt_state, state.step + 1, state.rng),
+            metrics,
+        )
+
+    def shardings_for(state):
+        st_sh = state_shardings(mesh, state)
+        b_sh = batch_sharding(mesh)
+        in_sh = (st_sh, b_sh["feats"], b_sh["seq_idx"], b_sh["nsegs"], b_sh["weight"])
+        metric_sh = NamedSharding(mesh, P())
+        return in_sh, st_sh, metric_sh
+
+    compiled = {}
+
+    def step(state, feats, seq_idx, nsegs, weight):
+        key = True  # single signature; compile once
+        if key not in compiled:
+            in_sh, st_sh, metric_sh = shardings_for(state)
+            compiled[key] = jax.jit(
+                step_fn,
+                in_shardings=in_sh,
+                out_shardings=(st_sh, {
+                    k: metric_sh
+                    for k in ("loss", "lower_bound", "log_qy", "log_px_z",
+                              "neg_kld_z1", "neg_kld_z2", "log_pmu2")
+                }),
+                donate_argnums=(0,) if donate else (),
+            )
+        return compiled[key](state, feats, seq_idx, nsegs, weight)
+
+    return step
+
+
+def make_sharded_eval_step(model, alpha: float, mesh: Mesh):
+    import jax.numpy as jnp
+
+    def step_fn(params, feats, seq_idx, nsegs, weight, key):
+        out = model.apply(params, feats, seq_idx, nsegs, key, sample=False)
+        loss, metrics = loss_from_outputs(out, weight, alpha)
+        n = jnp.sum(weight)
+        sums = {k: v * n for k, v in metrics.items()}
+        sums["count"] = n
+        return sums
+
+    return jax.jit(step_fn)

@@ -1,0 +1,120 @@
+"""Mesh/sharding tests on the 8-device virtual CPU backend.
+
+SURVEY.md §4 distributed tier: single-host vs 8-way-sharded numerical
+equivalence for the train step, mesh construction, and the graft dry run.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from pytorch_scalablefhvae_tpu.models import SimpleFHVAE
+from pytorch_scalablefhvae_tpu.parallel.mesh import (
+    make_mesh,
+    shard_batch,
+    shard_state,
+    state_shardings,
+)
+from pytorch_scalablefhvae_tpu.parallel.sharded_step import make_sharded_train_step
+from pytorch_scalablefhvae_tpu.train.step import (
+    create_train_state,
+    make_optimizer,
+    make_train_step,
+)
+
+B, T, F, NUM_SEQS = 16, 20, 8, 8
+
+
+def small_model():
+    return SimpleFHVAE(input_size=T * F, num_seqs=NUM_SEQS,
+                       z1_hus=(32, 32), z2_hus=(32, 32), x_hus=(32, 32),
+                       z1_dim=8, z2_dim=8)
+
+
+def make_batch(rng):
+    return (
+        rng.standard_normal((B, T, F)).astype(np.float32),
+        rng.integers(0, NUM_SEQS, B).astype(np.int32),
+        np.full(B, 5.0, np.float32),
+        np.ones(B, np.float32),
+    )
+
+
+class TestMesh:
+    def test_eight_virtual_devices(self):
+        assert jax.device_count() == 8
+
+    def test_make_mesh_shapes(self):
+        mesh = make_mesh((4, 2))
+        assert dict(mesh.shape) == {"data": 4, "model": 2}
+        mesh = make_mesh()  # default: all-data
+        assert dict(mesh.shape) == {"data": 8, "model": 1}
+        with pytest.raises(ValueError):
+            make_mesh((3, 2))
+
+    def test_state_shardings_table_rowsharded(self):
+        model = small_model()
+        opt = make_optimizer(1e-3, 0.95, 0.999)
+        state = create_train_state(model, opt, seed=0)
+        mesh = make_mesh((4, 2))
+        sh = state_shardings(mesh, state)
+        table_spec = sh.params["mu2_table"].spec
+        assert tuple(table_spec) == ("model", None)
+        dense_spec = sh.params["z2_pre"]["layers"][0]["w"].spec
+        assert tuple(dense_spec) == ()
+
+
+class TestShardedEquivalence:
+    @pytest.mark.parametrize("shape", [(8, 1), (4, 2), (2, 4)])
+    def test_sharded_step_matches_single_device(self, rng, shape):
+        model = small_model()
+        opt = make_optimizer(1e-3, 0.95, 0.999)
+        batch = make_batch(rng)
+
+        # single-device reference
+        s_ref = create_train_state(model, opt, seed=0)
+        ref_step = make_train_step(model, opt, alpha=10.0, donate=False)
+        s_ref, m_ref = ref_step(s_ref, *batch)
+
+        # sharded
+        mesh = make_mesh(shape)
+        s_sh = shard_state(mesh, create_train_state(model, opt, seed=0))
+        sh_step = make_sharded_train_step(model, opt, alpha=10.0, mesh=mesh, donate=False)
+        s_sh, m_sh = sh_step(s_sh, *shard_batch(mesh, *batch))
+
+        np.testing.assert_allclose(
+            float(m_ref["loss"]), float(m_sh["loss"]), rtol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_ref.params["mu2_table"]),
+            np.asarray(jax.device_get(s_sh.params["mu2_table"])),
+            rtol=2e-4, atol=2e-5,
+        )
+
+    def test_multi_step_stays_in_sync(self, rng):
+        model = small_model()
+        opt = make_optimizer(1e-3, 0.95, 0.999)
+        mesh = make_mesh((4, 2))
+        s_ref = create_train_state(model, opt, seed=0)
+        s_sh = shard_state(mesh, create_train_state(model, opt, seed=0))
+        ref_step = make_train_step(model, opt, alpha=10.0, donate=False)
+        sh_step = make_sharded_train_step(model, opt, alpha=10.0, mesh=mesh, donate=False)
+        for i in range(3):
+            batch = make_batch(np.random.default_rng(i))
+            s_ref, m_ref = ref_step(s_ref, *batch)
+            s_sh, m_sh = sh_step(s_sh, *shard_batch(mesh, *batch))
+        np.testing.assert_allclose(float(m_ref["loss"]), float(m_sh["loss"]), rtol=1e-4)
+
+
+class TestGraftEntry:
+    def test_entry_compiles(self):
+        import __graft_entry__ as ge
+
+        fn, args = ge.entry()
+        out = jax.jit(fn)(*args)
+        assert np.isfinite(np.asarray(out[0])).all()
+
+    def test_dryrun_multichip(self):
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(8)
