@@ -38,7 +38,7 @@ def make_batches(rng, n=8):
     ]
 
 
-def bench_jax() -> float:
+def bench_jax(num_seqs: int = NUM_SEQS, use_pallas: str = "never", steps: int = STEPS) -> float:
     import jax
 
     from pytorch_scalablefhvae_tpu.models import SimpleFHVAE
@@ -48,22 +48,33 @@ def bench_jax() -> float:
         make_train_step,
     )
 
-    model = SimpleFHVAE(input_size=SEG_LEN * N_MELS, num_seqs=NUM_SEQS)
+    model = SimpleFHVAE(
+        input_size=SEG_LEN * N_MELS, num_seqs=num_seqs, use_pallas=use_pallas
+    )
     optimizer = make_optimizer(1e-3, 0.95, 0.999)
     state = create_train_state(model, optimizer, seed=0)
     step = make_train_step(model, optimizer, ALPHA, donate=True)
 
-    batches = [tuple(jax.device_put(a) for a in b) for b in make_batches(np.random.default_rng(0))]
+    rng = np.random.default_rng(0)
+    batches = [
+        tuple(jax.device_put(a) for a in b)
+        for b in make_batches(rng)
+    ]
+    if num_seqs != NUM_SEQS:
+        batches = [
+            (f, jax.device_put(np.asarray(rng.integers(0, num_seqs, BATCH), np.int32)), n, w)
+            for (f, _, n, w) in batches
+        ]
     for i in range(WARMUP):
         state, metrics = step(state, *batches[i % len(batches)])
     jax.block_until_ready(metrics["loss"])
 
     t0 = time.perf_counter()
-    for i in range(STEPS):
+    for i in range(steps):
         state, metrics = step(state, *batches[i % len(batches)])
     jax.block_until_ready(metrics["loss"])
     dt = time.perf_counter() - t0
-    return BATCH * STEPS / dt
+    return BATCH * steps / dt
 
 
 def bench_torch_baseline() -> float:
@@ -140,6 +151,9 @@ def bench_torch_baseline() -> float:
     return BATCH * BASELINE_STEPS / dt
 
 
+LARGE_N = 281_241  # LibriSpeech-960 utterance count
+
+
 def main() -> None:
     jax_sps = bench_jax()
     try:
@@ -150,6 +164,19 @@ def main() -> None:
 
     import jax
 
+    extras = {}
+    if jax.default_backend() == "tpu":
+        # corpus-scale mu2 table: XLA materialized-logits vs streaming Pallas
+        try:
+            extras["large_table_sps_xla"] = round(
+                bench_jax(num_seqs=LARGE_N, use_pallas="never", steps=30), 1
+            )
+            extras["large_table_sps_pallas"] = round(
+                bench_jax(num_seqs=LARGE_N, use_pallas="always", steps=30), 1
+            )
+        except Exception as e:
+            print(f"# large-table bench failed: {e}")
+
     result = {
         "metric": "train_segments_per_sec",
         "value": round(jax_sps, 1),
@@ -158,6 +185,7 @@ def main() -> None:
         "baseline_torch_cpu_segments_per_sec": round(base_sps, 1) if np.isfinite(base_sps) else None,
         "config": f"simple_fhvae b{BATCH} {SEG_LEN}x{N_MELS} z16 h128x2 n_seqs{NUM_SEQS}",
         "platform": jax.devices()[0].platform,
+        **extras,
     }
     print(json.dumps(result))
 

@@ -89,6 +89,8 @@ class ModelConfig:
     # trained in fp64 (train_model.py:438) which TPUs do not support; this is a
     # documented deviation (SURVEY.md B15).
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
+    # streaming Pallas discriminative softmax: "auto" | "never" | "always"
+    use_pallas: str = "auto"
 
 
 @dataclass(frozen=True)

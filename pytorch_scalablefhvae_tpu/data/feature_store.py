@@ -26,13 +26,42 @@ from pytorch_scalablefhvae_tpu.utils import kaldi_ark
 from pytorch_scalablefhvae_tpu.utils.manifest import read_scp
 
 
+def _is_rxspecifier(v: str) -> bool:
+    if ":" not in v or v.endswith(".npy"):
+        return False
+    path, _, off = v.rpartition(":")
+    return off.isdigit() and Path(path).exists()
+
+
 def _load_feat(path_or_rx: str) -> np.ndarray:
-    if ":" in path_or_rx and not path_or_rx.endswith(".npy"):
-        maybe_path, _, off = path_or_rx.rpartition(":")
-        if off.isdigit() and Path(maybe_path).exists():
-            return kaldi_ark.load_mat(path_or_rx)
+    if _is_rxspecifier(path_or_rx):
+        return kaldi_ark.load_mat(path_or_rx)
     with open(path_or_rx, "rb") as f:
         return np.load(f)
+
+
+def _bulk_load(keep: list[str], feats) -> dict[str, np.ndarray]:
+    """Load all kept features, using the native C++ bulk ark reader when the
+    manifest points into ark archives (one sequential pass per archive
+    instead of a seek per record)."""
+    out: dict[str, np.ndarray] = {}
+    ark_paths = {str(feats[k]).rpartition(":")[0] for k in keep if _is_rxspecifier(str(feats[k]))}
+    if ark_paths:
+        try:
+            from pytorch_scalablefhvae_tpu.native.binding import native_read_ark_packed
+
+            wanted = set(keep)
+            for ark in sorted(ark_paths):
+                keys, data, offsets = native_read_ark_packed(ark)
+                for i, k in enumerate(keys):
+                    if k in wanted:
+                        out[k] = data[offsets[i] : offsets[i + 1]]
+        except Exception:
+            out = {}  # fall back to per-record reads below
+    for k in keep:
+        if k not in out:
+            out[k] = np.asarray(_load_feat(str(feats[k])), dtype=np.float32)
+    return out
 
 
 class FeatureStore:
@@ -63,7 +92,8 @@ class FeatureStore:
         self.seq2idx = {k: i for i, k in enumerate(keep)}
         self.lens = np.array([lens[k] for k in keep], dtype=np.int64)
 
-        mats = [np.asarray(_load_feat(str(feats[k])), dtype=np.float32) for k in keep]
+        loaded = _bulk_load(keep, feats)
+        mats = [loaded[k] for k in keep]
         for k, m, l in zip(keep, mats, self.lens):
             if m.shape[0] != l:
                 raise ValueError(f"len.scp disagrees with features for {k}: {l} vs {m.shape[0]}")

@@ -50,6 +50,7 @@ def discriminative_log_qy(
     mu2_table: jnp.ndarray,
     seq_idx: jnp.ndarray,
     pz2_logvar: float,
+    use_pallas: str = "never",
 ) -> jnp.ndarray:
     """log q(y | z2) under logits ``-||z2_mu - mu2[s]||^2 / (2 sigma^2)``.
 
@@ -59,7 +60,28 @@ def discriminative_log_qy(
 
     The log-softmax over N is algebraically independent of the ``||z2_mu||^2``
     term (constant in s), so it is dropped.
+
+    ``use_pallas``: "never" | "always" | "auto". "auto" selects the streaming
+    Pallas kernel (ops/discriminative.py) on TPU only when the materialized
+    ``[B, N]`` logits (fwd + bwd) would put real pressure on HBM — measured
+    on v5e, XLA's fused matmul+softmax is *faster* than the streaming kernel
+    when the logits fit (745k vs 530k segments/sec at B=256, N=281k), but its
+    peak memory grows with B*N while the kernel's stays O(B*D + N*D). The
+    jnp form is also the GSPMD-partitionable one for a model-axis-sharded
+    table.
     """
+    logits_bytes = 2 * z2_mu.shape[0] * mu2_table.shape[0] * 4  # fwd + bwd
+    if use_pallas == "always" or (
+        use_pallas == "auto"
+        and jax.default_backend() == "tpu"
+        and logits_bytes > (2 << 30)
+    ):
+        from pytorch_scalablefhvae_tpu.ops.discriminative import (
+            discriminative_log_qy_pallas,
+        )
+
+        return discriminative_log_qy_pallas(z2_mu, mu2_table, seq_idx, float(pz2_logvar))
+
     inv_two_var = 0.5 / np.exp(pz2_logvar)
     cross = jnp.dot(z2_mu, mu2_table.T, preferred_element_type=jnp.float32)  # [B, N]
     sq_norms = jnp.sum(mu2_table * mu2_table, axis=-1)  # [N]

@@ -101,6 +101,7 @@ class FHVAE:
     pz2_std: float = 0.5
     mu2_init_std: float = 1.0
     compute_dtype: str = "float32"
+    use_pallas: str = "auto"
     feat_dim: int = 80  # frames arrive as [B, T, feat_dim]
 
     model_type = "fhvae"
@@ -118,6 +119,7 @@ class FHVAE:
             pz2_std=cfg.pz2_std,
             mu2_init_std=cfg.mu2_init_std,
             compute_dtype=cfg.compute_dtype,
+            use_pallas=getattr(cfg, "use_pallas", "auto"),
             feat_dim=feat_dim,
         )
 
@@ -206,7 +208,9 @@ class FHVAE:
             x_mu, x_logvar, nsegs,
             pz2_logvar=self.pz2_logvar,
         )
-        log_qy = discriminative_log_qy(enc["z2_mu"], mu2_table, seq_idx, self.pz2_logvar)
+        log_qy = discriminative_log_qy(
+            enc["z2_mu"], mu2_table, seq_idx, self.pz2_logvar, self.use_pallas
+        )
         return FHVAEOutputs(
             lower_bound=lower_bound,
             log_qy=log_qy,

@@ -42,6 +42,7 @@ class SimpleFHVAE:
     pz2_std: float = 0.5
     mu2_init_std: float = 1.0
     compute_dtype: str = "float32"
+    use_pallas: str = "auto"
 
     model_type = "simple_fhvae"
 
@@ -58,6 +59,7 @@ class SimpleFHVAE:
             pz2_std=cfg.pz2_std,
             mu2_init_std=cfg.mu2_init_std,
             compute_dtype=cfg.compute_dtype,
+            use_pallas=getattr(cfg, "use_pallas", "auto"),
         )
 
     @property
@@ -161,7 +163,9 @@ class SimpleFHVAE:
             x_mu, x_logvar, nsegs,
             pz2_logvar=self.pz2_logvar,
         )
-        log_qy = discriminative_log_qy(enc["z2_mu"], mu2_table, seq_idx, self.pz2_logvar)
+        log_qy = discriminative_log_qy(
+            enc["z2_mu"], mu2_table, seq_idx, self.pz2_logvar, self.use_pallas
+        )
 
         return FHVAEOutputs(
             lower_bound=lower_bound,

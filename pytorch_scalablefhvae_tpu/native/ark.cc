@@ -1,0 +1,105 @@
+// Native Kaldi-archive bulk reader.
+//
+// The host input pipeline packs a whole split's features into one contiguous
+// array (data/feature_store.py). For kaldi-format datasets that means parsing
+// hundreds of thousands of binary ark records; this reader does the scan +
+// copy in C++ in a single sequential pass (the Python fallback in
+// utils/kaldi_ark.py parses record-by-record). Format: see utils/kaldi_ark.py.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+struct Header {
+  char dtype;  // 'F' or 'D'
+  int32_t rows, cols;
+};
+
+// Reads "key \0B<FM|DM> \4rows\4cols"; returns false on EOF.
+bool read_record_header(FILE* f, std::string* key, Header* h) {
+  key->clear();
+  int c;
+  while ((c = std::fgetc(f)) != EOF && c != ' ') key->push_back(static_cast<char>(c));
+  if (c == EOF) return false;
+  char marker[2];
+  if (std::fread(marker, 1, 2, f) != 2 || marker[0] != '\0' || marker[1] != 'B') return false;
+  char token[3];
+  if (std::fread(token, 1, 3, f) != 3) return false;
+  if (token[2] != ' ' || (token[0] != 'F' && token[0] != 'D') || token[1] != 'M') return false;
+  h->dtype = token[0];
+  unsigned char size_marker;
+  if (std::fread(&size_marker, 1, 1, f) != 1 || size_marker != 4) return false;
+  if (std::fread(&h->rows, 4, 1, f) != 1) return false;
+  if (std::fread(&size_marker, 1, 1, f) != 1 || size_marker != 4) return false;
+  if (std::fread(&h->cols, 4, 1, f) != 1) return false;
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Pass 1: count records / total rows / (uniform) cols. Returns 0 on success,
+// negative on malformed input or inconsistent widths.
+int ark_scan(const char* path, int64_t* n_mats, int64_t* total_rows, int32_t* cols) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  *n_mats = 0;
+  *total_rows = 0;
+  *cols = -1;
+  std::string key;
+  Header h;
+  while (read_record_header(f, &key, &h)) {
+    if (*cols == -1) *cols = h.cols;
+    if (h.cols != *cols) { std::fclose(f); return -2; }
+    *n_mats += 1;
+    *total_rows += h.rows;
+    long bytes = static_cast<long>(h.rows) * h.cols * (h.dtype == 'F' ? 4 : 8);
+    if (std::fseek(f, bytes, SEEK_CUR) != 0) { std::fclose(f); return -3; }
+  }
+  std::fclose(f);
+  return 0;
+}
+
+// Pass 2: copy every record into `data` (row-major float32, concatenated),
+// fill `row_offsets` (n_mats + 1 entries) and newline-joined keys.
+// Returns number of records read, or negative on error.
+int64_t ark_read_packed(const char* path, float* data, int64_t* row_offsets,
+                        char* keys_out, int64_t keys_cap) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  std::string key;
+  Header h;
+  int64_t n = 0, row = 0, keys_len = 0;
+  std::vector<double> dbuf;
+  row_offsets[0] = 0;
+  while (read_record_header(f, &key, &h)) {
+    int64_t count = static_cast<int64_t>(h.rows) * h.cols;
+    float* dst = data + row * h.cols;
+    if (h.dtype == 'F') {
+      if (std::fread(dst, 4, count, f) != static_cast<size_t>(count)) { std::fclose(f); return -3; }
+    } else {
+      dbuf.resize(count);
+      if (std::fread(dbuf.data(), 8, count, f) != static_cast<size_t>(count)) { std::fclose(f); return -3; }
+      for (int64_t i = 0; i < count; ++i) dst[i] = static_cast<float>(dbuf[i]);
+    }
+    row += h.rows;
+    ++n;
+    row_offsets[n] = row;
+    int64_t need = static_cast<int64_t>(key.size()) + 1;
+    if (keys_len + need < keys_cap) {
+      std::memcpy(keys_out + keys_len, key.data(), key.size());
+      keys_out[keys_len + key.size()] = '\n';
+      keys_len += need;
+    }
+  }
+  if (keys_len < keys_cap) keys_out[keys_len] = '\0';
+  std::fclose(f);
+  return n;
+}
+
+}  // extern "C"

@@ -45,6 +45,16 @@ def load_native(rebuild: bool = False) -> ctypes.CDLL:
         lib.fbank_num_frames.argtypes = [
             ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_double,
         ]
+        lib.ark_scan.restype = ctypes.c_int
+        lib.ark_scan.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.ark_read_packed.restype = ctypes.c_int64
+        lib.ark_read_packed.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_char_p, ctypes.c_int64,
+        ]
         lib.fbank_compute.restype = ctypes.c_int
         lib.fbank_compute.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
@@ -99,3 +109,35 @@ def native_fbank(
     if rc < 0:
         raise RuntimeError(f"native fbank_compute failed with code {rc}")
     return out
+
+
+def native_read_ark_packed(path) -> tuple[list[str], np.ndarray, np.ndarray]:
+    """Bulk-read an entire ark file in one C++ pass.
+
+    Returns (keys, data [total_rows, cols] float32, row_offsets [n+1] int64).
+    """
+    lib = load_native()
+    pb = str(path).encode()
+    n_mats = ctypes.c_int64()
+    total_rows = ctypes.c_int64()
+    cols = ctypes.c_int32()
+    rc = lib.ark_scan(pb, ctypes.byref(n_mats), ctypes.byref(total_rows), ctypes.byref(cols))
+    if rc != 0:
+        raise RuntimeError(f"ark_scan({path}) failed with code {rc}")
+    n, rows, c = n_mats.value, total_rows.value, max(cols.value, 0)
+    data = np.zeros((rows, c), dtype=np.float32)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    keys_cap = 64 * max(n, 1)
+    keys_buf = ctypes.create_string_buffer(keys_cap)
+    got = lib.ark_read_packed(
+        pb,
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        keys_buf, keys_cap,
+    )
+    if got != n:
+        raise RuntimeError(f"ark_read_packed({path}) read {got} of {n} records")
+    keys = keys_buf.value.decode().splitlines()
+    if len(keys) != n:
+        raise RuntimeError(f"ark key buffer overflow for {path}")
+    return keys, data, offsets

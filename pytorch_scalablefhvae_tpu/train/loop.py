@@ -103,6 +103,21 @@ def run_training(
     )
     state = create_train_state(model, optimizer, seed=config.train.seed)
 
+    # device mesh: explicit shape from config, or single-device by default
+    mesh = None
+    if tuple(config.train.mesh_shape) != (1, 1):
+        import dataclasses as _dc
+
+        from pytorch_scalablefhvae_tpu.parallel.mesh import make_mesh, shard_state
+
+        mesh = make_mesh(tuple(config.train.mesh_shape))
+        if mesh.shape["model"] > 1 and model.use_pallas != "never":
+            # the jnp softmax is the GSPMD-partitionable form
+            model = _dc.replace(model, use_pallas="never")
+        state = shard_state(mesh, state)
+        if verbose:
+            print(f"Training on mesh {dict(mesh.shape)}")
+
     start_epoch = 0
     best_epoch, best_val_lb = 0, -np.inf
     history = MetricHistory()
@@ -115,8 +130,23 @@ def run_training(
         if verbose:
             print(f"Resumed from {continue_from} at epoch {start_epoch}")
 
-    train_step = make_train_step(model, optimizer, config.optim.alpha_dis,
-                                 donate=config.train.donate_state)
+    if mesh is not None:
+        from pytorch_scalablefhvae_tpu.parallel import shard_batch as _shard_batch
+        from pytorch_scalablefhvae_tpu.parallel.sharded_step import (
+            make_sharded_train_step,
+        )
+
+        _raw_step = make_sharded_train_step(
+            model, optimizer, config.optim.alpha_dis, mesh,
+            donate=config.train.donate_state,
+        )
+
+        def train_step(state, feats, seq_idx, nsegs, weight):
+            return _raw_step(state, *_shard_batch(mesh, feats, seq_idx, nsegs, weight))
+
+    else:
+        train_step = make_train_step(model, optimizer, config.optim.alpha_dis,
+                                     donate=config.train.donate_state)
     eval_step = make_eval_step(model, config.optim.alpha_dis)
 
     writer = MetricWriter(
