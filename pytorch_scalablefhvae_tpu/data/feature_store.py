@@ -98,8 +98,9 @@ class FeatureStore:
             if m.shape[0] != l:
                 raise ValueError(f"len.scp disagrees with features for {k}: {l} vs {m.shape[0]}")
         self.dim = mats[0].shape[1] if mats else 0
-        self.offsets = np.zeros(len(keep) + 1, dtype=np.int64)
-        np.cumsum(self.lens, out=self.offsets[1:])
+        offsets = np.zeros(len(keep) + 1, dtype=np.int64)
+        np.cumsum(self.lens, out=offsets[1:])
+        self.seq_starts = offsets[:-1].copy()
         self.data = (
             np.concatenate(mats, axis=0)
             if mats
@@ -149,10 +150,26 @@ class FeatureStore:
         return len(self.seq_keys)
 
     def sequence(self, i: int) -> np.ndarray:
-        return self.data[self.offsets[i] : self.offsets[i + 1]]
+        s = self.seq_starts[i]
+        return self.data[s : s + self.lens[i]]
 
     def gather_segments(self, seq_idx: np.ndarray, starts: np.ndarray, seg_len: int) -> np.ndarray:
         """Vectorized fetch of ``[B, seg_len, dim]`` segment features."""
-        abs_starts = self.offsets[seq_idx] + starts
+        abs_starts = self.seq_starts[seq_idx] + starts
         idx = abs_starts[:, None] + np.arange(seg_len)[None, :]
         return self.data[idx]
+
+    def subset(self, keys: Sequence[str]) -> "FeatureStore":
+        """Zero-copy view restricted to ``keys`` (hierarchical sampling:
+        each round trains against a sampled subset of sequences with local
+        indices 0..K-1; train_model.py:424-436 intent, B10 fixed)."""
+        idx = np.asarray([self.seq2idx[k] for k in keys], dtype=np.int64)
+        sub = object.__new__(FeatureStore)
+        sub.seq_keys = list(keys)
+        sub.seq2idx = {k: i for i, k in enumerate(keys)}
+        sub.lens = self.lens[idx]
+        sub.dim = self.dim
+        sub.data = self.data  # shared packed buffer
+        sub.seq_starts = self.seq_starts[idx]
+        sub.mvn_params = self.mvn_params
+        return sub

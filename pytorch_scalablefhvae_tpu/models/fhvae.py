@@ -192,6 +192,7 @@ class FHVAE:
         nsegs: jnp.ndarray,
         key: jax.Array,
         sample: bool = True,
+        mu2_table: jnp.ndarray | None = None,
     ) -> FHVAEOutputs:
         x = x.astype(jnp.float32)
         k_enc, k_dec = jax.random.split(key)
@@ -200,7 +201,10 @@ class FHVAE:
             params, enc["z1"], enc["z2"], k_dec, sample=False, num_frames=x.shape[1]
         )
 
-        mu2_table = params["mu2_table"]
+        # mu2_table override: evaluation supplies MAP-estimated tables for
+        # held-out splits (the learned table only covers training sequences)
+        if mu2_table is None:
+            mu2_table = params["mu2_table"]
         mu2 = mu2_table[seq_idx]
         lower_bound, log_px_z, neg_kld_z1, neg_kld_z2, log_pmu2 = assemble_elbo(
             x, mu2,

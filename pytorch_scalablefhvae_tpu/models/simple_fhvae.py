@@ -135,6 +135,7 @@ class SimpleFHVAE:
         nsegs: jnp.ndarray,
         key: jax.Array,
         sample: bool = True,
+        mu2_table: jnp.ndarray | None = None,
     ) -> FHVAEOutputs:
         """Full forward pass; reference ``SimpleFHVAE.forward`` parity
         (simple_fhvae.py:71-124).
@@ -154,7 +155,10 @@ class SimpleFHVAE:
             params, enc["z1"], enc["z2"], k_dec, sample=False, out_shape=x.shape[1:]
         )
 
-        mu2_table = params["mu2_table"]
+        # mu2_table override: evaluation supplies MAP-estimated tables for
+        # held-out splits (the learned table only covers training sequences)
+        if mu2_table is None:
+            mu2_table = params["mu2_table"]
         mu2 = mu2_table[seq_idx]
 
         lower_bound, log_px_z, neg_kld_z1, neg_kld_z2, log_pmu2 = assemble_elbo(

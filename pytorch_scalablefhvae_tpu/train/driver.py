@@ -61,20 +61,9 @@ def build_loaders(
         )
         return SegmentLoader(ds, batch_size, shuffle=shuffle, seed=config.train.seed)
 
-    train_seqs = sequence_list
-    if config.train.sample_hierarchical and train_seqs is None:
-        # hierarchical sampling: restrict this round to a sampled subset of
-        # sequences so the mu2 table / discriminative softmax stay bounded
-        # (train_model.py:424-436 intent, B10 fixed: proper sequence_list)
-        probe = FeatureStore(
-            paths["train"]["feat_pth"], paths["train"]["len_pth"],
-            min_len=min_len, verbose=False,
-        )
-        rng = np.random.default_rng(config.train.seed)
-        k = min(config.train.num_hierarchical_sequences, probe.num_seqs)
-        train_seqs = list(rng.choice(probe.seq_keys, size=k, replace=False))
-
-    train_loader = make_loader("train", dcfg.training_batch_size, True, train_seqs)
+    # under hierarchical sampling the loop subsets the full store per epoch
+    # (train/loop.py); the loader built here always covers the full split
+    train_loader = make_loader("train", dcfg.training_batch_size, True, sequence_list)
     dev_loader = make_loader("dev", dcfg.dev_batch_size, False)
     return train_loader, dev_loader
 

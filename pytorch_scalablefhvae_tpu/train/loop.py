@@ -26,6 +26,7 @@ from pytorch_scalablefhvae_tpu.train.metrics import MetricHistory, MetricWriter
 from pytorch_scalablefhvae_tpu.train.step import (
     TrainState,
     create_train_state,
+    make_encode_step,
     make_eval_step,
     make_optimizer,
     make_train_step,
@@ -49,6 +50,24 @@ def check_terminate(epoch: int, best_epoch: int, patience: int, epochs: int) -> 
     return False
 
 
+def _replace_mu2_table(state: TrainState, table) -> TrainState:
+    """Swap in a new mu2 table and zero its optimizer moments (the table is
+    per-round "fast weights" under hierarchical sampling; MLP moments are
+    preserved)."""
+    import jax.numpy as jnp
+
+    params = dict(state.params, mu2_table=table)
+    tshape = tuple(np.shape(table))
+
+    def reset(leaf):
+        if hasattr(leaf, "shape") and tuple(np.shape(leaf)) == tshape and np.ndim(leaf) == 2:
+            return jnp.zeros_like(leaf)
+        return leaf
+
+    opt_state = jax.tree_util.tree_map(reset, state.opt_state)
+    return TrainState(params=params, opt_state=opt_state, step=state.step, rng=state.rng)
+
+
 @dataclass
 class TrainResult:
     state: TrainState
@@ -59,14 +78,15 @@ class TrainResult:
     diverged: bool = False
 
 
-def evaluate_split(eval_step, params, loader: SegmentLoader, key) -> dict[str, float]:
+def evaluate_split(
+    eval_step, params, loader: SegmentLoader, key, table=None
+) -> dict[str, float]:
     """Full-split evaluation: exact weighted means of every metric."""
     totals: dict[str, float] = {}
     count = 0.0
     for i, b in enumerate(loader):
-        sums = eval_step(
-            params, b.feats, b.seq_idx, b.nsegs, b.weight, jax.random.fold_in(key, i)
-        )
+        args = (params, b.feats, b.seq_idx, b.nsegs, b.weight, jax.random.fold_in(key, i))
+        sums = eval_step(*args) if table is None else eval_step(*args, table)
         sums = {k: float(v) for k, v in sums.items()}
         n = sums.pop("count")
         count += n
@@ -75,6 +95,30 @@ def evaluate_split(eval_step, params, loader: SegmentLoader, key) -> dict[str, f
     if count == 0:
         return {k: float("nan") for k in ("loss", "lower_bound", "log_qy")}
     return {k: v / count for k, v in totals.items()}
+
+
+def estimate_split_mu2(
+    encode_step, params, loader: SegmentLoader, num_seqs: int,
+    pz2_var: float, pmu2_var: float = 1.0, z2_dim: int | None = None,
+) -> np.ndarray:
+    """MAP-estimate a mu2 table for a split from encoder means.
+
+    ``mu2[y] = sum(z2_mu of y's segments) / (nsegs(y) + pz2_var/pmu2_var)``
+    (the closed-form posterior mean; utils.py:58-59 intent).
+    """
+    sums = None
+    counts = np.zeros(num_seqs, dtype=np.float64)
+    for b in loader:
+        z2 = np.asarray(encode_step(params, b.feats))
+        if sums is None:
+            sums = np.zeros((num_seqs, z2.shape[1]), dtype=np.float64)
+        real = b.weight > 0
+        np.add.at(sums, b.seq_idx[real], z2[real])
+        np.add.at(counts, b.seq_idx[real], 1.0)
+    if sums is None:
+        sums = np.zeros((num_seqs, z2_dim or 1), dtype=np.float64)
+    r = pz2_var / pmu2_var
+    return (sums / (counts + r)[:, None]).astype(np.float32)
 
 
 def run_training(
@@ -95,6 +139,15 @@ def run_training(
     seg_len, dim = ds.seg_len, ds.store.dim
     input_size = seg_len * dim
     num_seqs = ds.num_seqs
+
+    # hierarchical sampling: each epoch trains against a fresh sampled subset
+    # of K sequences, so the mu2 table (and the discriminative softmax) is
+    # O(K) regardless of corpus size — the "scalable" training scheme of
+    # arXiv 1804.03201 (train_model.py:424-436 intent, B10 fixed)
+    hier = config.train.sample_hierarchical
+    hier_k = min(config.train.num_hierarchical_sequences, num_seqs)
+    if hier:
+        num_seqs = hier_k
 
     model = build_model(config.model.model_type, input_size, config.model, num_seqs,
                         feat_dim=dim)
@@ -147,7 +200,21 @@ def run_training(
     else:
         train_step = make_train_step(model, optimizer, config.optim.alpha_dis,
                                      donate=config.train.donate_state)
-    eval_step = make_eval_step(model, config.optim.alpha_dis)
+    # dev evaluation is two-pass: MAP-estimate a dev mu2 table from encoder
+    # means, then score the split against it — held-out sequences have no
+    # rows in the learned table (the reference scored dev segments against
+    # train-table rows, a meaningless pairing; the papers' test-time
+    # procedure is MAP inference of mu2)
+    eval_step = make_eval_step(model, config.optim.alpha_dis, with_table_override=True)
+    encode_step = make_encode_step(model)
+    pz2_var = float(np.exp(model.pz2_logvar))
+
+    def eval_dev(params, key):
+        dev_table = estimate_split_mu2(
+            encode_step, params, dev_loader, dev_loader.dataset.num_seqs,
+            pz2_var, z2_dim=config.model.z2_dim,
+        )
+        return evaluate_split(eval_step, params, dev_loader, key, table=dev_table)
 
     writer = MetricWriter(
         exp_dir,
@@ -163,39 +230,76 @@ def run_training(
     legacy = config.train.legacy
     result = TrainResult(state, best_epoch, best_val_lb, start_epoch - 1, history)
 
+    hier_rng = np.random.default_rng(config.train.seed + 23)
+
     for epoch in range(start_epoch, config.train.epochs):
-        train_loader.set_epoch(epoch)
-        train_loss_sum, train_count = 0.0, 0.0
-        last_metrics: dict[str, Any] = {}
-        for batch_idx, b in enumerate(train_loader):
+        if hier:
+            # sample this round's sequence subset and MAP-initialize its
+            # mu2 rows from the current encoder; the table (and its Adam
+            # moments) are per-round fast weights
+            full_ds = train_loader.dataset
+            keys = list(hier_rng.choice(full_ds.store.seq_keys, size=hier_k, replace=False))
+            from pytorch_scalablefhvae_tpu.data.segments import SegmentDataset as _SD
+
+            sub_ds = _SD(full_ds.store.subset(keys), seg_len=full_ds.seg_len,
+                         seg_shift=full_ds.seg_shift, rand_seg=full_ds.rand_seg,
+                         seed=config.train.seed + epoch)
+            epoch_loader = SegmentLoader(
+                sub_ds, train_loader.batch_size, shuffle=True,
+                seed=config.train.seed + 31 * epoch,
+            )
+            est_loader = SegmentLoader(sub_ds, train_loader.batch_size,
+                                       shuffle=False, seed=0)
+            table = jax.device_put(estimate_split_mu2(
+                encode_step, state.params, est_loader, hier_k, pz2_var,
+                z2_dim=config.model.z2_dim,
+            ))
+            state = _replace_mu2_table(state, table)
+        else:
+            epoch_loader = train_loader
+        epoch_loader.set_epoch(epoch)
+        # Per-step losses stay on device; the host only syncs at the NaN-check
+        # cadence and at epoch end, so the step stream never stalls on a
+        # metric fetch (the reference synced every step implicitly).
+        step_losses: list[Any] = []
+        step_counts: list[float] = []
+        nan_check_every = 50
+
+        def _divergence_abort():
+            print("Training diverged")
+            writer.close()
+            raise SystemExit(2)  # train_model.py:464-466 exit-code parity
+
+        for batch_idx, b in enumerate(epoch_loader):
             state, metrics = train_step(state, b.feats, b.seq_idx, b.nsegs, b.weight)
-            loss = float(metrics["loss"])
-            if np.isnan(loss):  # divergence abort (train_model.py:464-466)
-                print("Training diverged")
+            step_losses.append(metrics["loss"])
+            step_counts.append(b.num_real)
+            if (batch_idx + 1) % nan_check_every == 0 and not np.isfinite(
+                float(step_losses[-1])
+            ):
                 result.state, result.diverged, result.last_epoch = state, True, epoch
-                writer.close()
-                raise SystemExit(2)
-            n = b.num_real
-            train_loss_sum += loss * n
-            train_count += n
-            last_metrics = metrics
+                _divergence_abort()
             if legacy and (batch_idx + 1) % config.train.log_interval == 0:  # B4 fixed
                 if verbose:
-                    pct = 100.0 * batch_idx / len(train_loader)
+                    pct = 100.0 * batch_idx / len(epoch_loader)
                     print(
                         f"====> Train Epoch: {epoch} "
-                        f"[{batch_idx * train_loader.batch_size}/{len(train_loader.dataset)} "
-                        f"({pct:.0f}%)]\tLoss: {loss:.6f}"
+                        f"[{batch_idx * epoch_loader.batch_size}/{len(epoch_loader.dataset)} "
+                        f"({pct:.0f}%)]\tLoss: {float(step_losses[-1]):.6f}"
                     )
             if legacy and (batch_idx + 1) % config.train.steps_per_epoch == 0:
                 break
 
-        train_loss = train_loss_sum / max(train_count, 1.0)
+        losses = np.asarray([float(l) for l in step_losses])
+        counts = np.asarray(step_counts)
+        if not np.isfinite(losses).all():
+            result.state, result.diverged, result.last_epoch = state, True, epoch
+            _divergence_abort()
+        train_loss = float((losses * counts).sum() / max(counts.sum(), 1.0))
         if verbose:
             print(f"====> Train set average loss: {train_loss:.4f}")
 
-        val = evaluate_split(eval_step, state.params, dev_loader,
-                             jax.random.fold_in(eval_key, epoch))
+        val = eval_dev(state.params, jax.random.fold_in(eval_key, epoch))
         if verbose:
             print(f"====> Validation set loss: {val['loss']:.4f}  "
                   f"LB: {val['lower_bound']:.4f}")

@@ -85,21 +85,42 @@ def make_train_step(model, optimizer, alpha: float, donate: bool = True):
     return jax.jit(step_fn, donate_argnums=donate_argnums)
 
 
-def make_eval_step(model, alpha: float):
+def make_eval_step(model, alpha: float, with_table_override: bool = False):
     """Jitted eval step: posterior-mean forward pass, no parameter update.
 
     Returns weighted *sums* of each metric plus the row count so the caller
     accumulates exact split-level means (fixes reference defect B5/B12 where
     val metrics used training-loop tensors and summaries were never reduced).
+
+    With ``with_table_override``, the step takes an extra mu2 table argument
+    — used to evaluate held-out splits against their MAP-estimated tables
+    (the learned table only covers training sequences).
     """
 
-    def step_fn(params, feats, seq_idx, nsegs, weight, key):
-        out = model.apply(params, feats, seq_idx, nsegs, key, sample=False)
+    def step_fn(params, feats, seq_idx, nsegs, weight, key, table=None):
+        out = model.apply(params, feats, seq_idx, nsegs, key, sample=False,
+                          mu2_table=table)
         loss, metrics = loss_from_outputs(out, weight, alpha)
         n = jnp.sum(weight)
         sums = {k: v * n for k, v in metrics.items()}
         sums["count"] = n
         return sums
+
+    if with_table_override:
+        return jax.jit(step_fn)
+    return jax.jit(lambda params, feats, seq_idx, nsegs, weight, key: step_fn(
+        params, feats, seq_idx, nsegs, weight, key
+    ))
+
+
+def make_encode_step(model):
+    """Jitted encoder-only pass returning z2 posterior means — the cheap
+    first pass of mu2 MAP estimation (utils.py:45-60 intent)."""
+
+    def step_fn(params, feats):
+        enc = model.encode(params, feats.astype(jnp.float32), jax.random.PRNGKey(0),
+                           sample=False)
+        return enc["z2_mu"]
 
     return jax.jit(step_fn)
 

@@ -1,0 +1,129 @@
+"""Training-loop integration tests on a synthetic corpus (CPU, small).
+
+SURVEY.md §4 integration tier: preprocess -> train -> loss decreases;
+hierarchical sampling; MAP dev evaluation; divergence abort.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from pytorch_scalablefhvae_tpu.config import (
+    DataConfig,
+    ExperimentConfig,
+    FeatureConfig,
+    ModelConfig,
+    OptimConfig,
+    TrainConfig,
+)
+from pytorch_scalablefhvae_tpu.features.pipeline import preprocess_data
+from pytorch_scalablefhvae_tpu.train.driver import build_loaders, train_from_config
+from pytorch_scalablefhvae_tpu.train.loop import estimate_split_mu2
+
+
+def small_config(tmp_path, **train_kw):
+    return ExperimentConfig(
+        features=FeatureConfig(),
+        data=DataConfig(
+            dataset="synthetic",
+            mvn_path=str(tmp_path / "mvn.json"),
+            training_batch_size=32,
+            dev_batch_size=64,
+        ),
+        model=ModelConfig(
+            model_type="simple_fhvae",
+            z1_hus=(32, 32), z2_hus=(32, 32), x_hus=(32, 32),
+            z1_dim=8, z2_dim=8,
+        ),
+        optim=OptimConfig(),
+        train=TrainConfig(epochs=2, patience=10, seed=0, **train_kw),
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    cfg = ExperimentConfig(data=DataConfig(dataset="synthetic"))
+    preprocess_data(cfg, root=root)
+    return root
+
+
+class TestEndToEnd:
+    def test_train_improves_and_checkpoints(self, corpus, tmp_path):
+        cfg = small_config(tmp_path)
+        res = train_from_config(
+            cfg, data_root=corpus, exp_root=tmp_path / "exp",
+            is_preprocessed=True, verbose=False,
+        )
+        assert not res.diverged
+        assert res.last_epoch == 1
+        h = res.history.values
+        assert h["val_loss_results"][1] < h["val_loss_results"][0]
+        exp_dir = cfg.exp_dir(tmp_path / "exp")
+        assert (exp_dir / "config.json").exists()
+        assert list(exp_dir.glob("best_model_*.npz"))
+        assert (exp_dir / "metrics.jsonl").exists()
+
+    def test_hierarchical_sampling_runs(self, corpus, tmp_path):
+        cfg = small_config(tmp_path, sample_hierarchical=True,
+                           num_hierarchical_sequences=3)
+        res = train_from_config(
+            cfg, data_root=corpus, exp_root=tmp_path / "exp",
+            is_preprocessed=True, verbose=False,
+        )
+        assert not res.diverged
+        # table is sized by the sampled subset
+        assert res.state.params["mu2_table"].shape[0] == 3
+
+    def test_resume_uses_saved_config(self, corpus, tmp_path):
+        cfg = small_config(tmp_path)
+        res = train_from_config(cfg, data_root=corpus, exp_root=tmp_path / "exp",
+                                is_preprocessed=True, verbose=False)
+        exp_dir = cfg.exp_dir(tmp_path / "exp")
+        ckpts = sorted(p for p in exp_dir.glob("simple_fhvae_*_e1.npz"))
+        # resume with a *different* epochs setting: saved config must win
+        cfg2 = dataclasses.replace(cfg, train=dataclasses.replace(cfg.train, epochs=50))
+        res2 = train_from_config(
+            cfg2, data_root=corpus, exp_root=tmp_path / "exp",
+            is_preprocessed=True, continue_from=ckpts[0], verbose=False,
+        )
+        assert res2.last_epoch <= 1  # saved epochs=2 already exhausted
+
+
+class TestMapEval:
+    def test_estimate_split_mu2_shapes(self, corpus, tmp_path):
+        cfg = small_config(tmp_path)
+        train_loader, dev_loader = build_loaders(cfg, corpus, is_preprocessed=True)
+        from pytorch_scalablefhvae_tpu.models.base import build_model
+        from pytorch_scalablefhvae_tpu.train.step import (
+            create_train_state,
+            make_encode_step,
+            make_optimizer,
+        )
+
+        ds = train_loader.dataset
+        model = build_model("simple_fhvae", ds.seg_len * ds.store.dim, cfg.model,
+                            ds.num_seqs)
+        state = create_train_state(model, make_optimizer(1e-3, 0.95, 0.999), seed=0)
+        enc = make_encode_step(model)
+        table = estimate_split_mu2(enc, state.params, dev_loader,
+                                   dev_loader.dataset.num_seqs, 0.25)
+        assert table.shape == (dev_loader.dataset.num_seqs, 8)
+        assert np.isfinite(table).all()
+        # MAP shrinks toward 0 (prior mean): norms bounded by raw means
+        assert np.abs(table).max() < 100
+
+
+class TestSubset:
+    def test_subset_view_consistency(self, corpus, tmp_path):
+        cfg = small_config(tmp_path)
+        train_loader, _ = build_loaders(cfg, corpus, is_preprocessed=True)
+        store = train_loader.dataset.store
+        keys = store.seq_keys[::-1][:2]
+        sub = store.subset(keys)
+        assert sub.seq_keys == keys
+        for i, k in enumerate(keys):
+            np.testing.assert_array_equal(sub.sequence(i), store.sequence(store.seq2idx[k]))
+        seg = sub.gather_segments(np.array([1]), np.array([0]), 5)
+        np.testing.assert_array_equal(seg[0], sub.sequence(1)[:5])
