@@ -35,6 +35,8 @@ def add_common_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--hop-size", type=float, default=0.010,
                    help="Window stride for spectrogram in seconds")
     p.add_argument("--mels", type=int, default=80, help="Number of filter banks")
+    p.add_argument("--extractor", type=str, default="numpy", choices=["numpy", "jax"],
+                   help="Feature extractor backend: host numpy or batched on-accelerator JAX")
     p.add_argument("--fbank-conf", type=str, default="./misc/fbank.conf",
                    help="Path to the fbank.conf used by the kaldi-semantics extractor")
     p.add_argument("--kaldi-root", type=str, default="./kaldi/",
@@ -79,6 +81,8 @@ def add_train_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--seed", type=int, default=0, help="PRNG seed")
     p.add_argument("--compute-dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"], help="Matmul compute dtype")
+    p.add_argument("--profile-dir", type=str, default=None,
+                   help="Capture a jax.profiler trace of one training epoch into this directory")
     p.add_argument("--tensorboard", action="store_true", help="Enable TensorBoard logging")
     p.add_argument("--visdom", action="store_true",
                    help="Accepted for parity; metrics go to JSONL/TensorBoard")
@@ -116,6 +120,7 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
     return ExperimentConfig(
         features=FeatureConfig(
             feat_type=args.feat_type,
+            extractor=getattr(args, "extractor", "numpy"),
             data_format=args.data_format,
             sample_rate=args.sample_rate,
             win_t=args.win_size,
@@ -150,6 +155,7 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
         ),
         train=TrainConfig(
             epochs=getattr(args, "epochs", 100),
+            profile_dir=getattr(args, "profile_dir", None),
             patience=getattr(args, "patience", 10),
             seed=getattr(args, "seed", 0),
             legacy=getattr(args, "legacy", False),

@@ -27,6 +27,7 @@ class FeatureConfig:
 
     feat_type: str = "fbank"  # "fbank" | "spec"
     data_format: str = "numpy"  # "numpy" | "kaldi"
+    extractor: str = "numpy"  # "numpy" (host) | "jax" (batched, on-accelerator)
     sample_rate: int | None = None  # resample target; None = native rate
     win_t: float = 0.025
     hop_t: float = 0.010
@@ -118,6 +119,8 @@ class TrainConfig:
     sample_hierarchical: bool = False
     num_hierarchical_sequences: int = 5000
     # observability
+    profile_dir: str | None = None  # capture a jax.profiler trace here
+    profile_epoch: int = 1  # epoch at which to capture the trace
     tensorboard: bool = False
     tb_log_dir: str = "./visualize/tensorboard"
     log_params: bool = False

@@ -98,9 +98,20 @@ def evaluate_experiment(
     ds = SegmentDataset(store, seg_len=config.data.seg_len, seg_shift=config.data.seg_shift)
     loader = SegmentLoader(ds, config.data.dev_batch_size, shuffle=False, seed=0)
 
-    # split-level metrics
-    eval_step = make_eval_step(model, config.optim.alpha_dis)
-    metrics = evaluate_split(eval_step, params, loader, jax.random.PRNGKey(0))
+    # split-level metrics against a MAP-estimated mu2 table for this split
+    # (held-out sequences have no rows in the learned table; the papers'
+    # test-time procedure is MAP inference of mu2 from encoder means)
+    from pytorch_scalablefhvae_tpu.train.loop import estimate_split_mu2
+    from pytorch_scalablefhvae_tpu.train.step import make_encode_step
+
+    encode_step = make_encode_step(model)
+    split_table = jax.device_put(estimate_split_mu2(
+        encode_step, params, loader, store.num_seqs,
+        pz2_var=config.model.pz2_std**2, z2_dim=config.model.z2_dim,
+    ))
+    eval_step = make_eval_step(model, config.optim.alpha_dis, with_table_override=True)
+    metrics = evaluate_split(eval_step, params, loader, jax.random.PRNGKey(0),
+                             table=split_table)
     if verbose:
         print(f"==== {set_name} metrics ====")
         for k, v in metrics.items():

@@ -91,6 +91,97 @@ def prepare_numpy(
     return count, (wav_path, feat_path, len_path)
 
 
+def prepare_jax(
+    dataset: str,
+    set_name: str,
+    dataset_dir: str | Path,
+    output_dir: str | Path | None = None,
+    ftype: str = "fbank",
+    sample_rate: int | None = None,
+    win_t: float = 0.025,
+    hop_t: float = 0.010,
+    n_mels: int = 80,
+    batch_size: int = 32,
+    verbose: bool = True,
+) -> tuple[int, tuple[Path, Path, Path]]:
+    """Accelerator-backed batched extraction (same outputs as prepare_numpy).
+
+    Streams utterances in length-sorted batches through the fused JAX
+    STFT+mel pipeline (features/dsp_jax.py): signals are padded into a small
+    set of bucketed static shapes so XLA compiles a handful of programs, the
+    DFT and mel projection run as MXU matmuls, and results are written back
+    as the standard per-utterance ``.npy`` + manifests. This is the
+    "streaming feature extraction" path for corpus-scale preprocessing.
+    """
+    import jax
+
+    from pytorch_scalablefhvae_tpu.features.dsp_jax import batched_features
+
+    set_path = Path(output_dir or dataset_dir) / set_name
+    wav_path = set_path / "wav.scp"
+    feat_path = set_path / "feats.scp"
+    len_path = set_path / "len.scp"
+    if not wav_path.exists():
+        raise ValueError(f"The wav.scp file at {wav_path} does not exist!")
+    set_path.mkdir(parents=True, exist_ok=True)
+
+    entries = list(read_scp(wav_path).items())
+    start = time.time()
+
+    # load + length-sort so same-bucket utterances batch together
+    loaded = []
+    locked_sr = sample_rate
+    for seq, path in entries:
+        y, sr = read_audio(path, sample_rate)
+        if locked_sr is None:
+            locked_sr = sr
+        elif locked_sr != sr:
+            raise ValueError(f"Inconsistent sample rate ({locked_sr} != {sr}).")
+        loaded.append((seq, y))
+    loaded.sort(key=lambda kv: len(kv[1]))
+
+    def bucket(n: int) -> int:
+        b = 16384
+        while b < n:
+            b *= 2
+        return b
+
+    results: dict[str, np.ndarray] = {}
+    i = 0
+    while i < len(loaded):
+        chunk = loaded[i : i + batch_size]
+        i += batch_size
+        T = bucket(max(len(y) for _, y in chunk))
+        batch = np.zeros((len(chunk), T), np.float32)
+        lengths = np.zeros(len(chunk), np.int32)
+        for j, (_, y) in enumerate(chunk):
+            batch[j, : len(y)] = y
+            lengths[j] = len(y)
+        feats, n_frames = batched_features(
+            batch, lengths, sr=locked_sr, n_fft=int(locked_sr * win_t),
+            hop_t=hop_t, win_t=win_t, n_mels=n_mels, feat_type=ftype,
+            log_floor=-20.0 if ftype == "fbank" else -50.0,
+        )
+        feats = np.asarray(jax.device_get(feats))
+        n_frames = np.asarray(n_frames)
+        for j, (seq, _) in enumerate(chunk):
+            results[seq] = feats[j, : n_frames[j]].astype(np.float32)
+
+    count = 0
+    with open(feat_path, "w") as ff, open(len_path, "w") as lf:
+        for seq, _ in entries:  # preserve manifest order
+            feat = results[seq]
+            np_path = set_path / f"{seq}.npy"
+            with open(np_path, "wb") as nf:
+                np.save(nf, feat)
+            ff.write(f"{seq} {np_path}\n")
+            lf.write(f"{seq} {len(feat)}\n")
+            count += 1
+    if verbose:
+        print(f"{set_name}: {count} utterances in {time.time() - start:.2f}s (jax/{ftype})")
+    return count, (wav_path, feat_path, len_path)
+
+
 def _native_fbank():
     """Return the C++ extractor entry point if the shared lib is built."""
     try:

@@ -17,7 +17,7 @@ from pytorch_scalablefhvae_tpu.config import ExperimentConfig
 from pytorch_scalablefhvae_tpu.corpus.librispeech import process_librispeech
 from pytorch_scalablefhvae_tpu.corpus.synthetic import make_synthetic_corpus
 from pytorch_scalablefhvae_tpu.corpus.timit import process_timit
-from pytorch_scalablefhvae_tpu.features.extract import prepare_kaldi, prepare_numpy
+from pytorch_scalablefhvae_tpu.features.extract import prepare_jax, prepare_kaldi, prepare_numpy
 
 SPLITS = ("train", "dev", "test")
 
@@ -54,7 +54,8 @@ def preprocess_data(
     paths: dict[str, dict[str, Path]] = {}
     for split in SPLITS:
         if fcfg.data_format == "numpy":
-            _, (wav_pth, feat_pth, len_pth) = prepare_numpy(
+            prep = prepare_jax if fcfg.extractor == "jax" else prepare_numpy
+            _, (wav_pth, feat_pth, len_pth) = prep(
                 dcfg.dataset, split, out_dir,
                 ftype=fcfg.feat_type,
                 sample_rate=fcfg.sample_rate,

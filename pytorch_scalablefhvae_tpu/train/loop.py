@@ -11,6 +11,7 @@ best-value update, B12 per-term summaries reported).
 from __future__ import annotations
 
 import sys
+import time
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Any
@@ -258,6 +259,13 @@ def run_training(
         else:
             epoch_loader = train_loader
         epoch_loader.set_epoch(epoch)
+        profiling = (
+            config.train.profile_dir is not None
+            and epoch == config.train.profile_epoch
+        )
+        if profiling:
+            jax.profiler.start_trace(config.train.profile_dir)
+        epoch_t0 = time.perf_counter()
         # Per-step losses stay on device; the host only syncs at the NaN-check
         # cadence and at epoch end, so the step stream never stalls on a
         # metric fetch (the reference synced every step implicitly).
@@ -292,6 +300,12 @@ def run_training(
 
         losses = np.asarray([float(l) for l in step_losses])
         counts = np.asarray(step_counts)
+        epoch_dt = time.perf_counter() - epoch_t0
+        segments_per_sec = float(counts.sum() / max(epoch_dt, 1e-9))
+        if profiling:
+            jax.profiler.stop_trace()
+            if verbose:
+                print(f"Wrote profiler trace to {config.train.profile_dir}")
         if not np.isfinite(losses).all():
             result.state, result.diverged, result.last_epoch = state, True, epoch
             _divergence_abort()
@@ -308,6 +322,7 @@ def run_training(
                        val["log_qy"])
         scalars = {
             "train_loss": train_loss,
+            "train_segments_per_sec": segments_per_sec,
             "val_loss": val["loss"],
             "val_lower_bound": val["lower_bound"],
             "val_log_qy": val["log_qy"],
