@@ -40,10 +40,15 @@ class Batch:
     seq_idx: np.ndarray
     nsegs: np.ndarray
     weight: np.ndarray
+    # real-row count, cached host-side so reading it never syncs a device
+    # array after ``device_prefetch`` transfers the batch
+    n_real: int = -1
 
     @property
     def num_real(self) -> int:
-        return int(self.weight.sum())
+        if self.n_real >= 0:
+            return self.n_real
+        return int(np.asarray(self.weight).sum())
 
 
 class SegmentLoader:
@@ -100,6 +105,7 @@ class SegmentLoader:
             seq_idx=seq_idx.astype(np.int32),
             nsegs=nsegs,
             weight=weight,
+            n_real=real,
         )
 
     def _batches_indices(self) -> Iterator[np.ndarray]:
@@ -133,3 +139,40 @@ class SegmentLoader:
                 break
             yield item
         t.join()
+
+
+def device_prefetch(batches, size: int = 2):
+    """Overlap host->device transfer with device compute.
+
+    Eagerly ``jax.device_put``s up to ``size`` upcoming batches while the
+    caller's current step is executing (JAX dispatch is async), so the step
+    stream never waits on PCIe/host copies.
+    """
+    import collections
+
+    import jax
+
+    buf: "collections.deque" = collections.deque()
+    it = iter(batches)
+
+    def put(b: Batch) -> Batch:
+        return Batch(
+            feats=jax.device_put(b.feats),
+            seq_idx=jax.device_put(b.seq_idx),
+            nsegs=jax.device_put(b.nsegs),
+            weight=jax.device_put(b.weight),
+            n_real=b.num_real,
+        )
+
+    try:
+        for _ in range(size):
+            buf.append(put(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        out = buf.popleft()
+        try:
+            buf.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield out

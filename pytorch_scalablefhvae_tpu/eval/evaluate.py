@@ -125,18 +125,34 @@ def evaluate_experiment(
     )
     z1_seq = sequence_mean_z1(lat["z1_mu"], lat["seq_idx"], store.num_seqs)
 
-    # reconstructions on the first batch
+    # reconstructions + factor swap on the first batch: decoding
+    # (z1 of a, z2 of b) keeps a's content with b's sequence identity —
+    # the papers' qualitative disentanglement demo (arXiv 1709.07902 §5.2)
     recon = None
     lat_step = make_latent_step(model)
     for b in loader:
         out = lat_step(params, b.feats, b.seq_idx, b.nsegs, jax.random.PRNGKey(1))
         n = min(num_reconstructions, int(b.weight.sum()))
+        z1 = np.asarray(out["z1_mu"])[:n]
+        z2 = np.asarray(out["z2_mu"])[:n]
+        perm = np.roll(np.arange(n), 1)  # pair each segment with the next
+        swap_mu, _, _ = model.decode(
+            params, jax.numpy.asarray(z1), jax.numpy.asarray(z2[perm]),
+            out_shape=tuple(b.feats.shape[1:]), num_frames=b.feats.shape[1],
+        )
         recon = {
             "input": np.asarray(b.feats[:n]),
             "recon_mu": np.asarray(out["x_mu"])[:n],
+            "swap_recon_mu": np.asarray(swap_mu),
+            "swap_z2_from": np.asarray(b.seq_idx[:n])[perm],
             "seq_idx": np.asarray(b.seq_idx[:n]),
         }
         break
+
+    # disentanglement probes: z2 should predict the speaker, z1 should not
+    from pytorch_scalablefhvae_tpu.eval.probes import speaker_probes
+
+    probes = speaker_probes(lat, store.seq_keys) if len(lat["seq_idx"]) else {}
 
     out_dir = Path(output_dir) if output_dir else exp_dir / "eval" / set_name
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -148,9 +164,21 @@ def evaluate_experiment(
     if recon is not None:
         np.savez(out_dir / "reconstructions.npz", **recon)
     (out_dir / "metrics.json").write_text(
-        json.dumps({"set_name": set_name, **{k: float(v) for k, v in metrics.items()}}, indent=2)
+        json.dumps(
+            {"set_name": set_name,
+             **{k: float(v) for k, v in metrics.items()},
+             "probes": probes},
+            indent=2,
+        )
     )
     (out_dir / "sequences.json").write_text(json.dumps(store.seq_keys))
     if verbose:
+        if probes:
+            z1p = probes["z1_speaker_probe"]
+            z2p = probes["z2_speaker_probe"]
+            print(f"Speaker probe ({probes['num_speakers']} speakers, "
+                  f"chance {z2p['chance']:.3f}): "
+                  f"z2 acc {z2p['test_acc']:.3f}, z1 acc {z1p['test_acc']:.3f}")
         print(f"Wrote evaluation outputs to {out_dir}")
-    return {"metrics": metrics, "latents": lat, "mu2_map": mu2_hat, "output_dir": out_dir}
+    return {"metrics": metrics, "latents": lat, "mu2_map": mu2_hat,
+            "probes": probes, "output_dir": out_dir}

@@ -110,6 +110,7 @@ class SimpleFHVAE:
         key: jax.Array | None = None,
         sample: bool = False,
         out_shape: tuple[int, int] | None = None,
+        num_frames: int | None = None,  # accepted for FHVAE interface parity
     ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Decoder pass -> (x_mu, x_logvar, x_sample), reshaped to [B, T, F]."""
         cdt = self._cdt

@@ -20,7 +20,7 @@ import jax
 import numpy as np
 
 from pytorch_scalablefhvae_tpu.config import ExperimentConfig
-from pytorch_scalablefhvae_tpu.data.loader import Batch, SegmentLoader
+from pytorch_scalablefhvae_tpu.data.loader import Batch, SegmentLoader, device_prefetch
 from pytorch_scalablefhvae_tpu.models.base import build_model
 from pytorch_scalablefhvae_tpu.train import checkpoint as ckpt
 from pytorch_scalablefhvae_tpu.train.metrics import MetricHistory, MetricWriter
@@ -278,7 +278,7 @@ def run_training(
             writer.close()
             raise SystemExit(2)  # train_model.py:464-466 exit-code parity
 
-        for batch_idx, b in enumerate(epoch_loader):
+        for batch_idx, b in enumerate(device_prefetch(epoch_loader)):
             state, metrics = train_step(state, b.feats, b.seq_idx, b.nsegs, b.weight)
             step_losses.append(metrics["loss"])
             step_counts.append(b.num_real)
