@@ -1,0 +1,117 @@
+"""Mode-coverage tests: bf16 compute, legacy step-epochs, spec features,
+kaldi-format end-to-end, mesh CLI path."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from pytorch_scalablefhvae_tpu.config import (
+    DataConfig,
+    ExperimentConfig,
+    FeatureConfig,
+    ModelConfig,
+    TrainConfig,
+)
+from pytorch_scalablefhvae_tpu.features.pipeline import preprocess_data
+from pytorch_scalablefhvae_tpu.models import SimpleFHVAE
+from pytorch_scalablefhvae_tpu.train.driver import train_from_config
+from pytorch_scalablefhvae_tpu.train.step import (
+    create_train_state,
+    make_optimizer,
+    make_train_step,
+)
+
+
+def cfg_for(tmp_path, *, features=None, data_extra=None, model_extra=None, train_extra=None):
+    return ExperimentConfig(
+        features=features or FeatureConfig(),
+        data=DataConfig(
+            dataset="synthetic",
+            mvn_path=str(tmp_path / "mvn.json"),
+            training_batch_size=32,
+            dev_batch_size=64,
+            **(data_extra or {}),
+        ),
+        model=ModelConfig(
+            model_type="simple_fhvae",
+            z1_hus=(32, 32), z2_hus=(32, 32), x_hus=(32, 32),
+            z1_dim=8, z2_dim=8,
+            **(model_extra or {}),
+        ),
+        train=TrainConfig(**{"epochs": 1, "seed": 0, **(train_extra or {})}),
+    )
+
+
+class TestBf16:
+    def test_bf16_step_trains_finite(self, rng):
+        model = SimpleFHVAE(input_size=20 * 8, num_seqs=4,
+                            z1_hus=(32, 32), z2_hus=(32, 32), x_hus=(32, 32),
+                            z1_dim=8, z2_dim=8, compute_dtype="bfloat16")
+        opt = make_optimizer(1e-3, 0.95, 0.999)
+        state = create_train_state(model, opt, seed=0)
+        step = make_train_step(model, opt, 10.0, donate=False)
+        losses = []
+        for i in range(10):
+            r = np.random.default_rng(i)
+            feats = r.standard_normal((16, 20, 8)).astype(np.float32)
+            seq = r.integers(0, 4, 16).astype(np.int32)
+            state, m = step(state, feats, seq, np.full(16, 5.0, np.float32),
+                            np.ones(16, np.float32))
+            losses.append(float(m["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+        # params stay fp32
+        assert state.params["z2_pre"]["layers"][0]["w"].dtype == np.float32
+
+
+class TestLegacyMode:
+    def test_steps_per_epoch_truncates(self, tmp_path):
+        corpus = tmp_path / "corpus"
+        preprocess_data(ExperimentConfig(data=DataConfig(dataset="synthetic")), root=corpus)
+        cfg = cfg_for(tmp_path, train_extra=dict(legacy=True, steps_per_epoch=1,
+                                                 log_interval=1, epochs=1))
+        res = train_from_config(cfg, data_root=corpus, exp_root=tmp_path / "exp",
+                                is_preprocessed=True, verbose=False)
+        # exactly one optimizer step despite more batches being available
+        assert int(res.state.step) == 1
+
+    def test_legacy_exp_string(self, tmp_path):
+        cfg = cfg_for(tmp_path, train_extra=dict(legacy=True, steps_per_epoch=5000))
+        assert "_s5000_" in cfg.exp_string()
+        assert cfg.exp_string().endswith("_legacy")
+
+
+class TestSpecFeatures:
+    def test_spec_pipeline_trains(self, tmp_path):
+        corpus = tmp_path / "corpus"
+        cfg = cfg_for(tmp_path, features=FeatureConfig(feat_type="spec"))
+        preprocess_data(cfg, root=corpus)
+        # spec features are 201-dim; the whole pipeline must follow
+        res = train_from_config(cfg, data_root=corpus, exp_root=tmp_path / "exp",
+                                is_preprocessed=True, verbose=False)
+        assert not res.diverged
+        dec_w = res.state.params["dec_gauss"]["mu"]["w"]
+        assert dec_w.shape[1] == 20 * 201
+
+
+class TestKaldiFormatEndToEnd:
+    def test_kaldi_format_trains(self, tmp_path):
+        corpus = tmp_path / "corpus"
+        cfg = cfg_for(tmp_path, features=FeatureConfig(data_format="kaldi"))
+        preprocess_data(cfg, root=corpus, fbank_conf="misc/fbank.conf")
+        res = train_from_config(cfg, data_root=corpus, exp_root=tmp_path / "exp",
+                                is_preprocessed=True, verbose=False)
+        assert not res.diverged
+
+
+class TestMeshTraining:
+    def test_loop_runs_on_mesh(self, tmp_path):
+        corpus = tmp_path / "corpus"
+        preprocess_data(ExperimentConfig(data=DataConfig(dataset="synthetic")), root=corpus)
+        cfg = cfg_for(tmp_path, train_extra=dict(mesh_shape=(4, 2)))
+        res = train_from_config(cfg, data_root=corpus, exp_root=tmp_path / "exp",
+                                is_preprocessed=True, verbose=False)
+        assert not res.diverged
+        assert np.isfinite(res.history.values["val_loss_results"][0])
