@@ -108,6 +108,14 @@ def add_train_flags(p: argparse.ArgumentParser) -> None:
                    help="Root directory for experiment outputs")
     p.add_argument("--data-root", type=str, default=".",
                    help="Root directory holding preprocessed datasets")
+    p.add_argument("--steps-per-dispatch", type=int, default=1,
+                   help="Bundle K optimizer steps per XLA dispatch (lax.scan)")
+    p.add_argument("--ckpt-backend", type=str, default="npz", choices=["npz", "orbax"],
+                   help="Checkpoint backend: portable npz or async sharded orbax")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="Enable jax_debug_nans (traps the first NaN-producing op)")
+    p.add_argument("--multihost", action="store_true",
+                   help="Initialize jax.distributed for multi-host pods")
     p.add_argument("--mesh", type=str, default=None,
                    help="Device mesh as 'data,model' (e.g. '8,1'); default: all devices data-parallel")
 
@@ -162,6 +170,8 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
             steps_per_epoch=getattr(args, "steps_per_epoch", 5000),
             log_interval=getattr(args, "log_interval", 200),
             sample_hierarchical=getattr(args, "sample_hierarchical", False),
+            ckpt_backend=getattr(args, "ckpt_backend", "npz"),
+            steps_per_dispatch=getattr(args, "steps_per_dispatch", 1),
             num_hierarchical_sequences=getattr(args, "num_hierarchical_sequences", 5000),
             tensorboard=getattr(args, "tensorboard", False),
             tb_log_dir=getattr(args, "tb_log_dir", "./visualize/tensorboard"),

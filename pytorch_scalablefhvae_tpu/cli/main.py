@@ -75,6 +75,29 @@ def _cmd_eval(args) -> int:
     return 0
 
 
+def _cmd_extract(args) -> int:
+    from pytorch_scalablefhvae_tpu.features.extract import (
+        prepare_jax,
+        prepare_kaldi,
+        prepare_numpy,
+    )
+
+    sets = [args.set_name] if args.set_name else ["train", "dev", "test"]
+    for s in sets:
+        if args.data_format == "kaldi":
+            prepare_kaldi(args.dataset_dir, s, args.fbank_conf,
+                          sample_rate=args.sample_rate)
+        elif args.extractor == "jax":
+            prepare_jax(args.dataset, s, args.dataset_dir, ftype=args.feat_type,
+                        sample_rate=args.sample_rate, win_t=args.win_size,
+                        hop_t=args.hop_size, n_mels=args.mels)
+        else:
+            prepare_numpy(args.dataset, s, args.dataset_dir, ftype=args.feat_type,
+                          sample_rate=args.sample_rate, win_t=args.win_size,
+                          hop_t=args.hop_size, n_mels=args.mels)
+    return 0
+
+
 def _cmd_prep_timit(args) -> int:
     from pytorch_scalablefhvae_tpu.corpus.timit import process_timit
 
@@ -129,6 +152,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Number of example segment reconstructions to dump")
     p.set_defaults(fn=_cmd_eval)
 
+    p = sub.add_parser(
+        "extract",
+        help="Feature extraction for existing wav.scp manifests "
+             "(prepare_numpy_data.py / prepare_kaldi_data.py parity)",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    p.add_argument("dataset_dir", type=str,
+                   help="Directory containing <set>/wav.scp manifests")
+    p.add_argument("--set-name", "--set_name", dest="set_name", type=str, default=None,
+                   help="Set {train, dev, test} to operate on; all three if omitted")
+    add_common_flags(p)
+    p.set_defaults(fn=_cmd_extract)
+
     p = sub.add_parser("prep-timit", help="Generate TIMIT wav.scp manifests",
                        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
     p.add_argument("raw_data_dir", type=str, help="TIMIT raw data directory")
@@ -153,6 +189,16 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     _honor_platform_env()
     args = build_parser().parse_args(argv)
+    if getattr(args, "debug_nans", False):
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
+    if getattr(args, "multihost", False) or os.environ.get("SFHVAE_MULTIHOST"):
+        # multi-host pods: initialize the distributed runtime so
+        # jax.devices() spans all hosts (coordinator from env/TPU metadata)
+        import jax
+
+        jax.distributed.initialize()
     return args.fn(args)
 
 

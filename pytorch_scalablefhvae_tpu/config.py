@@ -124,6 +124,12 @@ class TrainConfig:
     tensorboard: bool = False
     tb_log_dir: str = "./visualize/tensorboard"
     log_params: bool = False
+    # bundle K optimizer steps into one dispatched XLA program (lax.scan);
+    # amortizes per-dispatch overhead, which dominates sub-ms steps. Forced
+    # to 1 in legacy mode to keep exact step-boundary semantics.
+    steps_per_dispatch: int = 1
+    # checkpointing: "npz" (portable single-file) | "orbax" (async sharded)
+    ckpt_backend: str = "npz"
     # parallelism: data-parallel and mu2-table (model) mesh axes
     mesh_shape: tuple[int, ...] = (1, 1)  # (data, model)
     donate_state: bool = True

@@ -41,18 +41,6 @@ def init_lstm(key: jax.Array, d_in: int, d_hid: int) -> dict:
     return {"w": w, "b": b}
 
 
-def lstm_cell(p: dict, h: jnp.ndarray, c: jnp.ndarray, x: jnp.ndarray, cdt=None):
-    inp = jnp.concatenate([x, h], axis=-1)
-    if cdt is not None:
-        gates = jnp.dot(inp.astype(cdt), p["w"].astype(cdt), preferred_element_type=jnp.float32) + p["b"]
-    else:
-        gates = jnp.dot(inp, p["w"], preferred_element_type=jnp.float32) + p["b"]
-    i, f, g, o = jnp.split(gates, 4, axis=-1)
-    c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
-    h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
-    return h_new, c_new
-
-
 def init_lstm_stack(key: jax.Array, d_in: int, widths: tuple[int, ...]) -> dict:
     ks = jax.random.split(key, len(widths))
     cells = []
@@ -67,24 +55,42 @@ def run_lstm(p: dict, xs: jnp.ndarray, cdt=None) -> tuple[jnp.ndarray, jnp.ndarr
     """Run a stacked LSTM over ``xs [B, T, D]``.
 
     Returns (all-layer-top hidden states [B, T, H_last], last hidden [B, H_last]).
+
+    TPU scheduling: the input-to-gates projection of each layer is hoisted
+    out of the recurrence as one ``[B*T, D] x [D, 4H]`` MXU matmul; only the
+    ``[B, H] x [H, 4H]`` recurrent product runs inside ``lax.scan``. Same
+    math as the fused cell, ~T-fold fewer small matmuls on the critical path.
     """
     B, T, _ = xs.shape
-    widths = [c["w"].shape[1] // 4 for c in p["cells"]]
+    seq = xs
+    last_h = None
+    for cell in p["cells"]:
+        hid = cell["w"].shape[1] // 4
+        d_in = cell["w"].shape[0] - hid
+        w_x, w_h = cell["w"][:d_in], cell["w"][d_in:]
+        if cdt is not None:
+            xg = jnp.einsum("btd,dh->bth", seq.astype(cdt), w_x.astype(cdt),
+                            preferred_element_type=jnp.float32) + cell["b"]
+        else:
+            xg = jnp.einsum("btd,dh->bth", seq, w_x,
+                            preferred_element_type=jnp.float32) + cell["b"]
 
-    def step(carry, x_t):
-        new_carry = []
-        inp = x_t
-        for cell, (h, c) in zip(p["cells"], carry):
-            h, c = lstm_cell(cell, h, c, inp, cdt)
-            new_carry.append((h, c))
-            inp = h
-        return new_carry, inp
+        def step(carry, xg_t, w_h=w_h):
+            h, c = carry
+            if cdt is not None:
+                gates = xg_t + jnp.dot(h.astype(cdt), w_h.astype(cdt),
+                                       preferred_element_type=jnp.float32)
+            else:
+                gates = xg_t + jnp.dot(h, w_h, preferred_element_type=jnp.float32)
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+            h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+            return (h_new, c_new), h_new
 
-    init_carry = [
-        (jnp.zeros((B, w), jnp.float32), jnp.zeros((B, w), jnp.float32)) for w in widths
-    ]
-    carry, tops = jax.lax.scan(step, init_carry, jnp.swapaxes(xs, 0, 1))
-    return jnp.swapaxes(tops, 0, 1), carry[-1][0]
+        init = (jnp.zeros((B, hid), jnp.float32), jnp.zeros((B, hid), jnp.float32))
+        (last_h, _), tops = jax.lax.scan(step, init, jnp.swapaxes(xg, 0, 1))
+        seq = jnp.swapaxes(tops, 0, 1)
+    return seq, last_h
 
 
 @dataclass(frozen=True)

@@ -23,24 +23,28 @@ _WINDOW_CODES = {"hamming": 0, "povey": 1, "hanning": 2, "rectangular": 3, "blac
 _lib = None
 
 
-def build_native(rebuild: bool = False) -> Path:
+def build_native(rebuild: bool = False, sanitize: bool = False) -> Path:
+    """Compile the shared library; ``sanitize=True`` builds an ASan/UBSan
+    variant (used by the sanitizer test tier, SURVEY.md §5)."""
     sources = [s for s in _SOURCES if s.exists()]
-    if _LIB_PATH.exists() and not rebuild:
+    out = _DIR / ("libsfhvae_native_asan.so" if sanitize else _LIB_PATH.name)
+    if out.exists() and not rebuild:
         newest_src = max(s.stat().st_mtime for s in sources)
-        if _LIB_PATH.stat().st_mtime >= newest_src:
-            return _LIB_PATH
-    cmd = [
-        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        *[str(s) for s in sources], "-o", str(_LIB_PATH),
-    ]
+        if out.stat().st_mtime >= newest_src:
+            return out
+    cmd = ["g++", "-O2" if sanitize else "-O3", "-march=native", "-shared",
+           "-fPIC", "-std=c++17"]
+    if sanitize:
+        cmd += ["-fsanitize=address,undefined", "-fno-omit-frame-pointer", "-g"]
+    cmd += [*[str(s) for s in sources], "-o", str(out)]
     subprocess.run(cmd, check=True, capture_output=True)
-    return _LIB_PATH
+    return out
 
 
 def load_native(rebuild: bool = False) -> ctypes.CDLL:
     global _lib
     if _lib is None or rebuild:
-        lib = ctypes.CDLL(str(build_native(rebuild)))
+        lib = ctypes.CDLL(str(build_native(rebuild=rebuild)))
         lib.fbank_num_frames.restype = ctypes.c_int
         lib.fbank_num_frames.argtypes = [
             ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_double,

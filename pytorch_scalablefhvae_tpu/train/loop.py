@@ -176,7 +176,14 @@ def run_training(
     best_epoch, best_val_lb = 0, -np.inf
     history = MetricHistory()
     if continue_from is not None:
-        state, meta = ckpt.load_checkpoint(continue_from, state, finetune=finetune)
+        if str(continue_from).endswith(".orbax"):
+            from pytorch_scalablefhvae_tpu.train.orbax_backend import (
+                load_checkpoint_orbax,
+            )
+
+            state, meta = load_checkpoint_orbax(continue_from, state, finetune=finetune)
+        else:
+            state, meta = ckpt.load_checkpoint(continue_from, state, finetune=finetune)
         start_epoch = meta["start_epoch"]
         best_epoch = meta.get("best_epoch", 0)
         best_val_lb = meta.get("best_val_lb", -np.inf)
@@ -201,6 +208,13 @@ def run_training(
     else:
         train_step = make_train_step(model, optimizer, config.optim.alpha_dis,
                                      donate=config.train.donate_state)
+    multi_train_step = None
+    if config.train.steps_per_dispatch > 1 and mesh is None and not config.train.legacy:
+        from pytorch_scalablefhvae_tpu.train.step import make_multi_train_step
+
+        multi_train_step = make_multi_train_step(
+            model, optimizer, config.optim.alpha_dis, donate=config.train.donate_state
+        )
     # dev evaluation is two-pass: MAP-estimate a dev mu2 table from encoder
     # means, then score the split against it — held-out sequences have no
     # rows in the learned table (the reference scored dev segments against
@@ -278,27 +292,58 @@ def run_training(
             writer.close()
             raise SystemExit(2)  # train_model.py:464-466 exit-code parity
 
-        for batch_idx, b in enumerate(device_prefetch(epoch_loader)):
-            state, metrics = train_step(state, b.feats, b.seq_idx, b.nsegs, b.weight)
-            step_losses.append(metrics["loss"])
-            step_counts.append(b.num_real)
-            if (batch_idx + 1) % nan_check_every == 0 and not np.isfinite(
-                float(step_losses[-1])
-            ):
-                result.state, result.diverged, result.last_epoch = state, True, epoch
-                _divergence_abort()
-            if legacy and (batch_idx + 1) % config.train.log_interval == 0:  # B4 fixed
-                if verbose:
-                    pct = 100.0 * batch_idx / len(epoch_loader)
-                    print(
-                        f"====> Train Epoch: {epoch} "
-                        f"[{batch_idx * epoch_loader.batch_size}/{len(epoch_loader.dataset)} "
-                        f"({pct:.0f}%)]\tLoss: {float(step_losses[-1]):.6f}"
-                    )
-            if legacy and (batch_idx + 1) % config.train.steps_per_epoch == 0:
-                break
+        k_dispatch = max(config.train.steps_per_dispatch, 1) if multi_train_step else 1
+        if k_dispatch > 1:
+            pending: list[Batch] = []
 
-        losses = np.asarray([float(l) for l in step_losses])
+            def flush(state):
+                stacked = (
+                    np.stack([p.feats for p in pending]),
+                    np.stack([p.seq_idx for p in pending]),
+                    np.stack([p.nsegs for p in pending]),
+                    np.stack([p.weight for p in pending]),
+                )
+                state, metrics = multi_train_step(state, *stacked)
+                step_losses.append(metrics["loss"])  # [k] device array
+                step_counts.extend(p.num_real for p in pending)
+                pending.clear()
+                return state
+
+            for b in epoch_loader:
+                pending.append(b)
+                if len(pending) == k_dispatch:
+                    state = flush(state)
+                    if not np.isfinite(float(np.asarray(step_losses[-1])[-1])):
+                        result.state, result.diverged, result.last_epoch = state, True, epoch
+                        _divergence_abort()
+            # tail: single-step path for the leftover batches
+            for b in pending:
+                state, metrics = train_step(state, b.feats, b.seq_idx, b.nsegs, b.weight)
+                step_losses.append(metrics["loss"])
+                step_counts.append(b.num_real)
+        else:
+            for batch_idx, b in enumerate(device_prefetch(epoch_loader)):
+                state, metrics = train_step(state, b.feats, b.seq_idx, b.nsegs, b.weight)
+                step_losses.append(metrics["loss"])
+                step_counts.append(b.num_real)
+                if (batch_idx + 1) % nan_check_every == 0 and not np.isfinite(
+                    float(step_losses[-1])
+                ):
+                    result.state, result.diverged, result.last_epoch = state, True, epoch
+                    _divergence_abort()
+                if legacy and (batch_idx + 1) % config.train.log_interval == 0:  # B4 fixed
+                    if verbose:
+                        pct = 100.0 * batch_idx / len(epoch_loader)
+                        print(
+                            f"====> Train Epoch: {epoch} "
+                            f"[{batch_idx * epoch_loader.batch_size}/{len(epoch_loader.dataset)} "
+                            f"({pct:.0f}%)]\tLoss: {float(step_losses[-1]):.6f}"
+                        )
+                if legacy and (batch_idx + 1) % config.train.steps_per_epoch == 0:
+                    break
+
+        losses = np.concatenate([np.atleast_1d(np.asarray(l, dtype=np.float64))
+                                 for l in step_losses]) if step_losses else np.zeros(0)
         counts = np.asarray(step_counts)
         epoch_dt = time.perf_counter() - epoch_t0
         segments_per_sec = float(counts.sum() / max(epoch_dt, 1e-9))
@@ -338,19 +383,38 @@ def run_training(
             best_epoch = epoch
             best_val_lb = val["lower_bound"]  # B6 fixed: track the best value
 
-        ckpt.save_checkpoint(
-            exp_dir,
-            state,
-            model_type=model.model_type,
-            model_params=model.model_params(),
-            run_info=config.base_string(),
-            epoch=epoch,
-            best_epoch=best_epoch,
-            best_val_lb=best_val_lb,
-            values=history.to_json_dict(),
-            summary_vals={k: float(v) for k, v in scalars.items()},
-            extra_meta={"num_seqs": num_seqs, "feat_dim": dim, "seg_len": seg_len},
-        )
+        ckpt_meta = {
+            "model_type": model.model_type,
+            "model_params": list(model.model_params()),
+            "best_epoch": best_epoch,
+            "best_val_lb": float(best_val_lb),
+            "values": history.to_json_dict(),
+            "summary_vals": {k: float(v) for k, v in scalars.items()},
+            "num_seqs": num_seqs, "feat_dim": dim, "seg_len": seg_len,
+        }
+        if config.train.ckpt_backend == "orbax":
+            from pytorch_scalablefhvae_tpu.train.orbax_backend import (
+                save_checkpoint_orbax,
+            )
+
+            save_checkpoint_orbax(
+                exp_dir, state, model_type=model.model_type,
+                run_info=config.base_string(), epoch=epoch, meta=ckpt_meta,
+            )
+        else:
+            ckpt.save_checkpoint(
+                exp_dir,
+                state,
+                model_type=model.model_type,
+                model_params=model.model_params(),
+                run_info=config.base_string(),
+                epoch=epoch,
+                best_epoch=best_epoch,
+                best_val_lb=best_val_lb,
+                values=history.to_json_dict(),
+                summary_vals=ckpt_meta["summary_vals"],
+                extra_meta={"num_seqs": num_seqs, "feat_dim": dim, "seg_len": seg_len},
+            )
 
         result = TrainResult(state, best_epoch, best_val_lb, epoch, history)
         if check_terminate(epoch, best_epoch, config.train.patience, config.train.epochs):

@@ -85,6 +85,38 @@ def make_train_step(model, optimizer, alpha: float, donate: bool = True):
     return jax.jit(step_fn, donate_argnums=donate_argnums)
 
 
+def make_multi_train_step(model, optimizer, alpha: float, donate: bool = True):
+    """Bundle K optimizer steps into ONE dispatched XLA program.
+
+    Takes stacked batches ``[K, B, ...]`` and runs the K updates inside a
+    ``lax.scan`` — for sub-millisecond steps (this model on a TPU chip) the
+    per-dispatch host/runtime overhead dominates wall-clock, and bundling
+    amortizes it K-fold. Returns per-substep metrics stacked ``[K]``.
+    """
+
+    def multi_fn(state: TrainState, feats_k, seq_idx_k, nsegs_k, weight_k):
+        def body(state, batch):
+            feats, seq_idx, nsegs, weight = batch
+            step_key = jax.random.fold_in(state.rng, state.step)
+
+            def loss_fn(params):
+                out = model.apply(params, feats, seq_idx, nsegs, step_key, sample=True)
+                return loss_from_outputs(out, weight, alpha)
+
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            return (
+                TrainState(new_params, new_opt_state, state.step + 1, state.rng),
+                metrics,
+            )
+
+        return jax.lax.scan(body, state, (feats_k, seq_idx_k, nsegs_k, weight_k))
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(multi_fn, donate_argnums=donate_argnums)
+
+
 def make_eval_step(model, alpha: float, with_table_override: bool = False):
     """Jitted eval step: posterior-mean forward pass, no parameter update.
 
