@@ -1,0 +1,21 @@
+# Convenience targets (the reference Makefile cloned and built all of Kaldi
+# to obtain compute-fbank-feats; here `make native` builds the in-tree C++
+# equivalents in one compiler invocation).
+
+.PHONY: native native-asan test bench clean
+
+native:
+	python -c "from pytorch_scalablefhvae_tpu.native.binding import build_native; print(build_native(rebuild=True))"
+
+native-asan:
+	python -c "from pytorch_scalablefhvae_tpu.native.binding import build_native; print(build_native(rebuild=True, sanitize=True))"
+
+test:
+	python -m pytest tests/ -q
+
+bench:
+	python bench.py
+
+clean:
+	rm -f pytorch_scalablefhvae_tpu/native/*.so
+	find . -name __pycache__ -type d -exec rm -rf {} + 2>/dev/null || true

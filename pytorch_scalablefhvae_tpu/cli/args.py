@@ -58,6 +58,8 @@ def add_train_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--beta-two", type=float, default=0.999, help="Beta2 for Adam")
     p.add_argument("--min-len", type=int, default=None,
                    help="Minimum sequence length; defaults to the segment length")
+    p.add_argument("--pack-cache-dir", type=str, default=None,
+                   help="Persist+memmap packed feature arrays here (corpus-scale splits)")
     p.add_argument("--mvn-path", type=str, default=None,
                    help="Path to a precomputed mean/variance normalization file")
     p.add_argument("--seg-len", type=int, default=20, help="Segment length to use")
@@ -144,6 +146,7 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
             seg_shift=getattr(args, "seg_shift", 8),
             rand_seg=getattr(args, "rand_seg", False),
             training_batch_size=getattr(args, "training_batch_size", 256),
+            pack_cache_dir=getattr(args, "pack_cache_dir", None),
             dev_batch_size=getattr(args, "dev_batch_size", 2048),
         ),
         model=ModelConfig(

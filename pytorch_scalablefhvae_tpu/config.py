@@ -65,6 +65,8 @@ class DataConfig:
     rand_seg: bool = False
     training_batch_size: int = 256
     dev_batch_size: int = 2048
+    # persist + memmap the packed feature arrays (corpus-scale splits)
+    pack_cache_dir: str | None = None
     # librispeech subset lists (preprocess_librispeech.py:98-103; B17 fixed:
     # test list is test-clean + test-other)
     train_list: tuple[str, ...] = ("train-clean-100",)

@@ -75,7 +75,12 @@ class FeatureStore:
         mvn_path: str | Path | None = None,
         sequence_list: Sequence[str] | None = None,
         verbose: bool = True,
+        pack_cache: str | Path | None = None,
     ):
+        """``pack_cache``: optional path prefix; the packed ``[total_frames,
+        dim]`` array is persisted there once and memory-mapped on later
+        constructions — corpus-scale splits (LibriSpeech-960 is ~110 GB
+        packed) need not fit in, or be re-packed into, host RAM."""
         feats = read_scp(feat_scp)
         lens = read_scp(len_scp, dtype=int, keep_keys=feats.keys())
 
@@ -92,25 +97,56 @@ class FeatureStore:
         self.seq2idx = {k: i for i, k in enumerate(keep)}
         self.lens = np.array([lens[k] for k in keep], dtype=np.int64)
 
+        offsets = np.zeros(len(keep) + 1, dtype=np.int64)
+        np.cumsum(self.lens, out=offsets[1:])
+        self.seq_starts = offsets[:-1].copy()
+        total = int(offsets[-1])
+
+        self.mvn_params: dict | None = None
+        cache = Path(pack_cache) if pack_cache is not None else None
+        meta_path = cache.with_suffix(".meta.json") if cache is not None else None
+        bin_path = cache.with_suffix(".bin") if cache is not None else None
+
+        if cache is not None and meta_path.exists():
+            # memmap an existing pack cache (stores MVN-applied data when the
+            # cache was built with an mvn_path; meta records which)
+            meta = json.loads(meta_path.read_text())
+            if meta["keys"] != keep:
+                raise ValueError(
+                    f"pack cache {cache} was built for a different sequence set"
+                )
+            self.dim = meta["dim"]
+            self.mvn_params = meta.get("mvn_params")
+            self.data = np.memmap(bin_path, dtype=np.float32, mode="r",
+                                  shape=(total, self.dim))
+            return
+
         loaded = _bulk_load(keep, feats)
         mats = [loaded[k] for k in keep]
         for k, m, l in zip(keep, mats, self.lens):
             if m.shape[0] != l:
-                raise ValueError(f"len.scp disagrees with features for {k}: {l} vs {m.shape[0]}")
+                raise ValueError(
+                    f"len.scp disagrees with features for {k}: {l} vs {m.shape[0]}"
+                )
         self.dim = mats[0].shape[1] if mats else 0
-        offsets = np.zeros(len(keep) + 1, dtype=np.int64)
-        np.cumsum(self.lens, out=offsets[1:])
-        self.seq_starts = offsets[:-1].copy()
         self.data = (
-            np.concatenate(mats, axis=0)
-            if mats
-            else np.zeros((0, 0), dtype=np.float32)
+            np.concatenate(mats, axis=0) if mats else np.zeros((0, 0), dtype=np.float32)
         )
-
-        self.mvn_params: dict | None = None
         if mvn_path is not None:
             self._mvn_prep(Path(mvn_path))
             self._apply_mvn_inplace()
+        if cache is not None:
+            cache.parent.mkdir(parents=True, exist_ok=True)
+            mm = np.memmap(bin_path, dtype=np.float32, mode="w+",
+                           shape=(total, self.dim))
+            mm[:] = self.data
+            mm.flush()
+            meta_path.write_text(json.dumps(
+                {"keys": keep, "dim": self.dim, "total": total,
+                 "mvn_params": self.mvn_params}
+            ))
+            self.data = np.memmap(bin_path, dtype=np.float32, mode="r",
+                                  shape=(total, self.dim))
 
     # ---- MVN (reference datasets.py:100-136 semantics, JSON schema parity) --
 

@@ -24,7 +24,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pytorch_scalablefhvae_tpu.models import layers
 from pytorch_scalablefhvae_tpu.models.layers import kld, log_gauss
 
 

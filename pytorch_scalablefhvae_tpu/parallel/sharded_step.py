@@ -23,11 +23,7 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from pytorch_scalablefhvae_tpu.models.base import loss_from_outputs
-from pytorch_scalablefhvae_tpu.parallel.mesh import (
-    DATA_AXIS,
-    batch_sharding,
-    state_shardings,
-)
+from pytorch_scalablefhvae_tpu.parallel.mesh import batch_sharding, state_shardings
 from pytorch_scalablefhvae_tpu.train.step import TrainState
 
 

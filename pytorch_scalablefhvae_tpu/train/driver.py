@@ -11,17 +11,11 @@ from __future__ import annotations
 
 from pathlib import Path
 
-import numpy as np
-
 from pytorch_scalablefhvae_tpu.config import ExperimentConfig
 from pytorch_scalablefhvae_tpu.data.feature_store import FeatureStore
 from pytorch_scalablefhvae_tpu.data.loader import SegmentLoader
 from pytorch_scalablefhvae_tpu.data.segments import SegmentDataset
-from pytorch_scalablefhvae_tpu.features.pipeline import (
-    dataset_directory,
-    preprocess_data,
-    split_manifests,
-)
+from pytorch_scalablefhvae_tpu.features.pipeline import preprocess_data, split_manifests
 from pytorch_scalablefhvae_tpu.train.loop import TrainResult, run_training
 
 
@@ -45,12 +39,16 @@ def build_loaders(
         paths = split_manifests(config, root=data_root)
 
     def make_loader(split: str, batch_size: int, shuffle: bool, seqs=None) -> SegmentLoader:
+        pack_cache = None
+        if dcfg.pack_cache_dir is not None:
+            pack_cache = Path(dcfg.pack_cache_dir) / f"{split}_pack"
         store = FeatureStore(
             paths[split]["feat_pth"],
             paths[split]["len_pth"],
             min_len=min_len,
             mvn_path=dcfg.mvn_path,
             sequence_list=seqs,
+            pack_cache=pack_cache,
         )
         ds = SegmentDataset(
             store,

@@ -10,9 +10,8 @@ best-value update, B12 per-term summaries reported).
 
 from __future__ import annotations
 
-import sys
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Any
 

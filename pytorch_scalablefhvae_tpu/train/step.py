@@ -10,7 +10,6 @@ all-reduce and the log-softmax collectives (SURVEY.md §2.3).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, NamedTuple
 
 import jax

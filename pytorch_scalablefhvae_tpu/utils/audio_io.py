@@ -10,7 +10,6 @@ decoders are implemented directly. Output is float32 mono in [-1, 1], matching
 from __future__ import annotations
 
 import shutil
-import struct
 import subprocess
 import wave
 from pathlib import Path

@@ -145,3 +145,28 @@ class TestLoader:
         s, feat, nsegs = ds[0]
         assert feat.shape == (20, 8)
         assert nsegs == ds.nsegs[s]
+
+
+class TestPackCache:
+    def test_cache_roundtrip_with_mvn(self, tmp_path, rng):
+        feat_scp, len_scp = build_split(tmp_path, rng)
+        mvn = tmp_path / "mvn.json"
+        cache = tmp_path / "cache" / "train_pack"
+        s1 = FeatureStore(feat_scp, len_scp, min_len=1, mvn_path=mvn,
+                          pack_cache=cache, verbose=False)
+        assert (tmp_path / "cache" / "train_pack.bin").exists()
+        # second construction memmaps; data identical, MVN params carried
+        s2 = FeatureStore(feat_scp, len_scp, min_len=1, mvn_path=mvn,
+                          pack_cache=cache, verbose=False)
+        assert isinstance(s2.data, np.memmap)
+        np.testing.assert_array_equal(np.asarray(s1.data), np.asarray(s2.data))
+        assert s2.mvn_params is not None
+        seg = s2.gather_segments(np.array([0]), np.array([3]), 7)
+        np.testing.assert_array_equal(seg[0], s2.sequence(0)[3:10])
+
+    def test_cache_rejects_different_keyset(self, tmp_path, rng):
+        feat_scp, len_scp = build_split(tmp_path, rng)
+        cache = tmp_path / "pack"
+        FeatureStore(feat_scp, len_scp, min_len=1, pack_cache=cache, verbose=False)
+        with pytest.raises(ValueError, match="different sequence set"):
+            FeatureStore(feat_scp, len_scp, min_len=25, pack_cache=cache, verbose=False)
