@@ -14,16 +14,24 @@ import sys
 
 
 def _honor_platform_env() -> None:
-    """Make ``JAX_PLATFORMS`` authoritative.
+    """Make ``JAX_PLATFORMS`` authoritative and enable the persistent
+    compilation cache.
 
     Some environments programmatically select a platform at interpreter
     startup (overriding the env var); re-assert the user's choice here.
+    Opt-in XLA compilation cache: set ``SFHVAE_XLA_CACHE=<dir>`` to make
+    repeat runs skip the 20-40 s first-compile. (Opt-in because some
+    experimental PJRT backends stall when the persistent cache is active.)
     """
+    import jax
+
     plat = os.environ.get("JAX_PLATFORMS")
     if plat:
-        import jax
-
         jax.config.update("jax_platforms", plat)
+    cache_dir = os.environ.get("SFHVAE_XLA_CACHE")
+    if cache_dir:
+        jax.config.update("jax_compilation_cache_dir", os.path.expanduser(cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 from pytorch_scalablefhvae_tpu.cli.args import (

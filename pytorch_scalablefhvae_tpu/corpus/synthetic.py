@@ -31,17 +31,49 @@ def make_synthetic_corpus(
     wav_dir = output_dir / "wav"
     wav_dir.mkdir(parents=True, exist_ok=True)
 
+    # Factorized generation so the two latents have distinct ground truth:
+    # - "content": a shared inventory of phone-like formant pairs; each
+    #   utterance is a random sequence of them (varies within an utterance);
+    # - "speaker": fundamental frequency + spectral tilt, constant per
+    #   speaker (the sequence-level factor z2 should capture).
+    n_phones = 10
+    phone_formants = [
+        (rng.uniform(300, 900), rng.uniform(1200, 2600)) for _ in range(n_phones)
+    ]
+
+    def render(speaker: int, dur: float) -> np.ndarray:
+        f0 = 90.0 + 14.0 * speaker + rng.uniform(-3, 3)
+        tilt = 0.6 + 0.05 * speaker  # per-harmonic amplitude decay
+        n = int(sr * dur)
+        t = np.arange(n) / sr
+        y = np.zeros(n)
+        pos = 0
+        while pos < n:
+            seg_n = int(sr * rng.uniform(0.12, 0.3))
+            f1, f2 = phone_formants[rng.integers(0, n_phones)]
+            sl = slice(pos, min(pos + seg_n, n))
+            ts = t[sl]
+            seg = np.zeros(len(ts))
+            for h in range(1, 24):
+                fh = f0 * h
+                if fh > sr / 2 - 200:
+                    break
+                # source-filter: harmonic source shaped by two formant peaks
+                gain = tilt**h * (
+                    1.0 / (1.0 + ((fh - f1) / 180.0) ** 2)
+                    + 0.6 / (1.0 + ((fh - f2) / 260.0) ** 2)
+                )
+                seg += gain * np.sin(2 * np.pi * fh * ts + rng.uniform(0, np.pi))
+            env = np.hanning(len(seg)) ** 0.3  # soften segment boundaries
+            y[sl] += seg * env
+            pos += seg_n
+        y += 0.01 * rng.standard_normal(n)
+        return (0.8 * y / np.max(np.abs(y))).astype(np.float32)
+
     entries: dict[str, dict[str, str]] = {"train": {}, "dev": {}, "test": {}}
     for s in range(num_speakers):
-        f0 = 100.0 + 40.0 * s  # speaker-dependent fundamental
         for u in range(utts_per_speaker):
-            dur = rng.uniform(min_seconds, max_seconds)
-            t = np.arange(int(sr * dur)) / sr
-            y = np.zeros_like(t)
-            for h in range(1, 4):
-                y += (0.3 / h) * np.sin(2 * np.pi * f0 * h * t + rng.uniform(0, np.pi))
-            y += 0.02 * rng.standard_normal(t.shape)
-            y = (0.8 * y / np.max(np.abs(y))).astype(np.float32)
+            y = render(s, rng.uniform(min_seconds, max_seconds))
             uttid = f"spk{s}_utt{u}"
             path = wav_dir / f"{uttid}.wav"
             write_wav(path, y, sr)

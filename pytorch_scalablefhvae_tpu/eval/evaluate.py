@@ -68,7 +68,7 @@ def load_experiment(exp_dir: str | Path, step: int = -1, num_seqs: int | None = 
         config.optim.learning_rate, config.optim.beta_one, config.optim.beta_two
     )
     template = create_train_state(model, optimizer, seed=config.train.seed)
-    state, meta = ckpt.load_checkpoint(ckpt_file, template, finetune=False)
+    state, meta = ckpt.load_any_checkpoint(ckpt_file, template, finetune=False)
     return config, model, state.params, meta
 
 

@@ -83,6 +83,17 @@ def read_checkpoint_meta(checkpoint_file: str | Path) -> dict:
     return json.loads(meta_path.read_text())
 
 
+def load_any_checkpoint(
+    checkpoint_file: str | Path, template_state: TrainState, finetune: bool = False
+) -> tuple[TrainState, dict]:
+    """Backend-dispatching load: .orbax directories or .npz files."""
+    if str(checkpoint_file).endswith(".orbax"):
+        from pytorch_scalablefhvae_tpu.train.orbax_backend import load_checkpoint_orbax
+
+        return load_checkpoint_orbax(checkpoint_file, template_state, finetune=finetune)
+    return load_checkpoint(checkpoint_file, template_state, finetune=finetune)
+
+
 def load_checkpoint(
     checkpoint_file: str | Path,
     template_state: TrainState,
@@ -136,17 +147,28 @@ def load_checkpoint(
 
 
 def find_best_checkpoint(exp_dir: str | Path) -> Path:
-    """Locate the best-model checkpoint (eval_model.py:50-53 parity)."""
-    matches = sorted(Path(exp_dir).glob("best_model_*.npz"))
-    if not matches:
-        raise FileNotFoundError(f"No best_model_*.npz under {exp_dir}")
-    return matches[-1]
+    """Locate the best-model checkpoint (eval_model.py:50-53 parity).
+
+    Handles both backends: the npz copy ``best_model_*.npz`` or the orbax
+    ``best_model_pointer.json`` pointer.
+    """
+    exp_dir = Path(exp_dir)
+    matches = sorted(exp_dir.glob("best_model_*.npz"))
+    if matches:
+        return matches[-1]
+    pointer = exp_dir / "best_model_pointer.json"
+    if pointer.exists():
+        return Path(json.loads(pointer.read_text())["path"])
+    raise FileNotFoundError(f"No best-model checkpoint under {exp_dir}")
 
 
 def find_epoch_checkpoint(exp_dir: str | Path, step: int) -> Path:
+    exp_dir = Path(exp_dir)
     matches = sorted(
-        p for p in Path(exp_dir).glob("*_e*.npz") if not p.name.startswith("best_model_")
+        p for p in exp_dir.glob("*_e*.npz") if not p.name.startswith("best_model_")
     )
+    if not matches:
+        matches = sorted(exp_dir.glob("*_e*.orbax"))
     if not matches:
         raise FileNotFoundError(f"No epoch checkpoints under {exp_dir}")
     return matches[step]

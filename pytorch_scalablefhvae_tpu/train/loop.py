@@ -175,14 +175,7 @@ def run_training(
     best_epoch, best_val_lb = 0, -np.inf
     history = MetricHistory()
     if continue_from is not None:
-        if str(continue_from).endswith(".orbax"):
-            from pytorch_scalablefhvae_tpu.train.orbax_backend import (
-                load_checkpoint_orbax,
-            )
-
-            state, meta = load_checkpoint_orbax(continue_from, state, finetune=finetune)
-        else:
-            state, meta = ckpt.load_checkpoint(continue_from, state, finetune=finetune)
+        state, meta = ckpt.load_any_checkpoint(continue_from, state, finetune=finetune)
         start_epoch = meta["start_epoch"]
         best_epoch = meta.get("best_epoch", 0)
         best_val_lb = meta.get("best_val_lb", -np.inf)

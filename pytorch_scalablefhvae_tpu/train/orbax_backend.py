@@ -45,6 +45,12 @@ def save_checkpoint_orbax(
     ckptr.wait_until_finished()
     meta_out = dict(meta, schema_version=_SCHEMA_VERSION, backend="orbax", epoch=epoch)
     (checkpoint_dir / f"{name}.json").write_text(json.dumps(meta_out, indent=2))
+    if meta.get("best_epoch") == epoch:
+        # pointer instead of the npz backend's file copy (orbax checkpoints
+        # are directories); find_best_checkpoint resolves it
+        (checkpoint_dir / "best_model_pointer.json").write_text(
+            json.dumps({"path": str(path), "epoch": epoch})
+        )
     return path
 
 
