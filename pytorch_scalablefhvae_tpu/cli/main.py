@@ -70,7 +70,7 @@ def _cmd_train(args) -> int:
 def _cmd_eval(args) -> int:
     from pytorch_scalablefhvae_tpu.eval.evaluate import evaluate_experiment
 
-    evaluate_experiment(
+    result = evaluate_experiment(
         exp_dir=args.exp_dir,
         set_name=args.set_name,
         seqlist=args.seqlist,
@@ -79,6 +79,16 @@ def _cmd_eval(args) -> int:
         output_dir=args.output_dir,
         num_reconstructions=args.num_reconstructions,
     )
+    if args.tensorboard:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            w = SummaryWriter(args.tb_log_dir)
+            for k, v in result["metrics"].items():
+                w.add_scalar(f"eval/{args.set_name}/{k}", float(v), 0)
+            w.close()
+        except Exception as e:
+            print(f"TensorBoard unavailable ({e})")
     return 0
 
 
@@ -102,6 +112,28 @@ def _cmd_extract(args) -> int:
             prepare_numpy(args.dataset, s, args.dataset_dir, ftype=args.feat_type,
                           sample_rate=args.sample_rate, win_t=args.win_size,
                           hop_t=args.hop_size, n_mels=args.mels)
+    return 0
+
+
+def _cmd_probe(args) -> int:
+    import json
+    from pathlib import Path
+
+    import numpy as np
+
+    from pytorch_scalablefhvae_tpu.eval.probes import speaker_probes
+
+    lat_dir = Path(args.exp_dir) / "eval" / args.set_name
+    if not (lat_dir / "latents.npz").exists():
+        from pytorch_scalablefhvae_tpu.eval.evaluate import evaluate_experiment
+
+        evaluate_experiment(args.exp_dir, set_name=args.set_name,
+                            data_root=args.data_root, verbose=False)
+    with np.load(lat_dir / "latents.npz") as z:
+        lat = {k: z[k] for k in ("z1_mu", "z2_mu", "seq_idx")}
+    seq_keys = json.loads((lat_dir / "sequences.json").read_text())
+    res = speaker_probes(lat, seq_keys, seed=args.seed)
+    print(json.dumps(res, indent=2))
     return 0
 
 
@@ -157,7 +189,23 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Where to write latents/reconstructions (default: exp_dir/eval)")
     p.add_argument("--num-reconstructions", type=int, default=8,
                    help="Number of example segment reconstructions to dump")
+    p.add_argument("--tensorboard", action="store_true",
+                   help="Also write eval metrics as TensorBoard scalars")
+    p.add_argument("--visdom", action="store_true",
+                   help="Accepted for reference-CLI parity; metrics go to JSON/TensorBoard")
+    p.add_argument("--tb-log-dir", default="./visualize/tensorboard",
+                   help="Location of tensorboard log")
     p.set_defaults(fn=_cmd_eval)
+
+    p = sub.add_parser("probe", help="Speaker-probe disentanglement diagnostic "
+                       "over extracted latents",
+                       formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("exp_dir", type=str, help="Experiment directory")
+    p.add_argument("--set-name", type=str, default="dev",
+                   choices=["train", "dev", "test"])
+    p.add_argument("--data-root", type=str, default=".")
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=_cmd_probe)
 
     p = sub.add_parser(
         "extract",
