@@ -267,7 +267,7 @@ def run_training(
         epoch_loader.set_epoch(epoch)
         profiling = (
             config.train.profile_dir is not None
-            and epoch == config.train.profile_epoch
+            and epoch == min(config.train.profile_epoch, config.train.epochs - 1)
         )
         if profiling:
             jax.profiler.start_trace(config.train.profile_dir)
