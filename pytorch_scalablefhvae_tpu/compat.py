@@ -51,11 +51,7 @@ class _ScpDataset(SegmentDataset):
         return self.store.seq_keys
 
     def apply_mvn(self, feats):
-        if self.store.mvn_params is None:
-            return feats
-        mean = np.asarray(self.store.mvn_params["mean"], np.float32).reshape(1, -1)
-        std = np.asarray(self.store.mvn_params["std"], np.float32).reshape(1, -1)
-        return (feats - mean) / std
+        return self.store.apply_mvn(feats)
 
     def undo_mvn(self, feats):
         return self.store.undo_mvn(feats)
@@ -77,7 +73,9 @@ class AudioUtils:
     @staticmethod
     def stft(y, sr, n_fft=400, hop_t=0.010, win_t=0.025, window="hamming",
              preemphasis=0.97):
-        return dsp_numpy.stft_mag(
+        # complex STFT, like the reference (utils.py:185-187 returns
+        # librosa.core.stft output) — phase is preserved
+        return dsp_numpy.stft_complex(
             np.asarray(y), sr, n_fft, hop_t, win_t, window, preemphasis
         ).T
 
@@ -112,7 +110,11 @@ def loss_function(lower_bound, log_qy, alpha=10.0):
 def estimate_mu2_dict(model, params, loader, pz2_var=None, pmu2_var=1.0):
     """Estimate mu2 per sequence from encoder means (utils.py:45-60 intent).
 
-    Returns ``{seq_key: mu2 vector}`` for the loader's dataset.
+    Signature differs from the reference (``estimate_mu2_dict(model, loader,
+    num_seqs)``): JAX models are stateless, so the params pytree is an
+    explicit argument, and the sequence count comes from the loader.
+    Matching the reference's contract, the dict is keyed by *sequence index*
+    and only contains sequences that contributed at least one segment.
     """
     from pytorch_scalablefhvae_tpu.eval.latents import estimate_mu2, extract_latents
 
@@ -121,5 +123,5 @@ def estimate_mu2_dict(model, params, loader, pz2_var=None, pmu2_var=1.0):
         pz2_var = float(np.exp(model.pz2_logvar))
     table = estimate_mu2(lat["z2_mu"], lat["seq_idx"], loader.dataset.num_seqs,
                          pz2_var=pz2_var, pmu2_var=pmu2_var)
-    keys = loader.dataset.store.seq_keys
-    return {k: table[i] for i, k in enumerate(keys)}
+    seen = set(int(i) for i in lat["seq_idx"])
+    return {i: table[i] for i in sorted(seen)}

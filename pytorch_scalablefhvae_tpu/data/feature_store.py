@@ -172,6 +172,14 @@ class FeatureStore:
         self.data -= mean.reshape(1, -1)
         self.data /= std.reshape(1, -1)
 
+    def apply_mvn(self, feats: np.ndarray) -> np.ndarray:
+        """Normalize external features with this store's MVN statistics."""
+        if self.mvn_params is None:
+            return feats
+        mean = np.asarray(self.mvn_params["mean"], dtype=np.float32).reshape(1, -1)
+        std = np.asarray(self.mvn_params["std"], dtype=np.float32).reshape(1, -1)
+        return (feats - mean) / std
+
     def undo_mvn(self, feats: np.ndarray) -> np.ndarray:
         if self.mvn_params is None:
             return feats

@@ -59,7 +59,7 @@ def frame_signal(y: np.ndarray, frame_length: int, hop_length: int) -> np.ndarra
     ).copy()
 
 
-def stft_mag(
+def stft_complex(
     y: np.ndarray,
     sr: int,
     n_fft: int = 400,
@@ -69,7 +69,7 @@ def stft_mag(
     preemphasis: float = 0.97,
     center: bool = True,
 ) -> np.ndarray:
-    """Magnitude STFT, shape (n_frames, 1 + n_fft // 2)."""
+    """Complex STFT, shape (n_frames, 1 + n_fft // 2)."""
     hop = int(sr * hop_t)
     win = int(sr * win_t)
     y = preemphasize(y, preemphasis)
@@ -84,8 +84,23 @@ def stft_mag(
         lpad = (n_fft - win) // 2
         w = np.pad(w, (lpad, n_fft - win - lpad))
     frames = frame_signal(y, n_fft, hop)
-    spec = np.fft.rfft(frames * w[None, :], n=n_fft, axis=1)
-    return np.abs(spec)
+    return np.fft.rfft(frames * w[None, :], n=n_fft, axis=1)
+
+
+def stft_mag(
+    y: np.ndarray,
+    sr: int,
+    n_fft: int = 400,
+    hop_t: float = 0.010,
+    win_t: float = 0.025,
+    window: str = "hamming",
+    preemphasis: float = 0.97,
+    center: bool = True,
+) -> np.ndarray:
+    """Magnitude STFT, shape (n_frames, 1 + n_fft // 2)."""
+    return np.abs(
+        stft_complex(y, sr, n_fft, hop_t, win_t, window, preemphasis, center)
+    )
 
 
 def log_spectrogram(

@@ -41,6 +41,8 @@ class TestAudioUtilsShim:
         assert m.shape[0] == 80  # mels first, like the reference
         s = compat.AudioUtils.rstft(y, 16000)
         assert s.shape[0] == 201
+        c = compat.AudioUtils.stft(y, 16000)
+        assert np.iscomplexobj(c) and c.shape[0] == 201  # phase preserved
 
 
 class TestLossFunction:
@@ -65,5 +67,5 @@ class TestEstimateMu2Dict:
                             z1_dim=4, z2_dim=4)
         params = model.init(jax.random.PRNGKey(0))
         d = compat.estimate_mu2_dict(model, params, loader)
-        assert set(d) == {"spk0_utt0", "spk1_utt1"}
-        assert d["spk0_utt0"].shape == (4,)
+        assert set(d) == {0, 1}  # keyed by sequence index (reference contract)
+        assert d[0].shape == (4,)
