@@ -85,7 +85,14 @@ class FeatureStore:
         lens = read_scp(len_scp, dtype=int, keep_keys=feats.keys())
 
         if sequence_list is not None:
-            keep = [k for k in sequence_list if k in feats]
+            missing = [k for k in sequence_list if k in feats and k not in lens]
+            if missing:
+                raise ValueError(
+                    f"Sequences present in feats.scp but missing from len.scp: "
+                    f"{missing[:5]}{'...' if len(missing) > 5 else ''}"
+                )
+            # min_len applies to explicit lists too (datasets.py:84 semantics)
+            keep = [k for k in sequence_list if k in feats and lens[k] >= min_len]
         else:
             # reference filter: keep sequences no shorter than min_len
             # (datasets.py:84)
@@ -114,6 +121,18 @@ class FeatureStore:
             if meta["keys"] != keep:
                 raise ValueError(
                     f"pack cache {cache} was built for a different sequence set"
+                )
+            if meta["total"] != total:
+                raise ValueError(
+                    f"pack cache {cache} is stale: built for {meta['total']} "
+                    f"total frames, len.scp now gives {total} (re-extract or "
+                    "delete the cache)"
+                )
+            if (meta.get("mvn_params") is None) != (mvn_path is None):
+                raise ValueError(
+                    f"pack cache {cache} was built with "
+                    f"{'no ' if meta.get('mvn_params') is None else ''}MVN but "
+                    "this request differs; delete the cache to rebuild"
                 )
             self.dim = meta["dim"]
             self.mvn_params = meta.get("mvn_params")

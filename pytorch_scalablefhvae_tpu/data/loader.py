@@ -123,22 +123,44 @@ class SegmentLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         _SENTINEL = object()
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            """Blocking put that aborts when the consumer abandoned us."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for idx in self._batches_indices():
-                    q.put(self._assemble(idx))
+                    if not _put(self._assemble(idx)):
+                        return
             finally:
-                q.put(_SENTINEL)
+                _put(_SENTINEL)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is _SENTINEL:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is _SENTINEL:
+                    break
+                yield item
+        finally:
+            # consumer abandoned the iterator (break / GC): release the
+            # producer so it does not stay blocked on the bounded queue
+            stop.set()
+            while True:
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join(timeout=5.0)
 
 
 def device_prefetch(batches, size: int = 2):

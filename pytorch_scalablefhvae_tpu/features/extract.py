@@ -14,6 +14,7 @@ Covers both reference backends with identical on-disk results:
 from __future__ import annotations
 
 import time
+import zlib
 from pathlib import Path
 
 import numpy as np
@@ -200,6 +201,7 @@ def prepare_kaldi(
     sample_rate: int | None = None,
     verbose: bool = True,
     use_native: bool = True,
+    dither_seed: int = 0,
 ) -> tuple[int, tuple[Path, Path, Path, Path]]:
     """Kaldi-backend extraction for one split; returns
     (count, (dataset_dir, feats_ark, feats_scp, len_scp)) like the reference
@@ -222,8 +224,9 @@ def prepare_kaldi(
             y, sr = read_audio(path, sample_rate)
             kwargs = dict(conf_kwargs)
             kwargs.setdefault("sr", sr)
-            # per-utterance deterministic dither stream
-            seed = abs(hash(seq)) % (2**31)
+            # per-utterance deterministic dither stream: stable across
+            # interpreter runs (Python's hash() is salted per process)
+            seed = (zlib.crc32(seq.encode()) + dither_seed) % (2**31)
             if native is not None:
                 feat = native(y, seed=seed, **kwargs)
             else:

@@ -66,7 +66,8 @@ def preprocess_data(
             paths[split] = {"wav_pth": wav_pth, "feat_pth": feat_pth, "len_pth": len_pth}
         else:
             _, (_, feat_ark, feat_pth, len_pth) = prepare_kaldi(
-                out_dir, split, fbank_conf, sample_rate=fcfg.sample_rate
+                out_dir, split, fbank_conf, sample_rate=fcfg.sample_rate,
+                dither_seed=fcfg.dither_seed,
             )
             paths[split] = {
                 "wav_pth": out_dir / split / "wav.scp",

@@ -84,16 +84,16 @@ def state_shardings(mesh: Mesh, state) -> object:
     """NamedSharding pytree for a full TrainState.
 
     The mu2 table's Adam moments share the table's row sharding; every other
-    leaf is replicated. Matching is shape-based for the optimizer state: any
-    leaf with the mu2 table's exact shape is table-aligned.
+    leaf is replicated. Matching is by pytree *path*: the optimizer state
+    mirrors the params dict, so the table's moment leaves carry 'mu2_table'
+    in their path (shape matching would also capture dense heads that happen
+    to share the table's shape).
     """
-    table_shape = tuple(np.shape(state.params["mu2_table"]))
 
     def assign(path, leaf):
         path_str = "/".join(str(p) for p in path)
-        if "mu2_table" in path_str or tuple(np.shape(leaf)) == table_shape:
-            if np.ndim(leaf) == 2:
-                return NamedSharding(mesh, P(MODEL_AXIS, None))
+        if "mu2_table" in path_str and np.ndim(leaf) == 2:
+            return NamedSharding(mesh, P(MODEL_AXIS, None))
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map_with_path(assign, state)

@@ -146,14 +146,27 @@ def load_checkpoint(
     return state, meta
 
 
+def _epoch_of(path: Path) -> int:
+    """Parse the epoch number from ``<...>_e<N>.<ext>``."""
+    stem = path.name
+    for suffix in (".npz", ".orbax"):
+        if stem.endswith(suffix):
+            stem = stem[: -len(suffix)]
+    try:
+        return int(stem.rsplit("_e", 1)[1])
+    except (IndexError, ValueError):
+        return -1
+
+
 def find_best_checkpoint(exp_dir: str | Path) -> Path:
     """Locate the best-model checkpoint (eval_model.py:50-53 parity).
 
-    Handles both backends: the npz copy ``best_model_*.npz`` or the orbax
+    Handles both backends: the npz copy ``best_model_*.npz`` (latest by
+    epoch *number* — lexicographic order misranks e9 vs e12) or the orbax
     ``best_model_pointer.json`` pointer.
     """
     exp_dir = Path(exp_dir)
-    matches = sorted(exp_dir.glob("best_model_*.npz"))
+    matches = sorted(exp_dir.glob("best_model_*.npz"), key=_epoch_of)
     if matches:
         return matches[-1]
     pointer = exp_dir / "best_model_pointer.json"
@@ -163,12 +176,15 @@ def find_best_checkpoint(exp_dir: str | Path) -> Path:
 
 
 def find_epoch_checkpoint(exp_dir: str | Path, step: int) -> Path:
+    """The ``step``-th epoch checkpoint in epoch-number order (negative
+    indices count from the end, python-style)."""
     exp_dir = Path(exp_dir)
     matches = sorted(
-        p for p in exp_dir.glob("*_e*.npz") if not p.name.startswith("best_model_")
+        (p for p in exp_dir.glob("*_e*.npz") if not p.name.startswith("best_model_")),
+        key=_epoch_of,
     )
     if not matches:
-        matches = sorted(exp_dir.glob("*_e*.orbax"))
+        matches = sorted(exp_dir.glob("*_e*.orbax"), key=_epoch_of)
     if not matches:
         raise FileNotFoundError(f"No epoch checkpoints under {exp_dir}")
     return matches[step]

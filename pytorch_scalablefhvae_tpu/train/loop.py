@@ -53,18 +53,19 @@ def check_terminate(epoch: int, best_epoch: int, patience: int, epochs: int) -> 
 def _replace_mu2_table(state: TrainState, table) -> TrainState:
     """Swap in a new mu2 table and zero its optimizer moments (the table is
     per-round "fast weights" under hierarchical sampling; MLP moments are
-    preserved)."""
+    preserved). Moments are matched by pytree *path* — the optimizer state
+    mirrors the params dict, so its mu2 leaves carry 'mu2_table' in their
+    path (shape matching would also hit dense heads of the same shape)."""
     import jax.numpy as jnp
 
     params = dict(state.params, mu2_table=table)
-    tshape = tuple(np.shape(table))
 
-    def reset(leaf):
-        if hasattr(leaf, "shape") and tuple(np.shape(leaf)) == tshape and np.ndim(leaf) == 2:
+    def reset(path, leaf):
+        if any("mu2_table" in str(getattr(p, "key", p)) for p in path):
             return jnp.zeros_like(leaf)
         return leaf
 
-    opt_state = jax.tree_util.tree_map(reset, state.opt_state)
+    opt_state = jax.tree_util.tree_map_with_path(reset, state.opt_state)
     return TrainState(params=params, opt_state=opt_state, step=state.step, rng=state.rng)
 
 
@@ -257,10 +258,21 @@ def run_training(
             )
             est_loader = SegmentLoader(sub_ds, train_loader.batch_size,
                                        shuffle=False, seed=0)
-            table = jax.device_put(estimate_split_mu2(
+            table_np = estimate_split_mu2(
                 encode_step, state.params, est_loader, hier_k, pz2_var,
                 z2_dim=config.model.z2_dim,
-            ))
+            )
+            if mesh is not None:
+                # keep the replacement table on the mesh with the step's
+                # expected row sharding (a plain device_put would commit it
+                # to one device and fight the compiled in_shardings)
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                table = jax.device_put(
+                    table_np, NamedSharding(mesh, P("model", None))
+                )
+            else:
+                table = jax.device_put(table_np)
             state = _replace_mu2_table(state, table)
         else:
             epoch_loader = train_loader

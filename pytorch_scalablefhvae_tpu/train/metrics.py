@@ -89,19 +89,26 @@ class MetricWriter:
                     self._tb.add_histogram(tag, np.asarray(leaf).ravel(), epoch + 1)
             self._tb.flush()
 
+    # history key -> the live per-epoch scalar tag it corresponds to, so
+    # resumed curves continue the same TensorBoard series
+    _HISTORY_TO_SCALAR = {
+        "train_loss_results": "train_loss",
+        "val_loss_results": "val_loss",
+        "lower_bound_results": "val_lower_bound",
+        "discrim_loss_results": "val_log_qy",
+    }
+
     def replay_history(self, history: MetricHistory, up_to_epoch: int) -> None:
         """Re-emit prior epochs to TensorBoard on resume
         (logger.py:52-54,88-101 parity)."""
         if self._tb is None:
             return
         for ep in range(up_to_epoch):
-            scalars = {}
-            for key in HISTORY_KEYS:
+            for key, tag in self._HISTORY_TO_SCALAR.items():
                 if ep in history.values[key]:
-                    scalars[key] = history.values[key][ep]
-            if scalars:
-                for k, v in scalars.items():
-                    self._tb.add_scalar(f"{self.run_id}/{k}", float(v), ep + 1)
+                    self._tb.add_scalar(
+                        f"{self.run_id}/{tag}", float(history.values[key][ep]), ep + 1
+                    )
         self._tb.flush()
 
     def close(self) -> None:
