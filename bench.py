@@ -23,7 +23,7 @@ SEG_LEN, N_MELS, BATCH = 20, 80, 256
 NUM_SEQS = 4620  # TIMIT train-partition sequence count
 ALPHA = 10.0
 WARMUP, STEPS = 10, 256
-BASELINE_STEPS = 12
+BASELINE_STEPS = 8
 
 
 def make_batches(rng, n=8):
@@ -82,18 +82,24 @@ def bench_jax(num_seqs: int = NUM_SEQS, use_pallas: str = "never", steps: int = 
             state, m = step(state, feats_k[0], seq_k[0], nsegs_k[0], weight_k[0])
             return state, m["loss"]
 
+    def sync(loss):
+        # IMPORTANT: actually fetch to host. On the experimental tunneled
+        # backend, jax.block_until_ready returns before execution completes,
+        # which silently turns timings into dispatch-rate measurements.
+        return float(np.asarray(loss).ravel()[-1])
+
     state, loss = run_once(state)
-    jax.block_until_ready(loss)
+    sync(loss)
 
     # chunked timing, best-of-chunks: the tunneled single-chip runner shows
     # large run-to-run variance; min-of-chunks estimates machine capability
     dispatches = max(steps // k, 1)
     best_dt = float("inf")
-    for _ in range(5):
+    for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(dispatches):
             state, loss = run_once(state)
-        jax.block_until_ready(loss)
+        sync(loss)
         best_dt = min(best_dt, time.perf_counter() - t0)
     return dispatches * k * BATCH / best_dt
 
@@ -194,16 +200,16 @@ def main() -> None:
         # corpus-scale mu2 table: XLA materialized-logits vs streaming Pallas
         try:
             extras["large_table_sps_xla"] = round(
-                bench_jax(num_seqs=LARGE_N, use_pallas="never", steps=64, k_dispatch=16), 1
+                bench_jax(num_seqs=LARGE_N, use_pallas="never", steps=32, k_dispatch=16), 1
             )
             extras["large_table_sps_pallas"] = round(
-                bench_jax(num_seqs=LARGE_N, use_pallas="always", steps=64, k_dispatch=16), 1
+                bench_jax(num_seqs=LARGE_N, use_pallas="always", steps=32, k_dispatch=16), 1
             )
         except Exception as e:
             print(f"# large-table bench failed: {e}")
         try:
             extras["fhvae_lstm_sps"] = round(
-                bench_jax(steps=128, model_type="fhvae", k_dispatch=32), 1
+                bench_jax(steps=64, model_type="fhvae", k_dispatch=32), 1
             )
         except Exception as e:
             print(f"# fhvae bench failed: {e}")

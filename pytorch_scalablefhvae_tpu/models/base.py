@@ -61,19 +61,16 @@ def discriminative_log_qy(
     term (constant in s), so it is dropped.
 
     ``use_pallas``: "never" | "always" | "auto". "auto" selects the streaming
-    Pallas kernel (ops/discriminative.py) on TPU only when the materialized
-    ``[B, N]`` logits (fwd + bwd) would put real pressure on HBM — measured
-    on v5e, XLA's fused matmul+softmax is *faster* than the streaming kernel
-    when the logits fit (745k vs 530k segments/sec at B=256, N=281k), but its
-    peak memory grows with B*N while the kernel's stays O(B*D + N*D). The
-    jnp form is also the GSPMD-partitionable one for a model-axis-sharded
-    table.
+    Pallas kernel (ops/discriminative.py) whenever running on TPU — measured
+    on v5e (host-synced timing, K=64 step bundling) it matches or beats
+    XLA's fused matmul+softmax at every table size (1.06x at N=4.6k, 1.36x
+    at N=100k, 1.74x at N=281k) while keeping HBM at O(B*D + N*D) instead of
+    the materialized ``[B, N]`` logits. The jnp form remains for non-TPU
+    backends and as the GSPMD-partitionable path when the table is
+    model-axis sharded (the training loop passes "never" in that case).
     """
-    logits_bytes = 2 * z2_mu.shape[0] * mu2_table.shape[0] * 4  # fwd + bwd
     if use_pallas == "always" or (
-        use_pallas == "auto"
-        and jax.default_backend() == "tpu"
-        and logits_bytes > (2 << 30)
+        use_pallas == "auto" and jax.default_backend() == "tpu"
     ):
         from pytorch_scalablefhvae_tpu.ops.discriminative import (
             discriminative_log_qy_pallas,
