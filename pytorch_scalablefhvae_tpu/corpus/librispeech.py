@@ -14,6 +14,7 @@ preprocess_librispeech.py:57-70).
 from __future__ import annotations
 
 import os
+import warnings
 from pathlib import Path
 
 from pytorch_scalablefhvae_tpu.utils.audio_io import read_flac, write_wav
@@ -43,6 +44,13 @@ def write_split_scp(
         for subset in subset_list:
             subset_dir = root_dir / subset
             if not subset_dir.exists():
+                # a typo'd or unmounted subset must not silently produce an
+                # empty manifest that only fails later as an obscure
+                # empty-dataset error
+                warnings.warn(
+                    f"LibriSpeech subset directory {subset_dir} does not "
+                    f"exist; skipping it"
+                )
                 continue
             for uid, path in find_audios(subset_dir):
                 if convert and path.lower().endswith(".flac"):
@@ -75,6 +83,11 @@ def process_librispeech(
     for split, subsets in (("train", train_list), ("dev", dev_list), ("test", test_list)):
         scp = output_dir / split / "wav.scp"
         n = write_split_scp(raw_data_dir, scp, subsets, convert=convert)
+        if n == 0:
+            raise ValueError(
+                f"LibriSpeech split '{split}' has zero utterances: none of "
+                f"the subsets {subsets} under {raw_data_dir} contained audio"
+            )
         print(f"  {split}: {n} utterances from {subsets}")
         scps[split] = scp
     print("Generated scp files")

@@ -220,8 +220,18 @@ def prepare_kaldi(
     start = time.time()
     count = 0
     with ArkWriter(feat_ark, feat_scp) as writer, open(len_scp, "w") as lf:
+        conf_sr = conf_kwargs.get("sr")
         for seq, path in read_scp(wav_scp).items():
             y, sr = read_audio(path, sample_rate)
+            if conf_sr is not None and int(conf_sr) != int(sr):
+                # Kaldi parity: compute-fbank-feats errors out on a
+                # sample-frequency mismatch rather than silently computing
+                # wrong frame/mel geometry
+                raise ValueError(
+                    f"Sample rate mismatch for '{seq}': fbank conf expects "
+                    f"{conf_sr} Hz but {path} is {sr} Hz; resample the audio "
+                    f"or fix --sample-frequency in the conf"
+                )
             kwargs = dict(conf_kwargs)
             kwargs.setdefault("sr", sr)
             # per-utterance deterministic dither stream: stable across
