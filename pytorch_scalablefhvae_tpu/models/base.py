@@ -50,6 +50,8 @@ def discriminative_log_qy(
     seq_idx: jnp.ndarray,
     pz2_logvar: float,
     use_pallas: str = "never",
+    num_real: int | None = None,
+    mesh=None,
 ) -> jnp.ndarray:
     """log q(y | z2) under logits ``-||z2_mu - mu2[s]||^2 / (2 sigma^2)``.
 
@@ -60,28 +62,48 @@ def discriminative_log_qy(
     The log-softmax over N is algebraically independent of the ``||z2_mu||^2``
     term (constant in s), so it is dropped.
 
+    ``num_real``: count of real table rows. When the table is padded (rows
+    rounded up to a multiple of the mesh's model axis;
+    ``parallel.mesh.padded_num_seqs``), padded rows are masked out of the
+    log-sum-exp so the objective is exactly the unpadded one.
+
     ``use_pallas``: "never" | "always" | "auto". "auto" selects the streaming
     Pallas kernel (ops/discriminative.py) whenever running on TPU — measured
     on v5e (host-synced timing, K=64 step bundling) it matches or beats
     XLA's fused matmul+softmax at every table size (1.06x at N=4.6k, 1.36x
     at N=100k, 1.74x at N=281k) while keeping HBM at O(B*D + N*D) instead of
-    the materialized ``[B, N]`` logits. The jnp form remains for non-TPU
-    backends and as the GSPMD-partitionable path when the table is
-    model-axis sharded (the training loop passes "never" in that case).
+    the materialized ``[B, N]`` logits. When ``mesh`` is given the Pallas
+    path runs per-shard under ``shard_map`` with a collective LSE combine,
+    so it composes with data- and model-axis sharding; the jnp form remains
+    as the GSPMD-partitionable fallback and the non-TPU path.
     """
+    n = mu2_table.shape[0]
+    num_real = n if num_real is None else int(num_real)
     if use_pallas == "always" or (
         use_pallas == "auto" and jax.default_backend() == "tpu"
     ):
         from pytorch_scalablefhvae_tpu.ops.discriminative import (
             discriminative_log_qy_pallas,
+            discriminative_log_qy_pallas_sharded,
         )
 
-        return discriminative_log_qy_pallas(z2_mu, mu2_table, seq_idx, float(pz2_logvar))
+        interpret = jax.default_backend() != "tpu"
+        if mesh is not None:
+            return discriminative_log_qy_pallas_sharded(
+                z2_mu, mu2_table, seq_idx, float(pz2_logvar), mesh,
+                num_real=num_real, interpret=interpret,
+            )
+        return discriminative_log_qy_pallas(
+            z2_mu, mu2_table, seq_idx, float(pz2_logvar),
+            num_real=num_real, interpret=interpret,
+        )
 
     inv_two_var = 0.5 / np.exp(pz2_logvar)
     cross = jnp.dot(z2_mu, mu2_table.T, preferred_element_type=jnp.float32)  # [B, N]
     sq_norms = jnp.sum(mu2_table * mu2_table, axis=-1)  # [N]
     logits = inv_two_var * (2.0 * cross - sq_norms[None, :])
+    if num_real < n:
+        logits = jnp.where(jnp.arange(n)[None, :] < num_real, logits, -1e30)
     return jax.nn.log_softmax(logits, axis=-1)[jnp.arange(z2_mu.shape[0]), seq_idx]
 
 

@@ -109,8 +109,15 @@ class FHVAE:
     compute_dtype: str = "float32"
     use_pallas: str = "auto"
     feat_dim: int = 80  # frames arrive as [B, T, feat_dim]
+    # see SimpleFHVAE: mu2 rows padded to a multiple of the mesh model axis
+    num_seqs_padded: int | None = None
+    shard_mesh: object = None
 
     model_type = "fhvae"
+
+    @property
+    def table_rows(self) -> int:
+        return self.num_seqs_padded or self.num_seqs
 
     @classmethod
     def from_config(cls, input_size: int, cfg, num_seqs: int, feat_dim: int = 80) -> "FHVAE":
@@ -146,7 +153,7 @@ class FHVAE:
             "z1_gauss": layers.init_gauss_head(ks[3], self.z1_hus[-1], self.z1_dim),
             "dec_lstm": init_lstm_stack(ks[4], self.z1_dim + self.z2_dim, self.x_hus),
             "dec_gauss": layers.init_gauss_head(ks[5], self.x_hus[-1], self.feat_dim),
-            "mu2_table": init_mu2_table(ks[6], self.num_seqs, self.z2_dim, self.mu2_init_std),
+            "mu2_table": init_mu2_table(ks[6], self.table_rows, self.z2_dim, self.mu2_init_std),
         }
 
     def encode(self, params: dict, x: jnp.ndarray, key: jax.Array, sample: bool = True) -> dict:
@@ -208,9 +215,13 @@ class FHVAE:
         )
 
         # mu2_table override: evaluation supplies MAP-estimated tables for
-        # held-out splits (the learned table only covers training sequences)
+        # held-out splits (the learned table only covers training sequences);
+        # override tables are unpadded and unsharded
         if mu2_table is None:
             mu2_table = params["mu2_table"]
+            num_real, mesh = self.num_seqs, self.shard_mesh
+        else:
+            num_real, mesh = mu2_table.shape[0], None
         mu2 = mu2_table[seq_idx]
         lower_bound, log_px_z, neg_kld_z1, neg_kld_z2, log_pmu2 = assemble_elbo(
             x, mu2,
@@ -219,7 +230,8 @@ class FHVAE:
             pz2_logvar=self.pz2_logvar,
         )
         log_qy = discriminative_log_qy(
-            enc["z2_mu"], mu2_table, seq_idx, self.pz2_logvar, self.use_pallas
+            enc["z2_mu"], mu2_table, seq_idx, self.pz2_logvar, self.use_pallas,
+            num_real=num_real, mesh=mesh,
         )
         return FHVAEOutputs(
             lower_bound=lower_bound,

@@ -43,8 +43,18 @@ class SimpleFHVAE:
     mu2_init_std: float = 1.0
     compute_dtype: str = "float32"
     use_pallas: str = "auto"
+    # mu2 rows padded up to a multiple of the mesh's model axis (None: no
+    # padding). Padded rows are masked out of the discriminative softmax and
+    # never gathered — pure layout, not architecture.
+    num_seqs_padded: int | None = None
+    # mesh for the shard_map'd Pallas discriminative path (None: GSPMD/jnp)
+    shard_mesh: object = None
 
     model_type = "simple_fhvae"
+
+    @property
+    def table_rows(self) -> int:
+        return self.num_seqs_padded or self.num_seqs
 
     @classmethod
     def from_config(cls, input_size: int, cfg, num_seqs: int) -> "SimpleFHVAE":
@@ -79,7 +89,7 @@ class SimpleFHVAE:
             "z1_gauss": layers.init_gauss_head(ks[3], self.z1_hus[-1], self.z1_dim),
             "dec_pre": layers.init_mlp(ks[4], self.z1_dim + self.z2_dim, self.x_hus),
             "dec_gauss": layers.init_gauss_head(ks[5], self.x_hus[-1], self.input_size),
-            "mu2_table": init_mu2_table(ks[6], self.num_seqs, self.z2_dim, self.mu2_init_std),
+            "mu2_table": init_mu2_table(ks[6], self.table_rows, self.z2_dim, self.mu2_init_std),
         }
 
     def encode(
@@ -157,9 +167,13 @@ class SimpleFHVAE:
         )
 
         # mu2_table override: evaluation supplies MAP-estimated tables for
-        # held-out splits (the learned table only covers training sequences)
+        # held-out splits (the learned table only covers training sequences);
+        # override tables are unpadded and unsharded
         if mu2_table is None:
             mu2_table = params["mu2_table"]
+            num_real, mesh = self.num_seqs, self.shard_mesh
+        else:
+            num_real, mesh = mu2_table.shape[0], None
         mu2 = mu2_table[seq_idx]
 
         lower_bound, log_px_z, neg_kld_z1, neg_kld_z2, log_pmu2 = assemble_elbo(
@@ -169,7 +183,8 @@ class SimpleFHVAE:
             pz2_logvar=self.pz2_logvar,
         )
         log_qy = discriminative_log_qy(
-            enc["z2_mu"], mu2_table, seq_idx, self.pz2_logvar, self.use_pallas
+            enc["z2_mu"], mu2_table, seq_idx, self.pz2_logvar, self.use_pallas,
+            num_real=num_real, mesh=mesh,
         )
 
         return FHVAEOutputs(

@@ -28,6 +28,17 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def padded_num_seqs(num_seqs: int, model_axis_size: int) -> int:
+    """Round the mu2 row count up to a multiple of the model axis so the
+    row-sharded table divides evenly on any corpus (TIMIT's 4620 train
+    sequences on a model=8 axis, etc.). Padded rows carry zero weight: they
+    are masked out of the discriminative log-sum-exp (models/base.py
+    ``num_real``) and no segment ever gathers them."""
+    if model_axis_size <= 1:
+        return num_seqs
+    return -(-num_seqs // model_axis_size) * model_axis_size
+
+
 def make_mesh(
     mesh_shape: tuple[int, int] | None = None, devices=None
 ) -> Mesh:

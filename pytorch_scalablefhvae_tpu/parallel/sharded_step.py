@@ -12,8 +12,13 @@ Builds the same train/eval steps as ``train/step.py`` but compiled against a
   hand-written collectives.
 
 Requirement: the global batch size must divide the "data" axis size, and the
-mu2 row count should be padded to a multiple of the "model" axis size (see
-:func:`padded_num_seqs`).
+mu2 row count must be padded to a multiple of the "model" axis size
+(``parallel.mesh.padded_num_seqs``; the training loop sets the model's
+``num_seqs_padded`` accordingly).
+
+Evaluation under a mesh is intentionally unsharded: dev/test splits are
+scored against small MAP-estimated per-split mu2 tables (train/loop.py
+``eval_dev``), which are not row-sharded.
 """
 
 from __future__ import annotations
@@ -71,17 +76,3 @@ def make_sharded_train_step(model, optimizer, alpha: float, mesh: Mesh, donate: 
         return compiled[key](state, feats, seq_idx, nsegs, weight)
 
     return step
-
-
-def make_sharded_eval_step(model, alpha: float, mesh: Mesh):
-    import jax.numpy as jnp
-
-    def step_fn(params, feats, seq_idx, nsegs, weight, key):
-        out = model.apply(params, feats, seq_idx, nsegs, key, sample=False)
-        loss, metrics = loss_from_outputs(out, weight, alpha)
-        n = jnp.sum(weight)
-        sums = {k: v * n for k, v in metrics.items()}
-        sums["count"] = n
-        return sums
-
-    return jax.jit(step_fn)

@@ -78,6 +78,13 @@ def save_checkpoint(
     return npz_path
 
 
+def _adapt_rows(arr: np.ndarray, rows: int) -> np.ndarray:
+    """Slice or zero-pad dim 0 to ``rows`` (mu2 mesh-padding adaptation)."""
+    if arr.shape[0] > rows:
+        return arr[:rows]
+    return np.pad(arr, ((0, rows - arr.shape[0]), (0, 0)))
+
+
 def read_checkpoint_meta(checkpoint_file: str | Path) -> dict:
     meta_path = Path(checkpoint_file).with_suffix(".json")
     return json.loads(meta_path.read_text())
@@ -116,20 +123,38 @@ def load_checkpoint(
     with np.load(checkpoint_file) as z:
         leaves = [z[f"leaf_{i}"] for i in range(meta["num_leaves"])]
 
-    tmpl_leaves, treedef = jax.tree_util.tree_flatten(template_state)
-    if len(leaves) != len(tmpl_leaves):
+    with_path, treedef = jax.tree_util.tree_flatten_with_path(template_state)
+    if len(leaves) != len(with_path):
         raise ValueError(
             f"Checkpoint has {len(leaves)} leaves; current model/optimizer "
-            f"defines {len(tmpl_leaves)} — architecture mismatch."
+            f"defines {len(with_path)} — architecture mismatch."
         )
-    for i, (saved, tmpl) in enumerate(zip(leaves, tmpl_leaves)):
-        if tuple(saved.shape) != tuple(np.shape(tmpl)):
-            raise ValueError(
-                f"Leaf {i} shape mismatch: checkpoint {saved.shape} vs model {np.shape(tmpl)}"
-            )
+    adapted = []
+    for i, ((path, tmpl), saved) in enumerate(zip(with_path, leaves)):
+        t_shape = tuple(np.shape(tmpl))
+        if tuple(saved.shape) != t_shape:
+            path_str = "/".join(str(p) for p in path)
+            # mu2 row-count mismatches are layout, not architecture: the
+            # table (and its optimizer moments) may be padded to a multiple
+            # of a mesh's model axis. Slice padding off / pad zero rows on
+            # so checkpoints are interchangeable across mesh shapes.
+            if (
+                "mu2_table" in path_str
+                and saved.ndim == 2
+                and len(t_shape) == 2
+                and saved.shape[1] == t_shape[1]
+            ):
+                saved = _adapt_rows(saved, t_shape[0])
+            else:
+                raise ValueError(
+                    f"Leaf {i} ({path_str}) shape mismatch: checkpoint "
+                    f"{saved.shape} vs model {t_shape}"
+                )
+        adapted.append(saved)
     # PRNG keys need their original dtype semantics
     cast = [
-        np.asarray(s, dtype=np.asarray(t).dtype) for s, t in zip(leaves, tmpl_leaves)
+        np.asarray(s, dtype=np.asarray(t).dtype)
+        for s, (_, t) in zip(adapted, with_path)
     ]
     state = jax.tree_util.tree_unflatten(treedef, cast)
 

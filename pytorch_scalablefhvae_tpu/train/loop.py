@@ -150,24 +150,36 @@ def run_training(
     if hier:
         num_seqs = hier_k
 
+    # device mesh: explicit shape from config, or single-device by default
+    mesh = None
+    if tuple(config.train.mesh_shape) != (1, 1):
+        from pytorch_scalablefhvae_tpu.parallel.mesh import (
+            make_mesh,
+            padded_num_seqs,
+            shard_state,
+        )
+
+        mesh = make_mesh(tuple(config.train.mesh_shape))
+
     model = build_model(config.model.model_type, input_size, config.model, num_seqs,
                         feat_dim=dim)
+    if mesh is not None:
+        import dataclasses as _dc
+
+        # pad the mu2 table to a multiple of the model axis (padded rows are
+        # masked out of the softmax) and hand the mesh to the model so the
+        # Pallas discriminative path runs per-shard under shard_map with a
+        # collective LSE combine; the jnp path partitions via GSPMD instead
+        model = _dc.replace(
+            model,
+            num_seqs_padded=padded_num_seqs(num_seqs, mesh.shape["model"]),
+            shard_mesh=mesh,
+        )
     optimizer = make_optimizer(
         config.optim.learning_rate, config.optim.beta_one, config.optim.beta_two
     )
     state = create_train_state(model, optimizer, seed=config.train.seed)
-
-    # device mesh: explicit shape from config, or single-device by default
-    mesh = None
-    if tuple(config.train.mesh_shape) != (1, 1):
-        import dataclasses as _dc
-
-        from pytorch_scalablefhvae_tpu.parallel.mesh import make_mesh, shard_state
-
-        mesh = make_mesh(tuple(config.train.mesh_shape))
-        if mesh.shape["model"] > 1 and model.use_pallas != "never":
-            # the jnp softmax is the GSPMD-partitionable form
-            model = _dc.replace(model, use_pallas="never")
+    if mesh is not None:
         state = shard_state(mesh, state)
         if verbose:
             print(f"Training on mesh {dict(mesh.shape)}")
@@ -262,6 +274,11 @@ def run_training(
                 encode_step, state.params, est_loader, hier_k, pz2_var,
                 z2_dim=config.model.z2_dim,
             )
+            pad = model.table_rows - table_np.shape[0]
+            if pad:
+                # zero rows beyond num_seqs: masked out of the softmax,
+                # never gathered
+                table_np = np.pad(table_np, ((0, pad), (0, 0)))
             if mesh is not None:
                 # keep the replacement table on the mesh with the step's
                 # expected row sharding (a plain device_put would commit it

@@ -4,6 +4,8 @@ SURVEY.md §4 distributed tier: single-host vs 8-way-sharded numerical
 equivalence for the train step, mesh construction, and the graft dry run.
 """
 
+import dataclasses
+
 import jax
 import numpy as np
 import pytest
@@ -11,6 +13,7 @@ import pytest
 from pytorch_scalablefhvae_tpu.models import SimpleFHVAE
 from pytorch_scalablefhvae_tpu.parallel.mesh import (
     make_mesh,
+    padded_num_seqs,
     shard_batch,
     shard_state,
     state_shardings,
@@ -90,6 +93,59 @@ class TestShardedEquivalence:
             np.asarray(jax.device_get(s_sh.params["mu2_table"])),
             rtol=2e-4, atol=2e-5,
         )
+
+    @pytest.mark.parametrize("shape", [(2, 4), (1, 8)])
+    @pytest.mark.parametrize("use_pallas", ["never", "always"])
+    def test_uneven_corpus_padded_step_matches(self, rng, shape, use_pallas):
+        """A corpus size NOT divisible by the model axis (the common case —
+        TIMIT has 4620 train sequences) trains identically to the unpadded
+        single-device step: padded rows are masked and get zero gradient.
+        With use_pallas="always" the discriminative op runs the streaming
+        kernel per shard under shard_map (interpret mode on CPU)."""
+        from pytorch_scalablefhvae_tpu.train.loop import _replace_mu2_table
+
+        num_seqs = 13  # prime: uneven on every axis
+        model = SimpleFHVAE(input_size=T * F, num_seqs=num_seqs,
+                            z1_hus=(32, 32), z2_hus=(32, 32), x_hus=(32, 32),
+                            z1_dim=8, z2_dim=8)
+        opt = make_optimizer(1e-3, 0.95, 0.999)
+        batch = (
+            rng.standard_normal((B, T, F)).astype(np.float32),
+            rng.integers(0, num_seqs, B).astype(np.int32),
+            np.full(B, 5.0, np.float32),
+            np.ones(B, np.float32),
+        )
+
+        # single-device reference (unpadded, jnp path)
+        s_ref = create_train_state(model, opt, seed=0)
+        ref_step = make_train_step(model, opt, alpha=10.0, donate=False)
+        s_ref_out, m_ref = ref_step(s_ref, *batch)
+
+        # padded + sharded
+        mesh = make_mesh(shape)
+        n_pad = padded_num_seqs(num_seqs, shape[1])
+        model_pad = dataclasses.replace(
+            model, num_seqs_padded=n_pad, shard_mesh=mesh, use_pallas=use_pallas
+        )
+        s_pad = create_train_state(model_pad, opt, seed=0)
+        # align the table init with the reference (different shape -> the
+        # PRNG draws differ); padded rows start at zero
+        table = np.pad(np.asarray(s_ref.params["mu2_table"]),
+                       ((0, n_pad - num_seqs), (0, 0)))
+        s_pad = _replace_mu2_table(s_pad, table)
+        s_pad = shard_state(mesh, s_pad)
+        sh_step = make_sharded_train_step(model_pad, opt, alpha=10.0, mesh=mesh,
+                                          donate=False)
+        s_pad_out, m_sh = sh_step(s_pad, *shard_batch(mesh, *batch))
+
+        np.testing.assert_allclose(float(m_ref["loss"]), float(m_sh["loss"]), rtol=2e-5)
+        got = np.asarray(jax.device_get(s_pad_out.params["mu2_table"]))
+        np.testing.assert_allclose(
+            got[:num_seqs], np.asarray(s_ref_out.params["mu2_table"]),
+            rtol=2e-4, atol=2e-5,
+        )
+        # padded rows: zero grad, zero Adam update, still exactly zero
+        assert (got[num_seqs:] == 0.0).all()
 
     def test_multi_step_stays_in_sync(self, rng):
         model = small_model()

@@ -165,6 +165,42 @@ class TestCheckpoint:
             np.asarray(ft.params["mu2_table"]), np.asarray(state.params["mu2_table"])
         )
 
+    def test_mu2_row_padding_adapts_across_mesh_shapes(self, setup, tmp_path):
+        """A checkpoint from a mesh-padded run loads into an unpadded model
+        (padding sliced off) and vice versa (zero rows padded on) — mu2 row
+        count is layout, not architecture."""
+        import dataclasses
+
+        model, optimizer, state = setup
+        path = ckpt.save_checkpoint(
+            tmp_path, state, model_type="simple_fhvae",
+            model_params=model.model_params(), run_info="pad", epoch=0,
+            best_epoch=0, best_val_lb=-1.0, values={},
+        )
+        # load into a padded template (e.g. resuming onto a model=4 mesh)
+        model_pad = dataclasses.replace(model, num_seqs_padded=8)
+        tmpl_pad = create_train_state(model_pad, optimizer, seed=1)
+        loaded, _ = ckpt.load_checkpoint(path, tmpl_pad)
+        assert loaded.params["mu2_table"].shape == (8, model.z2_dim)
+        np.testing.assert_array_equal(
+            np.asarray(loaded.params["mu2_table"])[:NUM_SEQS],
+            np.asarray(state.params["mu2_table"]),
+        )
+        assert (np.asarray(loaded.params["mu2_table"])[NUM_SEQS:] == 0).all()
+
+        # save the padded state, load back into the unpadded template
+        path2 = ckpt.save_checkpoint(
+            tmp_path, loaded, model_type="simple_fhvae",
+            model_params=model.model_params(), run_info="pad2", epoch=0,
+            best_epoch=0, best_val_lb=-1.0, values={},
+        )
+        back, _ = ckpt.load_checkpoint(path2, state)
+        assert back.params["mu2_table"].shape == (NUM_SEQS, model.z2_dim)
+        np.testing.assert_array_equal(
+            np.asarray(back.params["mu2_table"]),
+            np.asarray(state.params["mu2_table"]),
+        )
+
     def test_architecture_mismatch_rejected(self, setup, tmp_path):
         model, optimizer, state = setup
         ckpt.save_checkpoint(
