@@ -40,28 +40,26 @@ def _load_feat(path_or_rx: str) -> np.ndarray:
         return np.load(f)
 
 
-def _bulk_load(keep: list[str], feats) -> dict[str, np.ndarray]:
-    """Load all kept features, using the native C++ bulk ark reader when the
-    manifest points into ark archives (one sequential pass per archive
-    instead of a seek per record)."""
-    out: dict[str, np.ndarray] = {}
-    ark_paths = {str(feats[k]).rpartition(":")[0] for k in keep if _is_rxspecifier(str(feats[k]))}
-    if ark_paths:
-        try:
-            from pytorch_scalablefhvae_tpu.native.binding import native_read_ark_packed
+def _stream_feats(keep: list[str], feats):
+    """Yield ``(key, float32 matrix)`` for every kept feature, one at a time.
 
-            wanted = set(keep)
-            for ark in sorted(ark_paths):
-                keys, data, offsets = native_read_ark_packed(ark)
-                for i, k in enumerate(keys):
-                    if k in wanted:
-                        out[k] = data[offsets[i] : offsets[i + 1]]
-        except Exception:
-            out = {}  # fall back to per-record reads below
+    Ark-backed manifests are streamed with one sequential pass per archive
+    (no per-record seeks); ``.npy`` entries load individually. Order is
+    arbitrary — the caller writes each matrix at its own precomputed offset —
+    so peak memory is one utterance, never the split."""
+    wanted = set(keep)
+    seen: set[str] = set()
+    ark_paths = sorted(
+        {str(feats[k]).rpartition(":")[0] for k in keep if _is_rxspecifier(str(feats[k]))}
+    )
+    for ark in ark_paths:
+        for k, mat in kaldi_ark.iter_ark(ark):
+            if k in wanted and k not in seen:
+                seen.add(k)
+                yield k, np.asarray(mat, dtype=np.float32)
     for k in keep:
-        if k not in out:
-            out[k] = np.asarray(_load_feat(str(feats[k])), dtype=np.float32)
-    return out
+        if k not in seen:
+            yield k, np.asarray(_load_feat(str(feats[k])), dtype=np.float32)
 
 
 class FeatureStore:
@@ -140,26 +138,58 @@ class FeatureStore:
                                   shape=(total, self.dim))
             return
 
-        loaded = _bulk_load(keep, feats)
-        mats = [loaded[k] for k in keep]
-        for k, m, l in zip(keep, mats, self.lens):
-            if m.shape[0] != l:
+        # ---- streaming pack build (BASELINE config 4: corpus-scale splits) --
+        # Each utterance is written at its precomputed offset as it decodes;
+        # nothing of split size is ever duplicated (the previous build kept a
+        # list of all matrices AND their concatenation live at once — ~2x
+        # 110 GB for LibriSpeech-960). MVN statistics accumulate during the
+        # same pass; normalization is applied chunk-wise in place afterwards.
+        mvn_path = Path(mvn_path) if mvn_path is not None else None
+        need_stats = mvn_path is not None and not mvn_path.exists()
+        sums = sumsq = None
+        dest = None
+        for k, mat in _stream_feats(keep, feats):
+            i = self.seq2idx[k]
+            if mat.shape[0] != self.lens[i]:
                 raise ValueError(
-                    f"len.scp disagrees with features for {k}: {l} vs {m.shape[0]}"
+                    f"len.scp disagrees with features for {k}: "
+                    f"{self.lens[i]} vs {mat.shape[0]}"
                 )
-        self.dim = mats[0].shape[1] if mats else 0
-        self.data = (
-            np.concatenate(mats, axis=0) if mats else np.zeros((0, 0), dtype=np.float32)
-        )
+            if dest is None:
+                self.dim = mat.shape[1]
+                if cache is not None:
+                    cache.parent.mkdir(parents=True, exist_ok=True)
+                    dest = np.memmap(bin_path, dtype=np.float32, mode="w+",
+                                     shape=(total, self.dim))
+                else:
+                    dest = np.empty((total, self.dim), dtype=np.float32)
+                sums = np.zeros(self.dim, dtype=np.float64)
+                sumsq = np.zeros(self.dim, dtype=np.float64)
+            s = self.seq_starts[i]
+            dest[s : s + mat.shape[0]] = mat
+            if need_stats:
+                sums += mat.sum(axis=0, dtype=np.float64)
+                sumsq += (mat.astype(np.float64) ** 2).sum(axis=0)
+        if dest is None:
+            self.dim = 0
+            dest = np.zeros((0, 0), dtype=np.float32)
+
         if mvn_path is not None:
-            self._mvn_prep(Path(mvn_path))
-            self._apply_mvn_inplace()
-        if cache is not None:
-            cache.parent.mkdir(parents=True, exist_ok=True)
-            mm = np.memmap(bin_path, dtype=np.float32, mode="w+",
-                           shape=(total, self.dim))
-            mm[:] = self.data
-            mm.flush()
+            if mvn_path.exists():
+                self.mvn_params = json.loads(mvn_path.read_text())
+            else:
+                n = max(float(total), 1.0)
+                mean = sums / n if sums is not None else np.zeros((0,))
+                var = sumsq / n - mean**2 if sumsq is not None else np.zeros((0,))
+                std = np.sqrt(np.maximum(var, 1e-12))
+                self.mvn_params = {"mean": [mean.tolist()], "std": [std.tolist()]}
+                mvn_path.parent.mkdir(parents=True, exist_ok=True)
+                mvn_path.write_text(json.dumps(self.mvn_params))
+            self._apply_mvn_inplace(dest)
+
+        self.data = dest
+        if cache is not None and isinstance(dest, np.memmap):
+            dest.flush()
             meta_path.write_text(json.dumps(
                 {"keys": keep, "dim": self.dim, "total": total,
                  "mvn_params": self.mvn_params}
@@ -169,27 +199,15 @@ class FeatureStore:
 
     # ---- MVN (reference datasets.py:100-136 semantics, JSON schema parity) --
 
-    def _compute_mvn(self) -> dict:
-        n = float(self.data.shape[0])
-        x = self.data.sum(axis=0, dtype=np.float64, keepdims=True)
-        x2 = (self.data.astype(np.float64) ** 2).sum(axis=0, keepdims=True)
-        mean = x / n
-        std = np.sqrt(np.maximum(x2 / n - mean**2, 1e-12))
-        return {"mean": mean.tolist(), "std": std.tolist()}
-
-    def _mvn_prep(self, mvn_path: Path) -> None:
-        if mvn_path.exists():
-            self.mvn_params = json.loads(mvn_path.read_text())
-        else:
-            self.mvn_params = self._compute_mvn()
-            mvn_path.parent.mkdir(parents=True, exist_ok=True)
-            mvn_path.write_text(json.dumps(self.mvn_params))
-
-    def _apply_mvn_inplace(self) -> None:
-        mean = np.asarray(self.mvn_params["mean"], dtype=np.float32)
-        std = np.asarray(self.mvn_params["std"], dtype=np.float32)
-        self.data -= mean.reshape(1, -1)
-        self.data /= std.reshape(1, -1)
+    def _apply_mvn_inplace(self, dest: np.ndarray, chunk: int = 1 << 20) -> None:
+        """Normalize ``dest`` in place, one bounded chunk at a time (the
+        destination may be a memmap far larger than host RAM)."""
+        mean = np.asarray(self.mvn_params["mean"], dtype=np.float32).reshape(1, -1)
+        std = np.asarray(self.mvn_params["std"], dtype=np.float32).reshape(1, -1)
+        for i in range(0, dest.shape[0], chunk):
+            block = dest[i : i + chunk]
+            np.subtract(block, mean, out=block)
+            np.divide(block, std, out=block)
 
     def apply_mvn(self, feats: np.ndarray) -> np.ndarray:
         """Normalize external features with this store's MVN statistics."""

@@ -104,6 +104,7 @@ def prepare_jax(
     n_mels: int = 80,
     batch_size: int = 32,
     verbose: bool = True,
+    buffer_samples: int = 64 * 1024 * 1024,
 ) -> tuple[int, tuple[Path, Path, Path]]:
     """Accelerator-backed batched extraction (same outputs as prepare_numpy).
 
@@ -112,7 +113,12 @@ def prepare_jax(
     set of bucketed static shapes so XLA compiles a handful of programs, the
     DFT and mel projection run as MXU matmuls, and results are written back
     as the standard per-utterance ``.npy`` + manifests. This is the
-    "streaming feature extraction" path for corpus-scale preprocessing.
+    "streaming feature extraction" path for corpus-scale preprocessing: host
+    memory is bounded by ``buffer_samples`` of decoded audio (default ~256 MB
+    float32) regardless of split size — audio decodes into a macro-chunk,
+    each chunk is length-sorted and batch-extracted, and every result writes
+    to disk before the next chunk loads (LibriSpeech-960 would otherwise
+    need ~220 GB of decoded audio + ~110 GB of features resident at once).
     """
     import jax
 
@@ -128,18 +134,8 @@ def prepare_jax(
 
     entries = list(read_scp(wav_path).items())
     start = time.time()
-
-    # load + length-sort so same-bucket utterances batch together
-    loaded = []
     locked_sr = sample_rate
-    for seq, path in entries:
-        y, sr = read_audio(path, sample_rate)
-        if locked_sr is None:
-            locked_sr = sr
-        elif locked_sr != sr:
-            raise ValueError(f"Inconsistent sample rate ({locked_sr} != {sr}).")
-        loaded.append((seq, y))
-    loaded.sort(key=lambda kv: len(kv[1]))
+    frame_counts: dict[str, int] = {}  # small: one int per utterance
 
     def bucket(n: int) -> int:
         b = 16384
@@ -147,36 +143,55 @@ def prepare_jax(
             b *= 2
         return b
 
-    results: dict[str, np.ndarray] = {}
-    i = 0
-    while i < len(loaded):
-        chunk = loaded[i : i + batch_size]
-        i += batch_size
-        T = bucket(max(len(y) for _, y in chunk))
-        batch = np.zeros((len(chunk), T), np.float32)
-        lengths = np.zeros(len(chunk), np.int32)
-        for j, (_, y) in enumerate(chunk):
-            batch[j, : len(y)] = y
-            lengths[j] = len(y)
-        feats, n_frames = batched_features(
-            batch, lengths, sr=locked_sr, n_fft=int(locked_sr * win_t),
-            hop_t=hop_t, win_t=win_t, n_mels=n_mels, feat_type=ftype,
-            log_floor=-20.0 if ftype == "fbank" else -50.0,
-        )
-        feats = np.asarray(jax.device_get(feats))
-        n_frames = np.asarray(n_frames)
-        for j, (seq, _) in enumerate(chunk):
-            results[seq] = feats[j, : n_frames[j]].astype(np.float32)
+    def flush_chunk(loaded: list[tuple[str, np.ndarray]]) -> None:
+        # length-sort within the macro-chunk so same-bucket utterances batch
+        # together; write each result immediately (nothing accumulates)
+        loaded.sort(key=lambda kv: len(kv[1]))
+        i = 0
+        while i < len(loaded):
+            chunk = loaded[i : i + batch_size]
+            i += batch_size
+            T = bucket(max(len(y) for _, y in chunk))
+            batch = np.zeros((len(chunk), T), np.float32)
+            lengths = np.zeros(len(chunk), np.int32)
+            for j, (_, y) in enumerate(chunk):
+                batch[j, : len(y)] = y
+                lengths[j] = len(y)
+            feats, n_frames = batched_features(
+                batch, lengths, sr=locked_sr, n_fft=int(locked_sr * win_t),
+                hop_t=hop_t, win_t=win_t, n_mels=n_mels, feat_type=ftype,
+                log_floor=-20.0 if ftype == "fbank" else -50.0,
+            )
+            feats = np.asarray(jax.device_get(feats))
+            n_frames = np.asarray(n_frames)
+            for j, (seq, _) in enumerate(chunk):
+                feat = feats[j, : n_frames[j]].astype(np.float32)
+                with open(set_path / f"{seq}.npy", "wb") as nf:
+                    np.save(nf, feat)
+                frame_counts[seq] = len(feat)
+        loaded.clear()
+
+    pending: list[tuple[str, np.ndarray]] = []
+    pending_samples = 0
+    for seq, path in entries:
+        y, sr = read_audio(path, sample_rate)
+        if locked_sr is None:
+            locked_sr = sr
+        elif locked_sr != sr:
+            raise ValueError(f"Inconsistent sample rate ({locked_sr} != {sr}).")
+        pending.append((seq, y))
+        pending_samples += len(y)
+        if pending_samples >= buffer_samples:
+            flush_chunk(pending)
+            pending_samples = 0
+    if pending:
+        flush_chunk(pending)
 
     count = 0
     with open(feat_path, "w") as ff, open(len_path, "w") as lf:
         for seq, _ in entries:  # preserve manifest order
-            feat = results[seq]
-            np_path = set_path / f"{seq}.npy"
-            with open(np_path, "wb") as nf:
-                np.save(nf, feat)
-            ff.write(f"{seq} {np_path}\n")
-            lf.write(f"{seq} {len(feat)}\n")
+            ff.write(f"{seq} {set_path / f'{seq}.npy'}\n")
+            lf.write(f"{seq} {frame_counts[seq]}\n")
             count += 1
     if verbose:
         print(f"{set_name}: {count} utterances in {time.time() - start:.2f}s (jax/{ftype})")

@@ -75,6 +75,27 @@ def shard_batch(mesh: Mesh, feats, seq_idx, nsegs, weight):
     )
 
 
+def stacked_batch_sharding(mesh: Mesh) -> dict[str, NamedSharding]:
+    """Shardings for K stacked batches ``[K, B, ...]`` (multi-step dispatch):
+    the scan axis K is replicated, rows shard over "data" as usual."""
+    return {
+        "feats": NamedSharding(mesh, P(None, DATA_AXIS, None, None)),
+        "seq_idx": NamedSharding(mesh, P(None, DATA_AXIS)),
+        "nsegs": NamedSharding(mesh, P(None, DATA_AXIS)),
+        "weight": NamedSharding(mesh, P(None, DATA_AXIS)),
+    }
+
+
+def shard_stacked_batch(mesh: Mesh, feats_k, seq_idx_k, nsegs_k, weight_k):
+    sh = stacked_batch_sharding(mesh)
+    return (
+        jax.device_put(feats_k, sh["feats"]),
+        jax.device_put(seq_idx_k, sh["seq_idx"]),
+        jax.device_put(nsegs_k, sh["nsegs"]),
+        jax.device_put(weight_k, sh["weight"]),
+    )
+
+
 def _param_spec(path_str: str) -> P:
     if "mu2_table" in path_str:
         return P(MODEL_AXIS, None)  # row-sharded embedding

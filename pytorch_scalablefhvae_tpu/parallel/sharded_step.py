@@ -28,7 +28,11 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from pytorch_scalablefhvae_tpu.models.base import loss_from_outputs
-from pytorch_scalablefhvae_tpu.parallel.mesh import batch_sharding, state_shardings
+from pytorch_scalablefhvae_tpu.parallel.mesh import (
+    batch_sharding,
+    stacked_batch_sharding,
+    state_shardings,
+)
 from pytorch_scalablefhvae_tpu.train.step import TrainState
 
 
@@ -74,5 +78,58 @@ def make_sharded_train_step(model, optimizer, alpha: float, mesh: Mesh, donate: 
                 donate_argnums=(0,) if donate else (),
             )
         return compiled[key](state, feats, seq_idx, nsegs, weight)
+
+    return step
+
+
+def make_sharded_multi_train_step(model, optimizer, alpha: float, mesh: Mesh,
+                                  donate: bool = True):
+    """K optimizer steps in ONE dispatched XLA program over the mesh.
+
+    Same ``lax.scan`` bundling as ``train.step.make_multi_train_step`` (the
+    per-dispatch host overhead dominates sub-millisecond steps), compiled
+    with explicit shardings: stacked batches ``[K, B, ...]`` shard rows over
+    "data" with the scan axis replicated; the mu2 table stays row-sharded
+    over "model" through every substep. Returns per-substep metrics ``[K]``.
+    """
+
+    def multi_fn(state: TrainState, feats_k, seq_idx_k, nsegs_k, weight_k):
+        def body(state, batch):
+            feats, seq_idx, nsegs, weight = batch
+            step_key = jax.random.fold_in(state.rng, state.step)
+
+            def loss_fn(params):
+                out = model.apply(params, feats, seq_idx, nsegs, step_key, sample=True)
+                return loss_from_outputs(out, weight, alpha)
+
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            return (
+                TrainState(new_params, new_opt_state, state.step + 1, state.rng),
+                metrics,
+            )
+
+        return jax.lax.scan(body, state, (feats_k, seq_idx_k, nsegs_k, weight_k))
+
+    compiled = {}
+
+    def step(state, feats_k, seq_idx_k, nsegs_k, weight_k):
+        if not compiled:
+            st_sh = state_shardings(mesh, state)
+            b_sh = stacked_batch_sharding(mesh)
+            metric_sh = NamedSharding(mesh, P())
+            compiled["fn"] = jax.jit(
+                multi_fn,
+                in_shardings=(st_sh, b_sh["feats"], b_sh["seq_idx"],
+                              b_sh["nsegs"], b_sh["weight"]),
+                out_shardings=(st_sh, {
+                    k: metric_sh
+                    for k in ("loss", "lower_bound", "log_qy", "log_px_z",
+                              "neg_kld_z1", "neg_kld_z2", "log_pmu2")
+                }),
+                donate_argnums=(0,) if donate else (),
+            )
+        return compiled["fn"](state, feats_k, seq_idx_k, nsegs_k, weight_k)
 
     return step

@@ -214,12 +214,31 @@ def run_training(
         train_step = make_train_step(model, optimizer, config.optim.alpha_dis,
                                      donate=config.train.donate_state)
     multi_train_step = None
-    if config.train.steps_per_dispatch > 1 and mesh is None and not config.train.legacy:
-        from pytorch_scalablefhvae_tpu.train.step import make_multi_train_step
+    if config.train.steps_per_dispatch > 1 and not config.train.legacy:
+        if mesh is not None:
+            from pytorch_scalablefhvae_tpu.parallel.mesh import shard_stacked_batch
+            from pytorch_scalablefhvae_tpu.parallel.sharded_step import (
+                make_sharded_multi_train_step,
+            )
 
-        multi_train_step = make_multi_train_step(
-            model, optimizer, config.optim.alpha_dis, donate=config.train.donate_state
-        )
+            _raw_multi = make_sharded_multi_train_step(
+                model, optimizer, config.optim.alpha_dis, mesh,
+                donate=config.train.donate_state,
+            )
+
+            def multi_train_step(state, feats_k, seq_idx_k, nsegs_k, weight_k):
+                return _raw_multi(
+                    state,
+                    *shard_stacked_batch(mesh, feats_k, seq_idx_k, nsegs_k, weight_k),
+                )
+
+        else:
+            from pytorch_scalablefhvae_tpu.train.step import make_multi_train_step
+
+            multi_train_step = make_multi_train_step(
+                model, optimizer, config.optim.alpha_dis,
+                donate=config.train.donate_state,
+            )
     # dev evaluation is two-pass: MAP-estimate a dev mu2 table from encoder
     # means, then score the split against it — held-out sequences have no
     # rows in the learned table (the reference scored dev segments against

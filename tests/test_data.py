@@ -170,3 +170,102 @@ class TestPackCache:
         FeatureStore(feat_scp, len_scp, min_len=1, pack_cache=cache, verbose=False)
         with pytest.raises(ValueError, match="different sequence set"):
             FeatureStore(feat_scp, len_scp, min_len=25, pack_cache=cache, verbose=False)
+
+
+class TestStreamingPack:
+    def test_streamed_store_matches_naive_concat(self, tmp_path, rng):
+        """The streaming build (write-at-offset, per-utterance) must be
+        byte-identical to a naive load-everything + concatenate pack."""
+        feat_scp, len_scp = build_split(tmp_path, rng, lens=(40, 25, 20, 64), dim=8)
+        store = FeatureStore(feat_scp, len_scp, min_len=1, verbose=False)
+        naive = np.concatenate(
+            [np.load(tmp_path / f"utt{i}.npy") for i in range(4)], axis=0
+        )
+        np.testing.assert_array_equal(np.asarray(store.data), naive)
+
+    def test_streamed_mvn_stats_match_full_pass(self, tmp_path, rng):
+        """MVN statistics accumulated during the streaming pass == statistics
+        of a full pass over the packed array (reference datasets.py:119-129
+        semantics, JSON schema {"mean": [[...]], "std": [[...]]})."""
+        feat_scp, len_scp = build_split(tmp_path, rng, lens=(40, 25, 64), dim=8)
+        mvn = tmp_path / "mvn.json"
+        store = FeatureStore(feat_scp, len_scp, min_len=1, mvn_path=mvn, verbose=False)
+        naive = np.concatenate(
+            [np.load(tmp_path / f"utt{i}.npy") for i in range(3)], axis=0
+        ).astype(np.float64)
+        mean, std = naive.mean(axis=0), naive.std(axis=0)
+        got = json.loads(mvn.read_text())
+        np.testing.assert_allclose(np.asarray(got["mean"]).ravel(), mean, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(got["std"]).ravel(), std, rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(store.data), (naive - mean) / std, rtol=1e-5, atol=1e-5
+        )
+
+    def test_streamed_cache_matches_in_ram(self, tmp_path, rng):
+        feat_scp, len_scp = build_split(tmp_path, rng, lens=(40, 25, 64), dim=8)
+        mvn = tmp_path / "mvn.json"
+        ram = FeatureStore(feat_scp, len_scp, min_len=1, mvn_path=mvn, verbose=False)
+        cached = FeatureStore(feat_scp, len_scp, min_len=1, mvn_path=mvn,
+                              pack_cache=tmp_path / "cache" / "train", verbose=False)
+        np.testing.assert_array_equal(np.asarray(ram.data), np.asarray(cached.data))
+        # and the reopened memmap path
+        reopened = FeatureStore(feat_scp, len_scp, min_len=1, mvn_path=mvn,
+                                pack_cache=tmp_path / "cache" / "train", verbose=False)
+        np.testing.assert_array_equal(np.asarray(ram.data), np.asarray(reopened.data))
+
+    def test_ark_backed_store_streams(self, tmp_path, rng):
+        """Ark manifests stream sequentially through iter_ark."""
+        from pytorch_scalablefhvae_tpu.utils.kaldi_ark import ArkWriter
+
+        mats = {f"u{i}": rng.standard_normal((l, 6)).astype(np.float32)
+                for i, l in enumerate((30, 22, 45))}
+        ark, scp = tmp_path / "feats.ark", tmp_path / "feats.scp"
+        with ArkWriter(ark, scp) as w:
+            for k, m in mats.items():
+                w.write(k, m)
+        write_scp(tmp_path / "len.scp", {k: len(m) for k, m in mats.items()})
+        store = FeatureStore(scp, tmp_path / "len.scp", min_len=1, verbose=False)
+        for i, (k, m) in enumerate(mats.items()):
+            np.testing.assert_allclose(store.sequence(store.seq2idx[k]), m)
+
+    @pytest.mark.slow
+    def test_pack_peak_memory_bounded(self, tmp_path):
+        """Packing a split much larger than any single utterance must not
+        hold the whole split twice: peak RSS of a child process packing
+        ~400 MB stays far under the ~1 GB the old list+concatenate build
+        needed (VERDICT r1 item 4 done-criterion)."""
+        import subprocess
+        import sys
+        import textwrap
+
+        rng = np.random.default_rng(0)
+        feats, lend = {}, {}
+        dim, n_utts, l = 80, 64, 20000  # 64 * 20000 * 80 * 4 B = 409.6 MB
+        for i in range(n_utts):
+            k = f"utt{i:03d}"
+            arr = rng.standard_normal((l, dim)).astype(np.float32)
+            np.save(tmp_path / f"{k}.npy", arr)
+            feats[k] = str(tmp_path / f"{k}.npy")
+            lend[k] = l
+        write_scp(tmp_path / "feats.scp", feats)
+        write_scp(tmp_path / "len.scp", lend)
+        code = textwrap.dedent(f"""
+            import resource
+            import numpy as np
+            from pytorch_scalablefhvae_tpu.data import FeatureStore
+            store = FeatureStore({str(tmp_path / 'feats.scp')!r},
+                                 {str(tmp_path / 'len.scp')!r}, min_len=1,
+                                 pack_cache={str(tmp_path / 'cache' / 'train')!r},
+                                 verbose=False)
+            assert store.data.shape == ({n_utts * l}, {dim})
+            peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+            print(f"PEAK_MB={{peak_mb:.0f}}")
+            # ~150 MB interpreter + <=1x split of dirty memmap pages (the OS
+            # keeps written pages resident while RAM allows). The old
+            # list + np.concatenate + memmap-copy build held >= 2x the split
+            # (~970 MB here); a regression to that trips this bound.
+            assert peak_mb < 700, f"peak RSS {{peak_mb:.0f}} MB: split held twice"
+        """)
+        proc = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                              text=True, timeout=600)
+        assert proc.returncode == 0, proc.stderr[-2000:]

@@ -196,3 +196,34 @@ class TestVad:
         n = len(vad)
         assert vad[: n // 3].mean() < 0.1
         assert vad[2 * n // 3 :].mean() > 0.9
+
+
+class TestPrepareJaxStreaming:
+    def test_bounded_buffer_matches_unbounded(self, tmp_path, rng):
+        """prepare_jax with a tiny audio buffer (forcing many macro-chunk
+        flushes) produces identical features and manifests to a single-chunk
+        run — streaming is a memory bound, not a semantics change."""
+        from pytorch_scalablefhvae_tpu.features.extract import prepare_jax
+        from pytorch_scalablefhvae_tpu.utils.audio_io import write_wav
+        from pytorch_scalablefhvae_tpu.utils.manifest import read_scp, write_scp
+
+        utts = {}
+        for i, dur in enumerate((0.31, 0.18, 0.42, 0.25, 0.37)):
+            y = make_signal(rng, dur)
+            p = write_wav(tmp_path / "wav" / f"u{i}.wav", y, SR)
+            utts[f"u{i}"] = str(p)
+        for name in ("big", "small"):
+            (tmp_path / name / "train").mkdir(parents=True)
+            write_scp(tmp_path / name / "train" / "wav.scp", utts)
+
+        prepare_jax("synthetic", "train", tmp_path / "big", verbose=False)
+        prepare_jax("synthetic", "train", tmp_path / "small", verbose=False,
+                    buffer_samples=4000)  # << one utterance: flush per utt
+
+        lens_big = read_scp(tmp_path / "big" / "train" / "len.scp", dtype=int)
+        lens_small = read_scp(tmp_path / "small" / "train" / "len.scp", dtype=int)
+        assert lens_big == lens_small
+        for k in utts:
+            a = np.load(tmp_path / "big" / "train" / f"{k}.npy")
+            b = np.load(tmp_path / "small" / "train" / f"{k}.npy")
+            np.testing.assert_array_equal(a, b)

