@@ -41,6 +41,15 @@ def add_common_flags(p: argparse.ArgumentParser) -> None:
                    help="Path to the fbank.conf used by the kaldi-semantics extractor")
     p.add_argument("--kaldi-root", type=str, default="./kaldi/",
                    help="Accepted for reference-CLI parity; extraction is in-process")
+    p.add_argument("--dither-seed", type=int, default=0,
+                   help="Seed for the deterministic dither stream (kaldi-semantics "
+                        "extractor; the reference's dither was unseeded)")
+    p.add_argument("--train-list", type=str, nargs="+", default=None,
+                   help="LibriSpeech training subsets (default: train-clean-100)")
+    p.add_argument("--dev-list", type=str, nargs="+", default=None,
+                   help="LibriSpeech dev subsets (default: dev-clean dev-other)")
+    p.add_argument("--test-list", type=str, nargs="+", default=None,
+                   help="LibriSpeech test subsets (default: test-clean test-other)")
 
 
 def add_train_flags(p: argparse.ArgumentParser) -> None:
@@ -78,13 +87,26 @@ def add_train_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--z2-dim", type=int, default=16, help="Dimensionality of z2")
     p.add_argument("--x-hus", type=int, default=[128, 128], nargs=2,
                    help="Hidden units per decoder layer")
+    p.add_argument("--pz2-std", type=float, default=0.5,
+                   help="Std of the z2 prior p(z2|mu2) (simple_fhvae.py:88)")
+    p.add_argument("--mu2-init-std", type=float, default=1.0,
+                   help="Init std of the learnable mu2 table")
+    p.add_argument("--use-pallas", type=str, default="auto",
+                   choices=["auto", "never", "always"],
+                   help="Streaming Pallas discriminative softmax selection")
     p.add_argument("--device", type=str, default="tpu",
                    help="Accepted for parity; JAX selects the platform")
     p.add_argument("--seed", type=int, default=0, help="PRNG seed")
     p.add_argument("--compute-dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"], help="Matmul compute dtype")
+    p.add_argument("--donate-state", type=lambda s: s.lower() in ("true", "1"),
+                   default=True,
+                   help="Donate the train state buffer to the jitted step "
+                        "(in-place update; disable for debugging)")
     p.add_argument("--profile-dir", type=str, default=None,
                    help="Capture a jax.profiler trace of one training epoch into this directory")
+    p.add_argument("--profile-epoch", type=int, default=1,
+                   help="Epoch at which to capture the profiler trace")
     p.add_argument("--tensorboard", action="store_true", help="Enable TensorBoard logging")
     p.add_argument("--visdom", action="store_true",
                    help="Accepted for parity; metrics go to JSONL/TensorBoard")
@@ -96,6 +118,12 @@ def add_train_flags(p: argparse.ArgumentParser) -> None:
                    help="Checkpoint for continuing training")
     p.add_argument("--finetune", action="store_true",
                    help="Fine-tune from the checkpoint (weights only)")
+    p.add_argument("--resume-override", action="append", default=None,
+                   metavar="FIELD=VALUE",
+                   help="On resume, override a saved-config field (e.g. "
+                        "'epochs=200' or 'train.patience=20'); repeatable. "
+                        "The explicit escape hatch from the saved-config-wins "
+                        "resume policy")
     p.add_argument("--hierarchical", action="store_true", dest="sample_hierarchical",
                    help="Use hierarchical sampling over sequence subsets")
     p.add_argument("--num-hierarchical-sequences", type=int, default=5000,
@@ -127,6 +155,12 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
     if getattr(args, "mesh", None):
         parts = tuple(int(x) for x in args.mesh.split(","))
         mesh_shape = (parts + (1, 1))[:2]
+    subset_kw = {}
+    for name, field in (("train_list", "train_list"), ("dev_list", "dev_list"),
+                        ("test_list", "test_list")):
+        v = getattr(args, name, None)
+        if v:
+            subset_kw[field] = tuple(v)
     return ExperimentConfig(
         features=FeatureConfig(
             feat_type=args.feat_type,
@@ -136,6 +170,7 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
             win_t=args.win_size,
             hop_t=args.hop_size,
             n_mels=args.mels,
+            dither_seed=getattr(args, "dither_seed", 0),
         ),
         data=DataConfig(
             dataset=args.dataset,
@@ -148,6 +183,7 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
             training_batch_size=getattr(args, "training_batch_size", 256),
             pack_cache_dir=getattr(args, "pack_cache_dir", None),
             dev_batch_size=getattr(args, "dev_batch_size", 2048),
+            **subset_kw,
         ),
         model=ModelConfig(
             model_type=getattr(args, "model_type", "simple_fhvae"),
@@ -157,6 +193,9 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
             z2_dim=getattr(args, "z2_dim", 16),
             x_hus=tuple(getattr(args, "x_hus", (128, 128))),
             compute_dtype=getattr(args, "compute_dtype", "float32"),
+            pz2_std=getattr(args, "pz2_std", 0.5),
+            mu2_init_std=getattr(args, "mu2_init_std", 1.0),
+            use_pallas=getattr(args, "use_pallas", "auto"),
         ),
         optim=OptimConfig(
             learning_rate=getattr(args, "learning_rate", 1e-3),
@@ -167,6 +206,8 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
         train=TrainConfig(
             epochs=getattr(args, "epochs", 100),
             profile_dir=getattr(args, "profile_dir", None),
+            profile_epoch=getattr(args, "profile_epoch", 1),
+            donate_state=getattr(args, "donate_state", True),
             patience=getattr(args, "patience", 10),
             seed=getattr(args, "seed", 0),
             legacy=getattr(args, "legacy", False),

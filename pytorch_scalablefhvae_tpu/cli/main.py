@@ -55,6 +55,12 @@ def _cmd_train(args) -> int:
     from pytorch_scalablefhvae_tpu.train.driver import train_from_config
 
     config = config_from_args(args)
+    overrides = {}
+    for item in args.resume_override or []:
+        if "=" not in item:
+            raise SystemExit(f"--resume-override expects FIELD=VALUE, got {item!r}")
+        k, _, v = item.partition("=")
+        overrides[k.strip()] = v.strip()
     result = train_from_config(
         config,
         data_root=args.data_root,
@@ -63,6 +69,7 @@ def _cmd_train(args) -> int:
         continue_from=args.continue_from,
         finetune=args.finetune,
         fbank_conf=args.fbank_conf,
+        resume_overrides=overrides or None,
     )
     return 2 if result.diverged else 0
 
@@ -241,6 +248,28 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
+def _maybe_init_multihost(args) -> bool:
+    """Initialize the multi-host runtime when requested (--multihost flag or
+    SFHVAE_MULTIHOST env). Returns whether initialization ran.
+
+    On a pod, ``jax.distributed.initialize()`` discovers the coordinator from
+    TPU metadata/env and makes ``jax.devices()`` span every host; the mesh
+    layout rules for DCN vs ICI axes are documented in SCALING.md and
+    enforced by ``parallel.mesh.validate_multihost_mesh``.
+    """
+    if not (getattr(args, "multihost", False) or os.environ.get("SFHVAE_MULTIHOST")):
+        return False
+    import jax
+
+    jax.distributed.initialize()
+    if getattr(args, "mesh", None):
+        from pytorch_scalablefhvae_tpu.parallel.mesh import validate_multihost_mesh
+
+        shape = tuple(int(x) for x in args.mesh.split(","))
+        validate_multihost_mesh((shape + (1, 1))[:2])
+    return True
+
+
 def main(argv=None) -> int:
     _honor_platform_env()
     args = build_parser().parse_args(argv)
@@ -248,12 +277,7 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_debug_nans", True)
-    if getattr(args, "multihost", False) or os.environ.get("SFHVAE_MULTIHOST"):
-        # multi-host pods: initialize the distributed runtime so
-        # jax.devices() spans all hosts (coordinator from env/TPU metadata)
-        import jax
-
-        jax.distributed.initialize()
+    _maybe_init_multihost(args)
     return args.fn(args)
 
 

@@ -210,3 +210,57 @@ class ExperimentConfig:
 
     def replace(self, **sections: Any) -> "ExperimentConfig":
         return dataclasses.replace(self, **sections)
+
+    def apply_overrides(self, overrides: dict[str, Any]) -> "ExperimentConfig":
+        """Explicit resume-override policy (the fix for reference B14: the
+        reference silently replaced ALL live flags with the pickled ones,
+        making it impossible to, e.g., extend ``--epochs`` on resume).
+
+        ``overrides`` maps ``"section.field"`` (or a bare field name when it
+        is unique across sections) to a new value. String values are parsed
+        (ints/floats/bools/None/JSON/comma-tuples). Unknown fields raise.
+        """
+        section_names = [f.name for f in dataclasses.fields(self)]
+        sections = {s: getattr(self, s) for s in section_names}
+        for key, raw in overrides.items():
+            if "." in key:
+                sec_name, fname = key.split(".", 1)
+                if sec_name not in sections:
+                    raise ValueError(f"Unknown config section {sec_name!r}")
+                if fname not in {f.name for f in dataclasses.fields(sections[sec_name])}:
+                    raise ValueError(f"Unknown config field {key!r}")
+            else:
+                fname = key
+                homes = [
+                    s for s in section_names
+                    if fname in {f.name for f in dataclasses.fields(sections[s])}
+                ]
+                if not homes:
+                    raise ValueError(f"Unknown config field {key!r}")
+                if len(homes) > 1:
+                    raise ValueError(
+                        f"Ambiguous override {key!r}: qualify as one of "
+                        f"{[f'{h}.{fname}' for h in homes]}"
+                    )
+                sec_name = homes[0]
+            val = _parse_override_value(raw)
+            sections[sec_name] = dataclasses.replace(sections[sec_name], **{fname: val})
+        return dataclasses.replace(self, **sections)
+
+
+def _parse_override_value(raw: Any) -> Any:
+    if not isinstance(raw, str):
+        return tuple(raw) if isinstance(raw, list) else raw
+    low = raw.strip().lower()
+    if low in ("true", "false"):
+        return low == "true"
+    if low in ("none", "null"):
+        return None
+    try:
+        v = json.loads(raw)
+        return tuple(v) if isinstance(v, list) else v
+    except (ValueError, json.JSONDecodeError):
+        pass
+    if "," in raw:
+        return tuple(_parse_override_value(p) for p in raw.split(","))
+    return raw

@@ -55,6 +55,40 @@ def make_mesh(
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 
 
+def validate_multihost_mesh(
+    mesh_shape: tuple[int, int],
+    process_count: int | None = None,
+    local_device_count: int | None = None,
+) -> None:
+    """Assert a (data, model) mesh is placeable on a multi-host pod.
+
+    Placement rule (SCALING.md): ``jax.devices()`` orders devices
+    host-by-host and ``make_mesh`` reshapes row-major, so the trailing
+    "model" axis is host-local iff its size divides the per-host device
+    count. The model axis carries the distributed-softmax collectives
+    (pmax/psum per step) and must ride ICI; only the "data" axis — one
+    gradient all-reduce per step — may span hosts over DCN.
+    """
+    if process_count is None:
+        process_count = jax.process_count()
+    if local_device_count is None:
+        local_device_count = jax.local_device_count()
+    d, m = mesh_shape
+    total = process_count * local_device_count
+    if d * m != total:
+        raise ValueError(
+            f"mesh_shape {mesh_shape} does not cover {total} devices "
+            f"({process_count} hosts x {local_device_count})"
+        )
+    if m > local_device_count or local_device_count % m != 0:
+        raise ValueError(
+            f"model axis {m} would span host boundaries "
+            f"({local_device_count} devices per host): the distributed-softmax "
+            f"collectives would ride DCN instead of ICI. Use a model axis that "
+            f"divides the per-host device count and put the surplus on 'data'."
+        )
+
+
 def batch_sharding(mesh: Mesh) -> dict[str, NamedSharding]:
     """Shardings for one (feats, seq_idx, nsegs, weight) batch."""
     return {

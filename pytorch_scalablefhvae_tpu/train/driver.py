@@ -61,8 +61,13 @@ def build_loaders(
 
     # under hierarchical sampling the loop subsets the full store per epoch
     # (train/loop.py); the loader built here always covers the full split
-    train_loader = make_loader("train", dcfg.training_batch_size, True, sequence_list)
-    dev_loader = make_loader("dev", dcfg.dev_batch_size, False)
+    train_bs, dev_bs = dcfg.training_batch_size, dcfg.dev_batch_size
+    if config.train.legacy:
+        # legacy mode forces batch-size-1 loaders alongside step-based epochs
+        # (reference train_model.py:379-385)
+        train_bs = dev_bs = 1
+    train_loader = make_loader("train", train_bs, True, sequence_list)
+    dev_loader = make_loader("dev", dev_bs, False)
     return train_loader, dev_loader
 
 
@@ -75,16 +80,23 @@ def train_from_config(
     finetune: bool = False,
     fbank_conf: str | Path = "./misc/fbank.conf",
     verbose: bool = True,
+    resume_overrides: dict | None = None,
 ) -> TrainResult:
     if continue_from is not None:
         # resume: the run's persisted JSON config defines the experiment
-        # (explicit policy replacing the reference's silent pickle overwrite)
+        # (explicit policy replacing the reference's silent pickle overwrite);
+        # deliberate changes (e.g. extending epochs) go through
+        # resume_overrides / the --resume-override flag
         saved = Path(continue_from).parent / "config.json"
         if saved.exists():
             resumed = ExperimentConfig.load(saved)
             if verbose and resumed != config:
                 print(f"Using saved run config from {saved}")
             config = resumed
+        if resume_overrides:
+            config = config.apply_overrides(resume_overrides)
+            if verbose:
+                print(f"Resume overrides applied: {resume_overrides}")
 
     exp_dir = config.exp_dir(exp_root)
     train_loader, dev_loader = build_loaders(

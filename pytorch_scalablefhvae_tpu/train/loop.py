@@ -463,6 +463,11 @@ def run_training(
             break
 
     writer.close()
+    if config.train.ckpt_backend == "orbax":
+        # flush the async save pipeline before handing control back
+        from pytorch_scalablefhvae_tpu.train.orbax_backend import wait_for_saves
+
+        wait_for_saves()
     if verbose:
         print("Training complete!")
     return result

@@ -6,6 +6,17 @@ orbax-checkpoint's async, per-shard save path (device-to-storage without
 gathering to one host) — select with ``TrainConfig.ckpt_backend = "orbax"``.
 The sidecar JSON metadata (epoch/best/history) is shared with the npz
 backend so tooling reads either.
+
+Saves are genuinely asynchronous: one long-lived checkpointer stages the
+arrays and returns; the training loop keeps stepping while the write
+completes in the background (orbax serializes overlapping saves itself).
+Call :func:`wait_for_saves` to flush — the training loop does so once at
+loop end, and loads flush implicitly.
+
+Like the npz backend, a mu2 table whose row count was padded for a mesh's
+model axis is adapted on load (sliced/zero-padded to the template's rows),
+so checkpoints are interchangeable across mesh shapes; the saved row count
+travels in the sidecar (``table_rows``).
 """
 
 from __future__ import annotations
@@ -16,15 +27,28 @@ from pathlib import Path
 import jax
 import numpy as np
 
+from pytorch_scalablefhvae_tpu.train.checkpoint import _adapt_rows
 from pytorch_scalablefhvae_tpu.train.step import TrainState
 
 _SCHEMA_VERSION = 1
+_CHECKPOINTER = None
 
 
 def _checkpointer():
-    import orbax.checkpoint as ocp
+    """One long-lived checkpointer: keeps async saves alive across calls and
+    lets orbax serialize overlapping saves."""
+    global _CHECKPOINTER
+    if _CHECKPOINTER is None:
+        import orbax.checkpoint as ocp
 
-    return ocp.StandardCheckpointer()
+        _CHECKPOINTER = ocp.StandardCheckpointer()
+    return _CHECKPOINTER
+
+
+def wait_for_saves() -> None:
+    """Block until every in-flight async save has committed to disk."""
+    if _CHECKPOINTER is not None:
+        _CHECKPOINTER.wait_until_finished()
 
 
 def save_checkpoint_orbax(
@@ -41,9 +65,11 @@ def save_checkpoint_orbax(
     name = f"{model_type}_{run_info}_e{epoch}"
     path = (checkpoint_dir / f"{name}.orbax").resolve()
     ckptr = _checkpointer()
-    ckptr.save(path, state, force=True)
-    ckptr.wait_until_finished()
+    ckptr.save(path, state, force=True)  # async: returns once staged
     meta_out = dict(meta, schema_version=_SCHEMA_VERSION, backend="orbax", epoch=epoch)
+    table = state.params.get("mu2_table") if isinstance(state.params, dict) else None
+    if table is not None:
+        meta_out["table_rows"] = int(np.shape(table)[0])
     (checkpoint_dir / f"{name}.json").write_text(json.dumps(meta_out, indent=2))
     if meta.get("best_epoch") == epoch:
         # pointer instead of the npz backend's file copy (orbax checkpoints
@@ -59,15 +85,38 @@ def load_checkpoint_orbax(
     template_state: TrainState,
     finetune: bool = False,
 ) -> tuple[TrainState, dict]:
+    wait_for_saves()  # the checkpoint may still be committing
     checkpoint_path = Path(checkpoint_path).resolve()
     meta = json.loads(
         checkpoint_path.with_suffix(".json").read_text()
     )
+    saved_rows = meta.get("table_rows")
+
+    def abstract_leaf(path, x):
+        shape = tuple(np.shape(x))
+        path_str = "/".join(str(p) for p in path)
+        if (
+            saved_rows is not None
+            and "mu2_table" in path_str
+            and len(shape) == 2
+            and shape[0] != saved_rows
+        ):
+            shape = (saved_rows, shape[1])
+        return jax.ShapeDtypeStruct(shape, np.asarray(x).dtype)
+
+    abstract = jax.tree_util.tree_map_with_path(abstract_leaf, template_state)
     ckptr = _checkpointer()
-    abstract = jax.tree_util.tree_map(
-        lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype), template_state
-    )
     state = ckptr.restore(checkpoint_path, abstract)
+
+    def adapt(path, saved, tmpl):
+        t_shape = tuple(np.shape(tmpl))
+        if tuple(np.shape(saved)) != t_shape:
+            # mu2 row-count padding is layout, not architecture (see
+            # checkpoint.load_checkpoint)
+            return _adapt_rows(np.asarray(saved), t_shape[0])
+        return saved
+
+    state = jax.tree_util.tree_map_with_path(adapt, state, template_state)
     if finetune:
         state = TrainState(
             params=state.params,

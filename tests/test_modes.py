@@ -77,6 +77,20 @@ class TestLegacyMode:
         # exactly one optimizer step despite more batches being available
         assert int(res.state.step) == 1
 
+    def test_legacy_forces_batch_size_one_loaders(self, tmp_path):
+        """--legacy emulates the reference's batch-size-1 train/dev loaders
+        (train_model.py:379-385) alongside step-based epochs."""
+        from pytorch_scalablefhvae_tpu.train.driver import build_loaders
+
+        corpus = tmp_path / "corpus"
+        preprocess_data(ExperimentConfig(data=DataConfig(dataset="synthetic")), root=corpus)
+        cfg = cfg_for(tmp_path, train_extra=dict(legacy=True))
+        tl, dl = build_loaders(cfg, data_root=corpus, is_preprocessed=True)
+        assert tl.batch_size == 1 and dl.batch_size == 1
+        cfg2 = cfg_for(tmp_path)
+        tl2, dl2 = build_loaders(cfg2, data_root=corpus, is_preprocessed=True)
+        assert tl2.batch_size == 32 and dl2.batch_size == 64
+
     def test_legacy_exp_string(self, tmp_path):
         cfg = cfg_for(tmp_path, train_extra=dict(legacy=True, steps_per_epoch=5000))
         assert "_s5000_" in cfg.exp_string()

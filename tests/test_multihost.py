@@ -1,0 +1,72 @@
+"""Multi-host logic tests — as far as a single-host environment allows
+(SURVEY.md §5 distributed backend; VERDICT r1 item 10): the initialization
+branch with mocks, and the DCN/ICI mesh-placement validator.
+"""
+
+import argparse
+
+import pytest
+
+from pytorch_scalablefhvae_tpu.cli.main import _maybe_init_multihost
+from pytorch_scalablefhvae_tpu.parallel.mesh import validate_multihost_mesh
+
+
+class TestMultihostInit:
+    def _args(self, multihost=False, mesh=None):
+        return argparse.Namespace(multihost=multihost, mesh=mesh)
+
+    def test_flag_triggers_initialize(self, monkeypatch):
+        import jax
+
+        calls = []
+        monkeypatch.setattr(jax.distributed, "initialize", lambda: calls.append(1))
+        assert _maybe_init_multihost(self._args(multihost=True)) is True
+        assert calls == [1]
+
+    def test_env_triggers_initialize(self, monkeypatch):
+        import jax
+
+        calls = []
+        monkeypatch.setattr(jax.distributed, "initialize", lambda: calls.append(1))
+        monkeypatch.setenv("SFHVAE_MULTIHOST", "1")
+        assert _maybe_init_multihost(self._args()) is True
+        assert calls == [1]
+
+    def test_default_is_single_host(self, monkeypatch):
+        import jax
+
+        monkeypatch.setattr(
+            jax.distributed, "initialize",
+            lambda: (_ for _ in ()).throw(AssertionError("must not initialize")),
+        )
+        monkeypatch.delenv("SFHVAE_MULTIHOST", raising=False)
+        assert _maybe_init_multihost(self._args()) is False
+
+    def test_mesh_validated_after_initialize(self, monkeypatch):
+        import jax
+
+        monkeypatch.setattr(jax.distributed, "initialize", lambda: None)
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        monkeypatch.setattr(jax, "local_device_count", lambda: 4)
+        # model axis 8 > 4 local devices: collectives would cross DCN
+        with pytest.raises(ValueError, match="span host boundaries"):
+            _maybe_init_multihost(self._args(multihost=True, mesh="1,8"))
+        # valid: data spans hosts, model stays on-host
+        assert _maybe_init_multihost(self._args(multihost=True, mesh="2,4"))
+
+
+class TestMeshPlacementRules:
+    def test_valid_layouts(self):
+        # 4 hosts x 8 chips (e.g. v5e-32): data over DCN+ICI, model on ICI
+        for shape in ((32, 1), (16, 2), (8, 4), (4, 8)):
+            validate_multihost_mesh(shape, process_count=4, local_device_count=8)
+
+    def test_model_axis_must_divide_local(self):
+        with pytest.raises(ValueError, match="span host boundaries"):
+            validate_multihost_mesh((2, 16), process_count=4, local_device_count=8)
+        with pytest.raises(ValueError, match="span host boundaries"):
+            validate_multihost_mesh((32, 3), process_count=12, local_device_count=8)
+
+    def test_coverage_check(self):
+        with pytest.raises(ValueError, match="does not cover"):
+            validate_multihost_mesh((4, 4), process_count=4, local_device_count=8)
