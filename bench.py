@@ -104,6 +104,92 @@ def bench_jax(num_seqs: int = NUM_SEQS, use_pallas: str = "never", steps: int = 
     return dispatches * k * BATCH / best_dt
 
 
+def bench_end_to_end(k_dispatch: int = 64, epochs: int = 2,
+                     num_seqs: int = 1600, frames: int = 250,
+                     transfer_dtype: str = "float32",
+                     host_only: bool = False) -> float:
+    """End-to-end loop throughput: SegmentLoader -> host K-batch stacking ->
+    (multi_)train_step, timed wall-clock over whole epochs — includes every
+    host cost the device-resident numbers exclude (batch assembly, gather,
+    stacking, transfers on this 1-core host). Mirrors train/loop.py's
+    dispatch paths exactly."""
+    from pytorch_scalablefhvae_tpu.data.feature_store import FeatureStore
+    from pytorch_scalablefhvae_tpu.data.loader import SegmentLoader, device_prefetch
+    from pytorch_scalablefhvae_tpu.data.segments import SegmentDataset
+    from pytorch_scalablefhvae_tpu.models import SimpleFHVAE
+    from pytorch_scalablefhvae_tpu.train.step import (
+        create_train_state,
+        make_multi_train_step,
+        make_optimizer,
+        make_train_step,
+    )
+
+    rng = np.random.default_rng(0)
+    # synthesized packed store (the loop's input pipeline starts here; file
+    # decode happens offline in preprocessing)
+    store = object.__new__(FeatureStore)
+    store.seq_keys = [f"s{i}" for i in range(num_seqs)]
+    store.seq2idx = {k: i for i, k in enumerate(store.seq_keys)}
+    store.lens = np.full(num_seqs, frames, np.int64)
+    store.seq_starts = np.arange(num_seqs, dtype=np.int64) * frames
+    store.dim = N_MELS
+    store.data = rng.standard_normal((num_seqs * frames, N_MELS)).astype(np.float32)
+    store.mvn_params = None
+
+    ds = SegmentDataset(store, seg_len=SEG_LEN, seg_shift=8)
+    loader = SegmentLoader(ds, BATCH, shuffle=True, seed=0,
+                           transfer_dtype=transfer_dtype)
+    if host_only:
+        # loader+assembly throughput alone: the ceiling the input link must
+        # let through. (On this rig the tunneled device link measures
+        # ~17 MB/s, so full end-to-end is link-bound, not host/device-bound.)
+        t0 = time.perf_counter()
+        segs = sum(b.num_real for b in loader)
+        return segs / (time.perf_counter() - t0)
+    model = SimpleFHVAE(input_size=SEG_LEN * N_MELS, num_seqs=num_seqs)
+    optimizer = make_optimizer(1e-3, 0.95, 0.999)
+    state = create_train_state(model, optimizer, seed=0)
+    step = make_train_step(model, optimizer, ALPHA, donate=True)
+    mstep = (make_multi_train_step(model, optimizer, ALPHA, donate=True)
+             if k_dispatch > 1 else None)
+
+    def run_epoch(state, loss=None):
+        segs = 0
+        if k_dispatch > 1:  # train/loop.py k>1 path: stack K batches, flush
+            pending = []
+            for b in loader:
+                pending.append(b)
+                segs += b.num_real
+                if len(pending) == k_dispatch:
+                    stacked = tuple(
+                        np.stack([getattr(p, f) for p in pending])
+                        for f in ("feats", "seq_idx", "nsegs", "weight")
+                    )
+                    state, m = mstep(state, *stacked)
+                    loss = m["loss"]
+                    pending.clear()
+            for b in pending:  # tail: single-step path
+                state, m = step(state, b.feats, b.seq_idx, b.nsegs, b.weight)
+                loss = m["loss"]
+        else:  # k=1 path: device_prefetch overlaps transfers with compute
+            for b in device_prefetch(loader):
+                state, m = step(state, b.feats, b.seq_idx, b.nsegs, b.weight)
+                loss = m["loss"]
+                segs += b.num_real
+        return state, loss, segs
+
+    state, loss, _ = run_epoch(state)  # warmup: compiles both programs
+    float(np.asarray(loss).ravel()[-1])
+    t0 = time.perf_counter()
+    total = 0
+    for e in range(epochs):
+        loader.set_epoch(e + 1)
+        state, loss, segs = run_epoch(state)
+        total += segs
+    float(np.asarray(loss).ravel()[-1])
+    return total / (time.perf_counter() - t0)
+
+
 def bench_torch_baseline() -> float:
     """Equivalent torch training step (the reference's stack: torch CPU,
     fp64 per model.double(), same architecture/objective), implemented
@@ -213,6 +299,21 @@ def main() -> None:
             )
         except Exception as e:
             print(f"# fhvae bench failed: {e}")
+        # end-to-end loop throughput: loader -> host stacking -> step; the
+        # honest number that includes the 1-core host input pipeline
+        try:
+            extras["end_to_end_sps"] = round(bench_end_to_end(k_dispatch=64), 1)
+            extras["end_to_end_bf16_sps"] = round(
+                bench_end_to_end(k_dispatch=64, transfer_dtype="bfloat16"), 1
+            )
+            extras["end_to_end_k1_sps"] = round(
+                bench_end_to_end(k_dispatch=1, epochs=1, num_seqs=800), 1
+            )
+            extras["host_pipeline_sps"] = round(
+                bench_end_to_end(host_only=True), 1
+            )
+        except Exception as e:
+            print(f"# end-to-end bench failed: {e}")
 
     result = {
         "metric": "train_segments_per_sec",

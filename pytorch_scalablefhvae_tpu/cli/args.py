@@ -69,6 +69,10 @@ def add_train_flags(p: argparse.ArgumentParser) -> None:
                    help="Minimum sequence length; defaults to the segment length")
     p.add_argument("--pack-cache-dir", type=str, default=None,
                    help="Persist+memmap packed feature arrays here (corpus-scale splits)")
+    p.add_argument("--transfer-dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="Feature-batch dtype shipped host->device; bfloat16 "
+                        "halves input-link bytes (model upcasts on entry)")
     p.add_argument("--mvn-path", type=str, default=None,
                    help="Path to a precomputed mean/variance normalization file")
     p.add_argument("--seg-len", type=int, default=20, help="Segment length to use")
@@ -183,6 +187,7 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
             training_batch_size=getattr(args, "training_batch_size", 256),
             pack_cache_dir=getattr(args, "pack_cache_dir", None),
             dev_batch_size=getattr(args, "dev_batch_size", 2048),
+            transfer_dtype=getattr(args, "transfer_dtype", "float32"),
             **subset_kw,
         ),
         model=ModelConfig(

@@ -67,6 +67,9 @@ class DataConfig:
     dev_batch_size: int = 2048
     # persist + memmap the packed feature arrays (corpus-scale splits)
     pack_cache_dir: str | None = None
+    # dtype of feature batches shipped host->device ("float32" | "bfloat16");
+    # bfloat16 halves input-link bytes, the model upcasts on entry
+    transfer_dtype: str = "float32"
     # librispeech subset lists (preprocess_librispeech.py:98-103; B17 fixed:
     # test list is test-clean + test-other)
     train_list: tuple[str, ...] = ("train-clean-100",)

@@ -60,13 +60,25 @@ class SegmentLoader:
         seed: int = 0,
         drop_last: bool = False,
         prefetch: int = 2,
+        transfer_dtype: str = "float32",
     ):
+        """``transfer_dtype``: dtype of the emitted feature batches.
+        "bfloat16" halves host->device transfer bytes (and HBM for the staged
+        batch); the model upcasts to float32 on entry, so only the feature
+        quantization (~3 decimal digits) changes. Opt-in: useful when the
+        input link, not compute, bounds throughput."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
+        if transfer_dtype == "bfloat16":
+            import ml_dtypes
+
+            self.feats_dtype = np.dtype(ml_dtypes.bfloat16)
+        else:
+            self.feats_dtype = np.dtype(np.float32)
         self._epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -101,7 +113,7 @@ class SegmentLoader:
         weight = np.zeros(B, dtype=np.float32)
         weight[:real] = 1.0
         return Batch(
-            feats=np.ascontiguousarray(feats, dtype=np.float32),
+            feats=np.ascontiguousarray(feats, dtype=self.feats_dtype),
             seq_idx=seq_idx.astype(np.int32),
             nsegs=nsegs,
             weight=weight,

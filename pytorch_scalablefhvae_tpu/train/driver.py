@@ -57,7 +57,8 @@ def build_loaders(
             rand_seg=dcfg.rand_seg,
             seed=config.train.seed,
         )
-        return SegmentLoader(ds, batch_size, shuffle=shuffle, seed=config.train.seed)
+        return SegmentLoader(ds, batch_size, shuffle=shuffle, seed=config.train.seed,
+                             transfer_dtype=dcfg.transfer_dtype)
 
     # under hierarchical sampling the loop subsets the full store per epoch
     # (train/loop.py); the loader built here always covers the full split

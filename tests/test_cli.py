@@ -126,6 +126,7 @@ class TestConfigFlagCompleteness:
             ("data", "training_batch_size"): (["--training-batch-size", "64"], 64),
             ("data", "dev_batch_size"): (["--dev-batch-size", "128"], 128),
             ("data", "pack_cache_dir"): (["--pack-cache-dir", "/pc"], "/pc"),
+            ("data", "transfer_dtype"): (["--transfer-dtype", "bfloat16"], "bfloat16"),
             ("data", "train_list"): (["--train-list", "train-other-500"],
                                      ("train-other-500",)),
             ("data", "dev_list"): (["--dev-list", "dev-clean"], ("dev-clean",)),

@@ -269,3 +269,41 @@ class TestStreamingPack:
         proc = subprocess.run([sys.executable, "-c", code], capture_output=True,
                               text=True, timeout=600)
         assert proc.returncode == 0, proc.stderr[-2000:]
+
+
+class TestTransferDtype:
+    def test_bfloat16_batches(self, tmp_path, rng):
+        import ml_dtypes
+
+        feat_scp, len_scp = build_split(tmp_path, rng)
+        store = FeatureStore(feat_scp, len_scp, min_len=20, verbose=False)
+        ds = SegmentDataset(store, seg_len=20, seg_shift=8)
+        loader = SegmentLoader(ds, 8, shuffle=False, transfer_dtype="bfloat16")
+        b = next(iter(loader))
+        assert b.feats.dtype == np.dtype(ml_dtypes.bfloat16)
+        # values quantized from the f32 gather, not garbage
+        ref = next(iter(SegmentLoader(ds, 8, shuffle=False)))
+        np.testing.assert_allclose(b.feats.astype(np.float32), ref.feats,
+                                   rtol=1e-2, atol=1e-2)
+
+    def test_train_step_accepts_bfloat16_feats(self, tmp_path, rng):
+        from pytorch_scalablefhvae_tpu.models import SimpleFHVAE
+        from pytorch_scalablefhvae_tpu.train.step import (
+            create_train_state,
+            make_optimizer,
+            make_train_step,
+        )
+
+        feat_scp, len_scp = build_split(tmp_path, rng)
+        store = FeatureStore(feat_scp, len_scp, min_len=20, verbose=False)
+        ds = SegmentDataset(store, seg_len=20, seg_shift=8)
+        loader = SegmentLoader(ds, 8, shuffle=False, transfer_dtype="bfloat16")
+        model = SimpleFHVAE(input_size=20 * 8, num_seqs=store.num_seqs,
+                            z1_hus=(16, 16), z2_hus=(16, 16), x_hus=(16, 16),
+                            z1_dim=4, z2_dim=4)
+        opt = make_optimizer(1e-3, 0.95, 0.999)
+        state = create_train_state(model, opt, seed=0)
+        step = make_train_step(model, opt, alpha=10.0, donate=False)
+        b = next(iter(loader))
+        _, m = step(state, b.feats, b.seq_idx, b.nsegs, b.weight)
+        assert np.isfinite(float(m["loss"]))

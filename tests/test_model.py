@@ -179,3 +179,22 @@ class TestRecurrentFHVAE:
                                                 sample=True, num_frames=T)
         assert x_mu.shape == (4, T, F)
         assert np.isfinite(np.asarray(x_sample)).all()
+
+
+class TestScanUnroll:
+    def test_unroll_factor_does_not_change_lstm_math(self, rng):
+        """scan_unroll is a scheduling knob (XLA software-pipelining of the
+        short recurrence), never a semantics change."""
+        import jax
+
+        from pytorch_scalablefhvae_tpu.models.fhvae import init_lstm_stack, run_lstm
+
+        p = init_lstm_stack(jax.random.PRNGKey(0), 12, (16, 16))
+        xs = jnp.asarray(rng.standard_normal((4, 20, 12)), jnp.float32)
+        seq1, h1 = run_lstm(p, xs, unroll=1)
+        for unroll in (4, 7, 20, 50):  # 50 > T: clamped to full unroll
+            sequ, hu = run_lstm(p, xs, unroll=unroll)
+            np.testing.assert_allclose(np.asarray(sequ), np.asarray(seq1),
+                                       rtol=1e-6, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(hu), np.asarray(h1),
+                                       rtol=1e-6, atol=1e-6)
