@@ -247,6 +247,12 @@ class ExperimentConfig:
                     )
                 sec_name = homes[0]
             val = _parse_override_value(raw)
+            # tuple-typed fields (mesh_shape, subset lists, layer widths):
+            # a single value parses as a scalar — wrap it so downstream
+            # tuple(...)/iteration semantics hold
+            cur = getattr(sections[sec_name], fname)
+            if isinstance(cur, tuple) and not isinstance(val, tuple):
+                val = (val,)
             sections[sec_name] = dataclasses.replace(sections[sec_name], **{fname: val})
         return dataclasses.replace(self, **sections)
 

@@ -40,20 +40,45 @@ def _load_feat(path_or_rx: str) -> np.ndarray:
         return np.load(f)
 
 
+# archives at or under this size use the C++ bulk reader (one native pass,
+# whole archive resident briefly); larger ones stream record-by-record so
+# peak memory stays bounded by one utterance
+_NATIVE_ARK_BYTES = 1 << 30
+
+
+def _iter_one_ark(ark: str):
+    """Yield (key, float32 matrix) from one archive: native bulk read for
+    small archives, pure-Python sequential streaming for big ones."""
+    try:
+        if Path(ark).stat().st_size <= _NATIVE_ARK_BYTES:
+            from pytorch_scalablefhvae_tpu.native.binding import native_read_ark_packed
+
+            keys, data, offsets = native_read_ark_packed(ark)
+            for i, k in enumerate(keys):
+                yield k, data[offsets[i] : offsets[i + 1]]
+            return
+    except Exception:
+        pass  # toolchain unavailable or read failure: python fallback below
+    for k, mat in kaldi_ark.iter_ark(ark):
+        yield k, np.asarray(mat, dtype=np.float32)
+
+
 def _stream_feats(keep: list[str], feats):
     """Yield ``(key, float32 matrix)`` for every kept feature, one at a time.
 
-    Ark-backed manifests are streamed with one sequential pass per archive
-    (no per-record seeks); ``.npy`` entries load individually. Order is
-    arbitrary — the caller writes each matrix at its own precomputed offset —
-    so peak memory is one utterance, never the split."""
+    Ark-backed manifests are read with one sequential pass per archive (the
+    C++ bulk reader when the archive is small enough to buffer, else a
+    streaming record-by-record read — no per-record seeks either way);
+    ``.npy`` entries load individually. Order is arbitrary — the caller
+    writes each matrix at its own precomputed offset — so peak memory is one
+    archive buffer at most, never the whole split."""
     wanted = set(keep)
     seen: set[str] = set()
     ark_paths = sorted(
         {str(feats[k]).rpartition(":")[0] for k in keep if _is_rxspecifier(str(feats[k]))}
     )
     for ark in ark_paths:
-        for k, mat in kaldi_ark.iter_ark(ark):
+        for k, mat in _iter_one_ark(ark):
             if k in wanted and k not in seen:
                 seen.add(k)
                 yield k, np.asarray(mat, dtype=np.float32)

@@ -98,8 +98,20 @@ def train_from_config(
             config = config.apply_overrides(resume_overrides)
             if verbose:
                 print(f"Resume overrides applied: {resume_overrides}")
+    elif resume_overrides:
+        raise ValueError(
+            "--resume-override only applies when resuming (--continue-from); "
+            "set the flag directly for a fresh run"
+        )
 
-    exp_dir = config.exp_dir(exp_root)
+    if continue_from is not None and not finetune:
+        # a resume continues THE experiment: keep writing into the
+        # checkpoint's directory even when an override changes a field that
+        # the directory name embeds (epochs/patience). Finetune is a new
+        # experiment and gets its own config-derived directory.
+        exp_dir = Path(continue_from).parent
+    else:
+        exp_dir = config.exp_dir(exp_root)
     train_loader, dev_loader = build_loaders(
         config, data_root, is_preprocessed, fbank_conf
     )

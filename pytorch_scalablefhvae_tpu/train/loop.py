@@ -157,8 +157,13 @@ def run_training(
             make_mesh,
             padded_num_seqs,
             shard_state,
+            validate_multihost_mesh,
         )
 
+        if jax.process_count() > 1:
+            # validate the shape that actually trains (on resume the saved
+            # config's mesh wins, so the CLI-time check may not have seen it)
+            validate_multihost_mesh(tuple(config.train.mesh_shape))
         mesh = make_mesh(tuple(config.train.mesh_shape))
 
     model = build_model(config.model.model_type, input_size, config.model, num_seqs,
@@ -286,9 +291,11 @@ def run_training(
             epoch_loader = SegmentLoader(
                 sub_ds, train_loader.batch_size, shuffle=True,
                 seed=config.train.seed + 31 * epoch,
+                transfer_dtype=config.data.transfer_dtype,
             )
             est_loader = SegmentLoader(sub_ds, train_loader.batch_size,
-                                       shuffle=False, seed=0)
+                                       shuffle=False, seed=0,
+                                       transfer_dtype=config.data.transfer_dtype)
             table_np = estimate_split_mu2(
                 encode_step, state.params, est_loader, hier_k, pz2_var,
                 z2_dim=config.model.z2_dim,

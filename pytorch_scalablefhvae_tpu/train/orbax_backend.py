@@ -90,7 +90,19 @@ def load_checkpoint_orbax(
     meta = json.loads(
         checkpoint_path.with_suffix(".json").read_text()
     )
-    saved_rows = meta.get("table_rows")
+    if not checkpoint_path.exists():
+        # orbax commits atomically (tmp dir + rename), so a sidecar without
+        # its .orbax directory means the process died mid-save
+        raise FileNotFoundError(
+            f"Checkpoint {checkpoint_path} has a metadata sidecar but no "
+            f"committed orbax directory — the save was likely interrupted "
+            f"(crash/preemption before the async commit finished). Resume "
+            f"from an earlier epoch checkpoint."
+        )
+    # table_rows records the (possibly mesh-padded) saved row count; older
+    # sidecars lack it — fall back to num_seqs (pre-padding saves were
+    # always unpadded)
+    saved_rows = meta.get("table_rows", meta.get("num_seqs"))
 
     def abstract_leaf(path, x):
         shape = tuple(np.shape(x))

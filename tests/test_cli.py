@@ -217,3 +217,21 @@ class TestResumeOverrides:
                       "--resume-override", "epochs=5",
                       "--resume-override", "train.patience=2"])
         assert args.resume_override == ["epochs=5", "train.patience=2"]
+
+    def test_apply_overrides_wraps_single_tuple_values(self):
+        from pytorch_scalablefhvae_tpu.config import ExperimentConfig
+
+        cfg = ExperimentConfig()
+        out = cfg.apply_overrides({"train_list": "train-other-500",
+                                   "train.mesh_shape": "4"})
+        assert out.data.train_list == ("train-other-500",)
+        assert out.train.mesh_shape == (4,)
+
+    def test_override_without_continue_from_raises(self, tmp_path):
+        from pytorch_scalablefhvae_tpu.config import ExperimentConfig
+        from pytorch_scalablefhvae_tpu.train.driver import train_from_config
+
+        with pytest.raises(ValueError, match="only applies when resuming"):
+            train_from_config(ExperimentConfig(), data_root=tmp_path,
+                              is_preprocessed=True,
+                              resume_overrides={"epochs": 5}, verbose=False)

@@ -195,3 +195,7 @@ class TestOrbaxBackend:
                                  resume_overrides={"train.epochs": 3},
                                  verbose=False)
         assert res2.last_epoch == 2
+        # the resume continued THE experiment: the epoch-2 checkpoint landed
+        # in the original directory even though epochs (a dir-name field)
+        # changed
+        assert ckpt.find_epoch_checkpoint(exp_dir, -1).name.endswith("_e2.orbax")
