@@ -127,14 +127,10 @@ def bench_end_to_end(k_dispatch: int = 64, epochs: int = 2,
     rng = np.random.default_rng(0)
     # synthesized packed store (the loop's input pipeline starts here; file
     # decode happens offline in preprocessing)
-    store = object.__new__(FeatureStore)
-    store.seq_keys = [f"s{i}" for i in range(num_seqs)]
-    store.seq2idx = {k: i for i, k in enumerate(store.seq_keys)}
-    store.lens = np.full(num_seqs, frames, np.int64)
-    store.seq_starts = np.arange(num_seqs, dtype=np.int64) * frames
-    store.dim = N_MELS
-    store.data = rng.standard_normal((num_seqs * frames, N_MELS)).astype(np.float32)
-    store.mvn_params = None
+    store = FeatureStore.from_arrays({
+        f"s{i}": rng.standard_normal((frames, N_MELS)).astype(np.float32)
+        for i in range(num_seqs)
+    })
 
     ds = SegmentDataset(store, seg_len=SEG_LEN, seg_shift=8)
     loader = SegmentLoader(ds, BATCH, shuffle=True, seed=0,

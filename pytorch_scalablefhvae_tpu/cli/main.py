@@ -144,6 +144,19 @@ def _cmd_probe(args) -> int:
     return 0
 
 
+def _cmd_encode(args) -> int:
+    from pytorch_scalablefhvae_tpu.eval.encode import encode_audio
+
+    encode_audio(
+        args.exp_dir,
+        args.audio,
+        step=args.step,
+        output_dir=args.output_dir,
+        batch_size=args.batch_size,
+    )
+    return 0
+
+
 def _cmd_prep_timit(args) -> int:
     from pytorch_scalablefhvae_tpu.corpus.timit import process_timit
 
@@ -226,6 +239,24 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Set {train, dev, test} to operate on; all three if omitted")
     add_common_flags(p)
     p.set_defaults(fn=_cmd_extract)
+
+    p = sub.add_parser(
+        "encode",
+        help="Encode raw audio with a trained experiment: decode -> features "
+             "(run's exact config + MVN) -> segment -> z1/z2 latents + "
+             "per-utterance mu2 MAP, written as npz",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    p.add_argument("exp_dir", type=str, help="Experiment directory")
+    p.add_argument("audio", type=str, nargs="+",
+                   help="Audio files, directories, or wav.scp manifests")
+    p.add_argument("--output-dir", type=str, default="./encoded",
+                   help="Where to write latents.npz + sequences.json")
+    p.add_argument("--step", type=int, default=-1,
+                   help="Epoch checkpoint to load; -1 loads the best checkpoint")
+    p.add_argument("--batch-size", type=int, default=2048,
+                   help="Segment batch size for the encoder passes")
+    p.set_defaults(fn=_cmd_encode)
 
     p = sub.add_parser("prep-timit", help="Generate TIMIT wav.scp manifests",
                        formatter_class=argparse.ArgumentDefaultsHelpFormatter)

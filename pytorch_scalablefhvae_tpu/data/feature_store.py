@@ -222,6 +222,34 @@ class FeatureStore:
             self.data = np.memmap(bin_path, dtype=np.float32, mode="r",
                                   shape=(total, self.dim))
 
+    @classmethod
+    def from_arrays(
+        cls,
+        feats: dict[str, np.ndarray],
+        mvn_params: dict | None = None,
+        apply_mvn: bool = False,
+    ) -> "FeatureStore":
+        """Build a store directly from in-memory ``{key: [T, dim]}`` arrays —
+        the manifest-less path for serving/encoding fresh audio and for
+        synthetic benchmarks. ``apply_mvn`` normalizes with ``mvn_params``
+        (stats are never computed here; pass the training run's)."""
+        st = object.__new__(cls)
+        st.seq_keys = list(feats)
+        st.seq2idx = {k: i for i, k in enumerate(st.seq_keys)}
+        st.lens = np.array([len(feats[k]) for k in st.seq_keys], dtype=np.int64)
+        offsets = np.zeros(len(st.seq_keys) + 1, dtype=np.int64)
+        np.cumsum(st.lens, out=offsets[1:])
+        st.seq_starts = offsets[:-1].copy()
+        st.dim = next(iter(feats.values())).shape[1] if feats else 0
+        st.data = (
+            np.concatenate([np.asarray(feats[k], np.float32) for k in st.seq_keys])
+            if feats else np.zeros((0, 0), np.float32)
+        )
+        st.mvn_params = mvn_params
+        if apply_mvn and mvn_params is not None:
+            st._apply_mvn_inplace(st.data)
+        return st
+
     # ---- MVN (reference datasets.py:100-136 semantics, JSON schema parity) --
 
     def _apply_mvn_inplace(self, dest: np.ndarray, chunk: int = 1 << 20) -> None:

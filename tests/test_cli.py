@@ -13,7 +13,7 @@ def parse(argv):
 class TestFlagSurface:
     def test_subcommands_exist(self):
         for cmd in ("preprocess", "train", "eval", "extract", "probe",
-                    "prep-timit", "prep-librispeech"):
+                    "encode", "prep-timit", "prep-librispeech"):
             with pytest.raises(SystemExit) as e:
                 parse([cmd, "--help"])
             assert e.value.code == 0

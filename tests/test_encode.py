@@ -1,0 +1,111 @@
+"""`sfhvae encode` tests: raw audio -> latents through a trained experiment."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from pytorch_scalablefhvae_tpu.config import (
+    DataConfig,
+    ExperimentConfig,
+    FeatureConfig,
+    ModelConfig,
+)
+from pytorch_scalablefhvae_tpu.eval.encode import _collect_audio, encode_audio
+from pytorch_scalablefhvae_tpu.models import SimpleFHVAE
+from pytorch_scalablefhvae_tpu.train import checkpoint as ckpt
+from pytorch_scalablefhvae_tpu.train.step import create_train_state, make_optimizer
+from pytorch_scalablefhvae_tpu.utils.audio_io import write_wav
+
+SR = 16000
+N_MELS = 8
+SEG_LEN = 20
+
+
+@pytest.fixture(scope="module")
+def exp_dir(tmp_path_factory):
+    """A minimal trained-experiment directory: config.json + one checkpoint."""
+    root = tmp_path_factory.mktemp("exp")
+    cfg = ExperimentConfig(
+        features=FeatureConfig(n_mels=N_MELS),
+        data=DataConfig(dataset="synthetic", seg_len=SEG_LEN,
+                        mvn_path=str(root / "mvn.json")),
+        model=ModelConfig(model_type="simple_fhvae", z1_hus=(16, 16),
+                          z2_hus=(16, 16), x_hus=(16, 16), z1_dim=4, z2_dim=4),
+    )
+    cfg.save(root / "config.json")
+    # MVN stats the encode path must pick up
+    (root / "mvn.json").write_text(json.dumps(
+        {"mean": [[0.5] * N_MELS], "std": [[2.0] * N_MELS]}
+    ))
+    model = SimpleFHVAE(input_size=SEG_LEN * N_MELS, num_seqs=3,
+                        z1_hus=(16, 16), z2_hus=(16, 16), x_hus=(16, 16),
+                        z1_dim=4, z2_dim=4)
+    opt = make_optimizer(1e-3, 0.95, 0.999)
+    state = create_train_state(model, opt, seed=0)
+    ckpt.save_checkpoint(
+        root, state, model_type="simple_fhvae",
+        model_params=model.model_params(), run_info="enc", epoch=0,
+        best_epoch=0, best_val_lb=-1.0, values={},
+        extra_meta={"num_seqs": 3, "feat_dim": N_MELS, "seg_len": SEG_LEN},
+    )
+    return root
+
+
+def make_wavs(tmp_path, n=2, seconds=0.4):
+    rng = np.random.default_rng(7)
+    paths = []
+    for i in range(n):
+        t = np.arange(int(SR * seconds)) / SR
+        y = 0.4 * np.sin(2 * np.pi * (200 + 60 * i) * t) + 0.05 * rng.standard_normal(len(t))
+        paths.append(write_wav(tmp_path / "wav" / f"utt{i}.wav",
+                               y.astype(np.float32), SR))
+    return paths
+
+
+class TestCollectAudio:
+    def test_files_dirs_and_scp(self, tmp_path):
+        paths = make_wavs(tmp_path, n=3)
+        by_file = _collect_audio([str(paths[0])])
+        assert by_file == {"utt0": str(paths[0])}
+        by_dir = _collect_audio([str(tmp_path / "wav")])
+        assert sorted(by_dir) == ["utt0", "utt1", "utt2"]
+        scp = tmp_path / "wav.scp"
+        scp.write_text(f"a {paths[1]}\n")
+        assert _collect_audio([str(scp)]) == {"a": str(paths[1])}
+        with pytest.raises(ValueError, match="Unsupported"):
+            _collect_audio([str(tmp_path / "nothing.txt")])
+
+
+class TestEncodeAudio:
+    def test_end_to_end(self, exp_dir, tmp_path):
+        paths = make_wavs(tmp_path, n=2)
+        out = encode_audio(exp_dir, [str(p) for p in paths],
+                           output_dir=tmp_path / "enc", verbose=False)
+        assert out["sequences"] == ["utt0", "utt1"]
+        # 0.4 s at 10 ms hop -> ~38 frames -> (38-20)//8+1 = 3 segments each
+        assert out["z1_mu"].shape[1] == 4
+        assert out["z2_mu"].shape[1] == 4
+        assert out["mu2_map"].shape == (2, 4)
+        assert len(out["seq_idx"]) >= 4
+        assert np.isfinite(out["z1_mu"]).all() and np.isfinite(out["mu2_map"]).all()
+        with np.load(tmp_path / "enc" / "latents.npz") as z:
+            np.testing.assert_array_equal(z["mu2_map"], out["mu2_map"])
+        assert json.loads((tmp_path / "enc" / "sequences.json").read_text()) == [
+            "utt0", "utt1"]
+
+    def test_short_audio_skipped_and_all_short_raises(self, exp_dir, tmp_path):
+        y = np.zeros(800, np.float32)  # 50 ms: ~3 frames < seg_len
+        p = write_wav(tmp_path / "short.wav", y, SR)
+        with pytest.raises(ValueError, match="shorter than one segment"):
+            encode_audio(exp_dir, [str(p)], verbose=False)
+
+    def test_cli_subcommand(self, exp_dir, tmp_path):
+        from pytorch_scalablefhvae_tpu.cli.main import main
+
+        paths = make_wavs(tmp_path, n=2)
+        rc = main(["encode", str(exp_dir), str(tmp_path / "wav"),
+                   "--output-dir", str(tmp_path / "cli_enc")])
+        assert rc == 0
+        assert (tmp_path / "cli_enc" / "latents.npz").exists()
