@@ -92,10 +92,11 @@ def bench_jax(num_seqs: int = NUM_SEQS, use_pallas: str = "never", steps: int = 
     sync(loss)
 
     # chunked timing, best-of-chunks: the tunneled single-chip runner shows
-    # large run-to-run variance; min-of-chunks estimates machine capability
+    # large run-to-run variance (same code measures ±20% across runs);
+    # min-of-chunks estimates machine capability
     dispatches = max(steps // k, 1)
     best_dt = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         for _ in range(dispatches):
             state, loss = run_once(state)

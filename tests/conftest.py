@@ -20,6 +20,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Opt-in persistent compile cache for faster repeat suite runs (each CPU
+# compile is 10-40 s on this 1-core box; cache hits load in <1 s). Opt-in
+# because the XLA:CPU AOT loader logs noisy machine-feature warnings on
+# every hit: SFHVAE_TEST_CACHE=/path/to/cache pytest tests/
+_cache = os.environ.get("SFHVAE_TEST_CACHE")
+if _cache:
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
