@@ -89,6 +89,44 @@ def _featurize(y: np.ndarray, sr: int, fcfg) -> np.ndarray:
                        log_floor=fcfg.log_floor_mel)
 
 
+def _featurize_jax_batched(
+    signals: dict[str, np.ndarray], sr: int, fcfg, batch_size: int = 32
+) -> dict[str, np.ndarray]:
+    """Batched on-accelerator featurization (features/dsp_jax.py): utterances
+    are length-sorted and padded into pow2 buckets so XLA compiles a handful
+    of programs; mirrors extract.prepare_jax without the file round-trip."""
+    import jax
+
+    from pytorch_scalablefhvae_tpu.features.dsp_jax import batched_features
+
+    order = sorted(signals, key=lambda k: len(signals[k]))
+    out: dict[str, np.ndarray] = {}
+    i = 0
+    while i < len(order):
+        keys = order[i : i + batch_size]
+        i += batch_size
+        T = 16384
+        while T < max(len(signals[k]) for k in keys):
+            T *= 2
+        batch = np.zeros((len(keys), T), np.float32)
+        lengths = np.zeros(len(keys), np.int32)
+        for j, k in enumerate(keys):
+            batch[j, : len(signals[k])] = signals[k]
+            lengths[j] = len(signals[k])
+        f, n = batched_features(
+            batch, lengths, sr=sr, n_fft=int(sr * fcfg.win_t),
+            hop_t=fcfg.hop_t, win_t=fcfg.win_t, n_mels=fcfg.n_mels,
+            feat_type=fcfg.feat_type,
+            log_floor=fcfg.log_floor_mel if fcfg.feat_type == "fbank"
+            else fcfg.log_floor_spec,
+        )
+        f = np.asarray(jax.device_get(f))
+        n = np.asarray(n)
+        for j, k in enumerate(keys):
+            out[k] = f[j, : n[j]].astype(np.float32)
+    return out
+
+
 def encode_audio(
     exp_dir: str | Path,
     inputs,
@@ -110,10 +148,9 @@ def encode_audio(
     fcfg = config.features
 
     audio = _collect_audio(inputs if isinstance(inputs, (list, tuple)) else [inputs])
-    feats: dict[str, np.ndarray] = {}
-    locked_sr = fcfg.sample_rate
     min_len = config.data.min_len if config.data.min_len is not None else config.data.seg_len
-    skipped = []
+    locked_sr = fcfg.sample_rate
+    signals: dict[str, np.ndarray] = {}
     for key, path in audio.items():
         y, sr = read_audio(path, fcfg.sample_rate)
         if locked_sr is None:
@@ -123,7 +160,18 @@ def encode_audio(
                 f"Inconsistent sample rate for {key}: {sr} vs {locked_sr} "
                 f"(pass --sample-rate to resample)"
             )
-        f = _featurize(y, sr, fcfg)
+        signals[key] = y
+
+    if fcfg.extractor == "jax" and fcfg.data_format != "kaldi":
+        # bulk serving path: batched on-accelerator STFT+mel (one fused MXU
+        # program per length bucket), same semantics as the host path
+        raw = _featurize_jax_batched(signals, locked_sr, fcfg)
+    else:
+        raw = {k: _featurize(y, locked_sr, fcfg) for k, y in signals.items()}
+
+    feats: dict[str, np.ndarray] = {}
+    skipped = []
+    for key, f in raw.items():
         if len(f) < min_len:
             skipped.append(key)
             continue

@@ -109,3 +109,41 @@ class TestEncodeAudio:
                    "--output-dir", str(tmp_path / "cli_enc")])
         assert rc == 0
         assert (tmp_path / "cli_enc" / "latents.npz").exists()
+
+    def test_jax_extractor_path_matches_numpy(self, tmp_path):
+        """extractor='jax' runs batched on-accelerator featurization with the
+        same semantics as the host path."""
+        import dataclasses
+
+        root = tmp_path / "exp_jax"
+        root.mkdir()
+        cfg = ExperimentConfig(
+            features=FeatureConfig(n_mels=N_MELS, extractor="jax"),
+            data=DataConfig(dataset="synthetic", seg_len=SEG_LEN),
+            model=ModelConfig(model_type="simple_fhvae", z1_hus=(16, 16),
+                              z2_hus=(16, 16), x_hus=(16, 16), z1_dim=4, z2_dim=4),
+        )
+        cfg.save(root / "config.json")
+        model = SimpleFHVAE(input_size=SEG_LEN * N_MELS, num_seqs=3,
+                            z1_hus=(16, 16), z2_hus=(16, 16), x_hus=(16, 16),
+                            z1_dim=4, z2_dim=4)
+        opt = make_optimizer(1e-3, 0.95, 0.999)
+        state = create_train_state(model, opt, seed=0)
+        ckpt.save_checkpoint(
+            root, state, model_type="simple_fhvae",
+            model_params=model.model_params(), run_info="j", epoch=0,
+            best_epoch=0, best_val_lb=-1.0, values={},
+            extra_meta={"num_seqs": 3, "feat_dim": N_MELS, "seg_len": SEG_LEN},
+        )
+        paths = make_wavs(tmp_path, n=2)
+        out_jax = encode_audio(root, [str(p) for p in paths], verbose=False)
+        # host-extractor experiment with identical settings
+        cfg_np = dataclasses.replace(
+            cfg, features=dataclasses.replace(cfg.features, extractor="numpy"))
+        cfg_np.save(root / "config.json")
+        out_np = encode_audio(root, [str(p) for p in paths], verbose=False)
+        assert out_jax["z2_mu"].shape == out_np["z2_mu"].shape
+        # fp32 log-domain features diverge slightly between DFT paths; the
+        # encoded latents must stay close
+        np.testing.assert_allclose(out_jax["z2_mu"], out_np["z2_mu"],
+                                   rtol=0.1, atol=0.05)
