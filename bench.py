@@ -187,6 +187,24 @@ def bench_end_to_end(k_dispatch: int = 64, epochs: int = 2,
     return total / (time.perf_counter() - t0)
 
 
+def bench_input_link_mbps(mbytes: int = 32) -> float:
+    """Measured host->device transfer bandwidth (MB/s). Contextualizes the
+    end-to-end numbers: on a tunneled single-chip rig this is the binding
+    constraint (~17 MB/s measured), not the host pipeline or the step."""
+    import jax
+
+    buf = np.zeros((mbytes, 1 << 20 >> 2), np.float32)  # mbytes MB
+    dev = jax.device_put(buf)
+    float(np.asarray(dev)[0, 0])  # warm the link
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        dev = jax.device_put(buf)
+        float(np.asarray(dev)[0, 0])
+        best = min(best, time.perf_counter() - t0)
+    return buf.nbytes / 1e6 / best
+
+
 def bench_torch_baseline() -> float:
     """Equivalent torch training step (the reference's stack: torch CPU,
     fp64 per model.double(), same architecture/objective), implemented
@@ -309,6 +327,7 @@ def main() -> None:
             extras["host_pipeline_sps"] = round(
                 bench_end_to_end(host_only=True), 1
             )
+            extras["input_link_mbps"] = round(bench_input_link_mbps(), 1)
         except Exception as e:
             print(f"# end-to-end bench failed: {e}")
 
