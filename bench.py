@@ -195,12 +195,14 @@ def bench_input_link_mbps(mbytes: int = 32) -> float:
 
     buf = np.zeros((mbytes, 1 << 20 >> 2), np.float32)  # mbytes MB
     dev = jax.device_put(buf)
-    float(np.asarray(dev)[0, 0])  # warm the link
+    float(np.asarray(dev[0, 0]))  # warm the link (one-element readback)
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         dev = jax.device_put(buf)
-        float(np.asarray(dev)[0, 0])
+        # sync via a device-side scalar slice so the D2H readback is one
+        # element, not the whole buffer (which would halve the H2D figure)
+        float(np.asarray(dev[0, 0]))
         best = min(best, time.perf_counter() - t0)
     return buf.nbytes / 1e6 / best
 

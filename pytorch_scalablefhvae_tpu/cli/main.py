@@ -153,6 +153,7 @@ def _cmd_encode(args) -> int:
         step=args.step,
         output_dir=args.output_dir,
         batch_size=args.batch_size,
+        sample_rate=args.sample_rate,
     )
     return 0
 
@@ -256,6 +257,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Epoch checkpoint to load; -1 loads the best checkpoint")
     p.add_argument("--batch-size", type=int, default=2048,
                    help="Segment batch size for the encoder passes")
+    p.add_argument("--sample-rate", type=int, default=None,
+                   help="Resample all inputs to this rate (default: the "
+                        "run's configured rate, or the first file's rate)")
     p.set_defaults(fn=_cmd_encode)
 
     p = sub.add_parser("prep-timit", help="Generate TIMIT wav.scp manifests",

@@ -251,7 +251,7 @@ class ExperimentConfig:
             # a single value parses as a scalar — wrap it so downstream
             # tuple(...)/iteration semantics hold
             cur = getattr(sections[sec_name], fname)
-            if isinstance(cur, tuple) and not isinstance(val, tuple):
+            if isinstance(cur, tuple) and val is not None and not isinstance(val, tuple):
                 val = (val,)
             sections[sec_name] = dataclasses.replace(sections[sec_name], **{fname: val})
         return dataclasses.replace(self, **sections)

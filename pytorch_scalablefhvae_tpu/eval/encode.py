@@ -37,18 +37,50 @@ AUDIO_EXTS = (".wav", ".flac", ".sph")
 
 def _collect_audio(inputs) -> dict[str, str]:
     """Resolve CLI inputs (files, directories, or a wav.scp) to
-    ``{utt_id: path}``."""
+    ``{utt_id: path}``.
+
+    Utterances key by file stem; when stems collide (TIMIT-style corpora
+    where every speaker has an sa1.wav), colliding entries re-key as
+    ``<parent>_<stem>`` so nothing is silently dropped."""
     out: dict[str, str] = {}
+    collided: set[str] = set()
+
+    def qualified(stem: str, path: str) -> str:
+        parent = Path(path).parent.name
+        return f"{parent}_{stem}" if parent else stem
+
+    def insert(key: str, path: str) -> None:
+        if key in out:
+            raise ValueError(
+                f"Cannot derive unique utterance ids: {path} and "
+                f"{out[key]} both map to {key!r}; use a wav.scp with "
+                f"explicit ids"
+            )
+        out[key] = path
+
+    def add(stem: str, path: str) -> None:
+        if stem in collided:
+            insert(qualified(stem, path), path)
+        elif stem in out:
+            # first collision: re-key the existing entry by its parent too
+            collided.add(stem)
+            other = out.pop(stem)
+            insert(qualified(stem, other), other)
+            insert(qualified(stem, path), path)
+        else:
+            out[stem] = path
+
     for item in inputs:
         p = Path(item)
         if p.is_dir():
             for f in sorted(p.rglob("*")):
                 if f.suffix.lower() in AUDIO_EXTS:
-                    out[f.stem] = str(f)
+                    add(f.stem, str(f))
         elif p.name.endswith(".scp"):
-            out.update(read_scp(p))
+            for k, v in read_scp(p).items():
+                add(k, v)
         elif p.suffix.lower() in AUDIO_EXTS:
-            out[p.stem] = str(p)
+            add(p.stem, str(p))
         else:
             raise ValueError(f"Unsupported encode input {item!r} "
                              f"(expected audio file, directory, or .scp)")
@@ -58,7 +90,9 @@ def _collect_audio(inputs) -> dict[str, str]:
 
 
 def _featurize(y: np.ndarray, sr: int, fcfg) -> np.ndarray:
-    """One utterance -> [T, dim] features per the run's feature config."""
+    """One utterance -> [T, dim] features, via the SAME functions the
+    training pipeline uses (extract.generate_feat / kaldi_fbank), so encoded
+    features cannot drift from what the model was trained on."""
     if fcfg.data_format == "kaldi":
         from pytorch_scalablefhvae_tpu.features.kaldi_fbank import kaldi_fbank
 
@@ -72,59 +106,10 @@ def _featurize(y: np.ndarray, sr: int, fcfg) -> np.ndarray:
             preemphasis=fcfg.preemphasis,
             remove_dc_offset=fcfg.remove_dc_offset,
         )
-    from pytorch_scalablefhvae_tpu.features.dsp_numpy import (
-        log_melspec,
-        log_spectrogram,
-    )
+    from pytorch_scalablefhvae_tpu.features.extract import generate_feat
 
-    n_fft = int(sr * fcfg.win_t)
-    if fcfg.feat_type == "spec":
-        return log_spectrogram(y, sr, n_fft=n_fft, hop_t=fcfg.hop_t,
-                               win_t=fcfg.win_t, window=fcfg.window,
-                               preemphasis=fcfg.preemphasis,
-                               log_floor=fcfg.log_floor_spec)
-    return log_melspec(y, sr, n_fft=n_fft, hop_t=fcfg.hop_t, win_t=fcfg.win_t,
-                       window=fcfg.window, preemphasis=fcfg.preemphasis,
-                       n_mels=fcfg.n_mels, norm_mel=fcfg.mel_norm,
-                       log_floor=fcfg.log_floor_mel)
-
-
-def _featurize_jax_batched(
-    signals: dict[str, np.ndarray], sr: int, fcfg, batch_size: int = 32
-) -> dict[str, np.ndarray]:
-    """Batched on-accelerator featurization (features/dsp_jax.py): utterances
-    are length-sorted and padded into pow2 buckets so XLA compiles a handful
-    of programs; mirrors extract.prepare_jax without the file round-trip."""
-    import jax
-
-    from pytorch_scalablefhvae_tpu.features.dsp_jax import batched_features
-
-    order = sorted(signals, key=lambda k: len(signals[k]))
-    out: dict[str, np.ndarray] = {}
-    i = 0
-    while i < len(order):
-        keys = order[i : i + batch_size]
-        i += batch_size
-        T = 16384
-        while T < max(len(signals[k]) for k in keys):
-            T *= 2
-        batch = np.zeros((len(keys), T), np.float32)
-        lengths = np.zeros(len(keys), np.int32)
-        for j, k in enumerate(keys):
-            batch[j, : len(signals[k])] = signals[k]
-            lengths[j] = len(signals[k])
-        f, n = batched_features(
-            batch, lengths, sr=sr, n_fft=int(sr * fcfg.win_t),
-            hop_t=fcfg.hop_t, win_t=fcfg.win_t, n_mels=fcfg.n_mels,
-            feat_type=fcfg.feat_type,
-            log_floor=fcfg.log_floor_mel if fcfg.feat_type == "fbank"
-            else fcfg.log_floor_spec,
-        )
-        f = np.asarray(jax.device_get(f))
-        n = np.asarray(n)
-        for j, k in enumerate(keys):
-            out[k] = f[j, : n[j]].astype(np.float32)
-    return out
+    return generate_feat(fcfg.feat_type, y, sr, fcfg.win_t, fcfg.hop_t,
+                         fcfg.n_mels)
 
 
 def encode_audio(
@@ -133,6 +118,7 @@ def encode_audio(
     step: int = -1,
     output_dir: str | Path | None = None,
     batch_size: int = 2048,
+    sample_rate: int | None = None,
     verbose: bool = True,
 ) -> dict:
     """Encode raw audio files with a trained experiment's model.
@@ -148,46 +134,59 @@ def encode_audio(
     fcfg = config.features
 
     audio = _collect_audio(inputs if isinstance(inputs, (list, tuple)) else [inputs])
-    min_len = config.data.min_len if config.data.min_len is not None else config.data.seg_len
-    locked_sr = fcfg.sample_rate
+    # an utterance must yield at least one full segment to be encoded (and
+    # honor the run's min_len filter when it is stricter)
+    min_frames = max(config.data.min_len or 0, config.data.seg_len)
+    resample_to = sample_rate if sample_rate is not None else fcfg.sample_rate
+    locked_sr = resample_to
     signals: dict[str, np.ndarray] = {}
     for key, path in audio.items():
-        y, sr = read_audio(path, fcfg.sample_rate)
+        y, sr = read_audio(path, resample_to)
         if locked_sr is None:
             locked_sr = sr
         elif locked_sr != sr:
             raise ValueError(
                 f"Inconsistent sample rate for {key}: {sr} vs {locked_sr} "
-                f"(pass --sample-rate to resample)"
+                f"(pass --sample-rate to resample everything to one rate)"
             )
         signals[key] = y
 
     if fcfg.extractor == "jax" and fcfg.data_format != "kaldi":
-        # bulk serving path: batched on-accelerator STFT+mel (one fused MXU
-        # program per length bucket), same semantics as the host path
-        raw = _featurize_jax_batched(signals, locked_sr, fcfg)
+        # bulk serving path: the same batched on-accelerator STFT+mel helper
+        # preprocessing uses (features/dsp_jax.featurize_signals)
+        from pytorch_scalablefhvae_tpu.features.dsp_jax import featurize_signals
+
+        raw = featurize_signals(signals, locked_sr, ftype=fcfg.feat_type,
+                                win_t=fcfg.win_t, hop_t=fcfg.hop_t,
+                                n_mels=fcfg.n_mels)
     else:
         raw = {k: _featurize(y, locked_sr, fcfg) for k, y in signals.items()}
 
     feats: dict[str, np.ndarray] = {}
     skipped = []
     for key, f in raw.items():
-        if len(f) < min_len:
+        if len(f) < min_frames:
             skipped.append(key)
             continue
         feats[key] = np.asarray(f, np.float32)
     if skipped and verbose:
-        print(f"Skipped {len(skipped)} utterances shorter than {min_len} frames: "
-              f"{skipped[:5]}{'...' if len(skipped) > 5 else ''}")
+        print(f"Skipped {len(skipped)} utterances shorter than {min_frames} "
+              f"frames: {skipped[:5]}{'...' if len(skipped) > 5 else ''}")
     if not feats:
         raise ValueError("All inputs were shorter than one segment")
 
     mvn_params = None
-    if config.data.mvn_path and Path(config.data.mvn_path).exists():
-        mvn_params = json.loads(Path(config.data.mvn_path).read_text())
-    elif verbose and config.data.mvn_path:
-        print(f"Warning: MVN file {config.data.mvn_path} not found; "
-              f"encoding un-normalized features")
+    if config.data.mvn_path:
+        mvn_file = Path(config.data.mvn_path)
+        if not mvn_file.exists():
+            # encoding un-normalized features against a model trained on
+            # normalized ones yields numerically valid garbage — refuse
+            raise FileNotFoundError(
+                f"The run was trained with MVN ({mvn_file}) but the stats "
+                f"file is missing; copy it next to the experiment or point "
+                f"config.data.mvn_path at it"
+            )
+        mvn_params = json.loads(mvn_file.read_text())
     store = FeatureStore.from_arrays(feats, mvn_params=mvn_params,
                                      apply_mvn=mvn_params is not None)
     ds = SegmentDataset(store, seg_len=config.data.seg_len,

@@ -133,3 +133,50 @@ def batched_features(
     frame_mask = jnp.arange(n_frames_max)[None, :] < n_frames[:, None]
     out = jnp.where(frame_mask[:, :, None], out, 0.0)
     return out, n_frames
+
+
+def featurize_signals(
+    signals: dict[str, "np.ndarray"],
+    sr: int,
+    *,
+    ftype: str = "fbank",
+    win_t: float = 0.025,
+    hop_t: float = 0.010,
+    n_mels: int = 80,
+    batch_size: int = 32,
+) -> dict[str, "np.ndarray"]:
+    """Batched featurization of in-memory signals -> ``{key: [T, dim]}``.
+
+    The single shared implementation of the bucketing/padding loop used by
+    both preprocessing (extract.prepare_jax) and serving (eval/encode) — the
+    same log floors as the host path (generate_feat: -20 fbank / -50 spec),
+    so train-time and serve-time features cannot drift. Utterances are
+    length-sorted and padded into pow2 buckets so XLA compiles a handful of
+    fused STFT+mel programs.
+    """
+    import jax
+
+    order = sorted(signals, key=lambda k: len(signals[k]))
+    out: dict[str, np.ndarray] = {}
+    i = 0
+    while i < len(order):
+        keys = order[i : i + batch_size]
+        i += batch_size
+        T = 16384
+        while T < max(len(signals[k]) for k in keys):
+            T *= 2
+        batch = np.zeros((len(keys), T), np.float32)
+        lengths = np.zeros(len(keys), np.int32)
+        for j, k in enumerate(keys):
+            batch[j, : len(signals[k])] = signals[k]
+            lengths[j] = len(signals[k])
+        feats, n_frames = batched_features(
+            batch, lengths, sr=sr, n_fft=int(sr * win_t),
+            hop_t=hop_t, win_t=win_t, n_mels=n_mels, feat_type=ftype,
+            log_floor=-20.0 if ftype == "fbank" else -50.0,
+        )
+        feats = np.asarray(jax.device_get(feats))
+        n_frames = np.asarray(n_frames)
+        for j, k in enumerate(keys):
+            out[k] = feats[j, : n_frames[j]].astype(np.float32)
+    return out

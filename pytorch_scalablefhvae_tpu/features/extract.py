@@ -120,9 +120,7 @@ def prepare_jax(
     to disk before the next chunk loads (LibriSpeech-960 would otherwise
     need ~220 GB of decoded audio + ~110 GB of features resident at once).
     """
-    import jax
-
-    from pytorch_scalablefhvae_tpu.features.dsp_jax import batched_features
+    from pytorch_scalablefhvae_tpu.features.dsp_jax import featurize_signals
 
     set_path = Path(output_dir or dataset_dir) / set_name
     wav_path = set_path / "wav.scp"
@@ -137,41 +135,18 @@ def prepare_jax(
     locked_sr = sample_rate
     frame_counts: dict[str, int] = {}  # small: one int per utterance
 
-    def bucket(n: int) -> int:
-        b = 16384
-        while b < n:
-            b *= 2
-        return b
-
-    def flush_chunk(loaded: list[tuple[str, np.ndarray]]) -> None:
-        # length-sort within the macro-chunk so same-bucket utterances batch
-        # together; write each result immediately (nothing accumulates)
-        loaded.sort(key=lambda kv: len(kv[1]))
-        i = 0
-        while i < len(loaded):
-            chunk = loaded[i : i + batch_size]
-            i += batch_size
-            T = bucket(max(len(y) for _, y in chunk))
-            batch = np.zeros((len(chunk), T), np.float32)
-            lengths = np.zeros(len(chunk), np.int32)
-            for j, (_, y) in enumerate(chunk):
-                batch[j, : len(y)] = y
-                lengths[j] = len(y)
-            feats, n_frames = batched_features(
-                batch, lengths, sr=locked_sr, n_fft=int(locked_sr * win_t),
-                hop_t=hop_t, win_t=win_t, n_mels=n_mels, feat_type=ftype,
-                log_floor=-20.0 if ftype == "fbank" else -50.0,
-            )
-            feats = np.asarray(jax.device_get(feats))
-            n_frames = np.asarray(n_frames)
-            for j, (seq, _) in enumerate(chunk):
-                feat = feats[j, : n_frames[j]].astype(np.float32)
-                with open(set_path / f"{seq}.npy", "wb") as nf:
-                    np.save(nf, feat)
-                frame_counts[seq] = len(feat)
+    def flush_chunk(loaded: dict[str, np.ndarray]) -> None:
+        # write each macro-chunk's results immediately (nothing accumulates)
+        feats = featurize_signals(loaded, locked_sr, ftype=ftype, win_t=win_t,
+                                  hop_t=hop_t, n_mels=n_mels,
+                                  batch_size=batch_size)
+        for seq, feat in feats.items():
+            with open(set_path / f"{seq}.npy", "wb") as nf:
+                np.save(nf, feat)
+            frame_counts[seq] = len(feat)
         loaded.clear()
 
-    pending: list[tuple[str, np.ndarray]] = []
+    pending: dict[str, np.ndarray] = {}
     pending_samples = 0
     for seq, path in entries:
         y, sr = read_audio(path, sample_rate)
@@ -179,7 +154,7 @@ def prepare_jax(
             locked_sr = sr
         elif locked_sr != sr:
             raise ValueError(f"Inconsistent sample rate ({locked_sr} != {sr}).")
-        pending.append((seq, y))
+        pending[seq] = y
         pending_samples += len(y)
         if pending_samples >= buffer_samples:
             flush_chunk(pending)

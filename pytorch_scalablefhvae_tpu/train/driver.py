@@ -112,6 +112,14 @@ def train_from_config(
         exp_dir = Path(continue_from).parent
     else:
         exp_dir = config.exp_dir(exp_root)
+        if (
+            finetune
+            and continue_from is not None
+            and exp_dir.resolve() == Path(continue_from).parent.resolve()
+        ):
+            # the saved config re-derives the source run's directory name;
+            # a finetune must not clobber its source checkpoints
+            exp_dir = exp_dir.with_name(exp_dir.name + "_finetune")
     train_loader, dev_loader = build_loaders(
         config, data_root, is_preprocessed, fbank_conf
     )

@@ -80,6 +80,21 @@ def save_checkpoint_orbax(
     return path
 
 
+def _saved_mu2_rows(ckptr, path) -> int | None:
+    """Read the mu2 table's saved row count from orbax's array metadata."""
+    try:
+        md = ckptr.metadata(path).item_metadata
+        for p, leaf in jax.tree_util.tree_flatten_with_path(md)[0]:
+            path_str = "/".join(str(x) for x in p)
+            if "mu2_table" in path_str:
+                shape = getattr(leaf, "shape", None)
+                if shape is not None and len(shape) == 2:
+                    return int(shape[0])
+    except Exception:
+        pass
+    return None
+
+
 def load_checkpoint_orbax(
     checkpoint_path: str | Path,
     template_state: TrainState,
@@ -99,10 +114,13 @@ def load_checkpoint_orbax(
             f"(crash/preemption before the async commit finished). Resume "
             f"from an earlier epoch checkpoint."
         )
-    # table_rows records the (possibly mesh-padded) saved row count; older
-    # sidecars lack it — fall back to num_seqs (pre-padding saves were
-    # always unpadded)
-    saved_rows = meta.get("table_rows", meta.get("num_seqs"))
+    ckptr = _checkpointer()
+    # the saved (possibly mesh-padded) mu2 row count: orbax's own array
+    # metadata is authoritative and works for any sidecar vintage; the
+    # sidecar's table_rows/num_seqs keys are the fallback
+    saved_rows = _saved_mu2_rows(ckptr, checkpoint_path)
+    if saved_rows is None:
+        saved_rows = meta.get("table_rows", meta.get("num_seqs"))
 
     def abstract_leaf(path, x):
         shape = tuple(np.shape(x))
@@ -117,7 +135,6 @@ def load_checkpoint_orbax(
         return jax.ShapeDtypeStruct(shape, np.asarray(x).dtype)
 
     abstract = jax.tree_util.tree_map_with_path(abstract_leaf, template_state)
-    ckptr = _checkpointer()
     state = ckptr.restore(checkpoint_path, abstract)
 
     def adapt(path, saved, tmpl):

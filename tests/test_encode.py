@@ -147,3 +147,40 @@ class TestEncodeAudio:
         # encoded latents must stay close
         np.testing.assert_allclose(out_jax["z2_mu"], out_np["z2_mu"],
                                    rtol=0.1, atol=0.05)
+
+    def test_stem_collisions_rekeyed_by_parent(self, tmp_path):
+        """TIMIT-style layouts (every speaker has sa1.wav) must not silently
+        drop utterances on stem collision."""
+        rng = np.random.default_rng(3)
+        for spk in ("fcjf0", "fdaw0", "mabc0"):
+            d = tmp_path / "corpus" / spk
+            t = np.arange(int(SR * 0.1)) / SR
+            y = 0.3 * np.sin(2 * np.pi * 300 * t) + 0.01 * rng.standard_normal(len(t))
+            write_wav(d / "sa1.wav", y.astype(np.float32), SR)
+        got = _collect_audio([str(tmp_path / "corpus")])
+        assert sorted(got) == ["fcjf0_sa1", "fdaw0_sa1", "mabc0_sa1"]
+
+    def test_missing_mvn_raises(self, tmp_path):
+        root = tmp_path / "exp_no_mvn"
+        root.mkdir()
+        cfg = ExperimentConfig(
+            features=FeatureConfig(n_mels=N_MELS),
+            data=DataConfig(dataset="synthetic", seg_len=SEG_LEN,
+                            mvn_path=str(tmp_path / "nowhere.json")),
+            model=ModelConfig(model_type="simple_fhvae", z1_hus=(16, 16),
+                              z2_hus=(16, 16), x_hus=(16, 16), z1_dim=4, z2_dim=4),
+        )
+        cfg.save(root / "config.json")
+        model = SimpleFHVAE(input_size=SEG_LEN * N_MELS, num_seqs=3,
+                            z1_hus=(16, 16), z2_hus=(16, 16), x_hus=(16, 16),
+                            z1_dim=4, z2_dim=4)
+        opt = make_optimizer(1e-3, 0.95, 0.999)
+        ckpt.save_checkpoint(
+            root, create_train_state(model, opt, seed=0),
+            model_type="simple_fhvae", model_params=model.model_params(),
+            run_info="m", epoch=0, best_epoch=0, best_val_lb=-1.0, values={},
+            extra_meta={"num_seqs": 3, "feat_dim": N_MELS, "seg_len": SEG_LEN},
+        )
+        paths = make_wavs(tmp_path, n=1)
+        with pytest.raises(FileNotFoundError, match="MVN"):
+            encode_audio(root, [str(paths[0])], verbose=False)

@@ -165,3 +165,27 @@ class TestHierarchicalMesh:
         assert not res.diverged
         assert np.isfinite(
             list(res.history.values["val_loss_results"].values())).all()
+
+
+class TestFinetuneDirectory:
+    def test_finetune_gets_its_own_directory(self, corpus, tmp_path):
+        """Finetuning from a checkpoint must not clobber the source run:
+        since the saved config re-derives the same directory name, the
+        finetune run gets a '_finetune' suffix."""
+        cfg = small_config(tmp_path)
+        train_from_config(cfg, data_root=corpus, exp_root=tmp_path / "exp",
+                          is_preprocessed=True, verbose=False)
+        exp_dir = cfg.exp_dir(tmp_path / "exp")
+        src_ckpts = sorted(exp_dir.glob("simple_fhvae_*_e0.npz"))
+        src_bytes = src_ckpts[0].read_bytes()
+
+        res = train_from_config(
+            cfg, data_root=corpus, exp_root=tmp_path / "exp",
+            is_preprocessed=True, continue_from=src_ckpts[0], finetune=True,
+            verbose=False,
+        )
+        assert not res.diverged
+        ft_dir = exp_dir.with_name(exp_dir.name + "_finetune")
+        assert ft_dir.exists() and list(ft_dir.glob("*_e0.npz"))
+        # source checkpoint untouched
+        assert src_ckpts[0].read_bytes() == src_bytes

@@ -199,3 +199,26 @@ class TestOrbaxBackend:
         # in the original directory even though epochs (a dir-name field)
         # changed
         assert ckpt.find_epoch_checkpoint(exp_dir, -1).name.endswith("_e2.orbax")
+
+    def test_row_adaptation_without_sidecar_hint(self, setup, tmp_path):
+        """Sidecars that predate the table_rows key but hold a PADDED table:
+        the saved row count comes from orbax's own array metadata."""
+        model, optimizer, state = setup
+        model_pad = dataclasses.replace(model, num_seqs_padded=8)
+        state_pad = create_train_state(model_pad, optimizer, seed=0)
+        save_checkpoint_orbax(
+            tmp_path, state_pad, model_type="simple_fhvae", run_info="v", epoch=0,
+            meta={"best_epoch": 0, "best_val_lb": -1.0, "values": {},
+                  "num_seqs": NUM_SEQS},
+        )
+        # simulate an old sidecar: strip table_rows
+        sidecar = tmp_path / "simple_fhvae_v_e0.json"
+        meta = json.loads(sidecar.read_text())
+        del meta["table_rows"]
+        sidecar.write_text(json.dumps(meta))
+        loaded, _ = load_checkpoint_orbax(tmp_path / "simple_fhvae_v_e0.orbax", state)
+        assert loaded.params["mu2_table"].shape == (NUM_SEQS, model.z2_dim)
+        np.testing.assert_array_equal(
+            np.asarray(loaded.params["mu2_table"]),
+            np.asarray(state_pad.params["mu2_table"])[:NUM_SEQS],
+        )
