@@ -258,8 +258,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int, default=2048,
                    help="Segment batch size for the encoder passes")
     p.add_argument("--sample-rate", type=int, default=None,
-                   help="Resample all inputs to this rate (default: the "
-                        "run's configured rate, or the first file's rate)")
+                   help="Resample all inputs to this rate. Must match the "
+                        "run's configured rate when one is set; when the run "
+                        "used native rates, pass the rate the training audio "
+                        "actually had — encoding at a different rate skews "
+                        "the feature geometry")
     p.set_defaults(fn=_cmd_encode)
 
     p = sub.add_parser("prep-timit", help="Generate TIMIT wav.scp manifests",

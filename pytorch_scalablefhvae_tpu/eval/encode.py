@@ -39,36 +39,44 @@ def _collect_audio(inputs) -> dict[str, str]:
     """Resolve CLI inputs (files, directories, or a wav.scp) to
     ``{utt_id: path}``.
 
-    Utterances key by file stem; when stems collide (TIMIT-style corpora
+    File-derived ids key by stem; when stems collide (TIMIT-style corpora
     where every speaker has an sa1.wav), colliding entries re-key as
-    ``<parent>_<stem>`` so nothing is silently dropped."""
+    ``<parent>_<stem>`` so nothing is silently dropped. Explicit wav.scp
+    ids are authoritative and never re-keyed — a collision involving one
+    is an error."""
     out: dict[str, str] = {}
+    explicit: set[str] = set()
     collided: set[str] = set()
 
     def qualified(stem: str, path: str) -> str:
         parent = Path(path).parent.name
         return f"{parent}_{stem}" if parent else stem
 
-    def insert(key: str, path: str) -> None:
+    def insert(key: str, path: str, is_explicit: bool) -> None:
         if key in out:
             raise ValueError(
-                f"Cannot derive unique utterance ids: {path} and "
-                f"{out[key]} both map to {key!r}; use a wav.scp with "
-                f"explicit ids"
+                f"Duplicate utterance id {key!r}: {path} and {out[key]}"
             )
         out[key] = path
+        if is_explicit:
+            explicit.add(key)
 
-    def add(stem: str, path: str) -> None:
+    def add(stem: str, path: str, is_explicit: bool = False) -> None:
+        if stem in out and (is_explicit or stem in explicit):
+            # explicit ids are never silently re-keyed
+            raise ValueError(
+                f"Duplicate utterance id {stem!r}: {path} and {out[stem]}"
+            )
         if stem in collided:
-            insert(qualified(stem, path), path)
+            insert(qualified(stem, path), path, is_explicit)
         elif stem in out:
-            # first collision: re-key the existing entry by its parent too
+            # first stem collision: re-key the existing entry by parent too
             collided.add(stem)
             other = out.pop(stem)
-            insert(qualified(stem, other), other)
-            insert(qualified(stem, path), path)
+            insert(qualified(stem, other), other, False)
+            insert(qualified(stem, path), path, False)
         else:
-            out[stem] = path
+            insert(stem, path, is_explicit)
 
     for item in inputs:
         p = Path(item)
@@ -78,7 +86,7 @@ def _collect_audio(inputs) -> dict[str, str]:
                     add(f.stem, str(f))
         elif p.name.endswith(".scp"):
             for k, v in read_scp(p).items():
-                add(k, v)
+                add(k, v, is_explicit=True)
         elif p.suffix.lower() in AUDIO_EXTS:
             add(p.stem, str(p))
         else:
@@ -109,7 +117,10 @@ def _featurize(y: np.ndarray, sr: int, fcfg) -> np.ndarray:
     from pytorch_scalablefhvae_tpu.features.extract import generate_feat
 
     return generate_feat(fcfg.feat_type, y, sr, fcfg.win_t, fcfg.hop_t,
-                         fcfg.n_mels)
+                         fcfg.n_mels, window=fcfg.window,
+                         preemphasis=fcfg.preemphasis, mel_norm=fcfg.mel_norm,
+                         log_floor_mel=fcfg.log_floor_mel,
+                         log_floor_spec=fcfg.log_floor_spec)
 
 
 def encode_audio(
@@ -137,6 +148,19 @@ def encode_audio(
     # an utterance must yield at least one full segment to be encoded (and
     # honor the run's min_len filter when it is stricter)
     min_frames = max(config.data.min_len or 0, config.data.seg_len)
+    if (
+        sample_rate is not None
+        and fcfg.sample_rate is not None
+        and sample_rate != fcfg.sample_rate
+    ):
+        # resampling to a rate the model was not trained at shifts n_fft and
+        # the mel geometry: shapes would still match, latents would be
+        # silently meaningless
+        raise ValueError(
+            f"This run was trained at {fcfg.sample_rate} Hz; --sample-rate "
+            f"{sample_rate} would skew the feature geometry (omit it, or "
+            f"resample to the trained rate)"
+        )
     resample_to = sample_rate if sample_rate is not None else fcfg.sample_rate
     locked_sr = resample_to
     signals: dict[str, np.ndarray] = {}
@@ -158,7 +182,11 @@ def encode_audio(
 
         raw = featurize_signals(signals, locked_sr, ftype=fcfg.feat_type,
                                 win_t=fcfg.win_t, hop_t=fcfg.hop_t,
-                                n_mels=fcfg.n_mels)
+                                n_mels=fcfg.n_mels, window=fcfg.window,
+                                preemphasis=fcfg.preemphasis,
+                                mel_norm=fcfg.mel_norm,
+                                log_floor_mel=fcfg.log_floor_mel,
+                                log_floor_spec=fcfg.log_floor_spec)
     else:
         raw = {k: _featurize(y, locked_sr, fcfg) for k, y in signals.items()}
 

@@ -144,18 +144,27 @@ def featurize_signals(
     hop_t: float = 0.010,
     n_mels: int = 80,
     batch_size: int = 32,
+    window: str = "hamming",
+    preemphasis: float = 0.97,
+    mel_norm: str | None = "slaney",
+    log_floor_mel: float = -20.0,
+    log_floor_spec: float = -50.0,
+    sink=None,
 ) -> dict[str, "np.ndarray"]:
     """Batched featurization of in-memory signals -> ``{key: [T, dim]}``.
 
     The single shared implementation of the bucketing/padding loop used by
-    both preprocessing (extract.prepare_jax) and serving (eval/encode) — the
-    same log floors as the host path (generate_feat: -20 fbank / -50 spec),
-    so train-time and serve-time features cannot drift. Utterances are
-    length-sorted and padded into pow2 buckets so XLA compiles a handful of
-    fused STFT+mel programs.
-    """
-    import jax
+    both preprocessing (extract.prepare_jax) and serving (eval/encode), with
+    the same defaults as the host path (generate_feat), so train-time and
+    serve-time features cannot drift. Utterances are length-sorted and
+    padded into pow2 buckets so XLA compiles a handful of fused STFT+mel
+    programs.
 
+    ``sink``: optional ``(key, feat) -> None`` callback; when given, each
+    result is handed off as its batch completes and nothing accumulates
+    (the streaming-extraction path: peak memory is one batch of features,
+    not the chunk). Returns ``{}`` in that mode.
+    """
     order = sorted(signals, key=lambda k: len(signals[k]))
     out: dict[str, np.ndarray] = {}
     i = 0
@@ -173,10 +182,15 @@ def featurize_signals(
         feats, n_frames = batched_features(
             batch, lengths, sr=sr, n_fft=int(sr * win_t),
             hop_t=hop_t, win_t=win_t, n_mels=n_mels, feat_type=ftype,
-            log_floor=-20.0 if ftype == "fbank" else -50.0,
+            window=window, preemphasis=preemphasis, norm_mel=mel_norm,
+            log_floor=log_floor_mel if ftype == "fbank" else log_floor_spec,
         )
         feats = np.asarray(jax.device_get(feats))
         n_frames = np.asarray(n_frames)
         for j, k in enumerate(keys):
-            out[k] = feats[j, : n_frames[j]].astype(np.float32)
+            feat = feats[j, : n_frames[j]].astype(np.float32)
+            if sink is not None:
+                sink(k, feat)
+            else:
+                out[k] = feat
     return out

@@ -37,14 +37,28 @@ def generate_feat(
     win_t: float = 0.025,
     hop_t: float = 0.010,
     n_mels: int = 80,
+    window: str = "hamming",
+    preemphasis: float = 0.97,
+    mel_norm: str | None = "slaney",
+    log_floor_mel: float = -20.0,
+    log_floor_spec: float = -50.0,
 ) -> np.ndarray:
     """One utterance -> (frames, bins); reference generate_feat parity
-    (prepare_numpy_data.py:14-50, n_fft = sr * win_t)."""
+    (prepare_numpy_data.py:14-50, n_fft = sr * win_t). Defaults match the
+    reference; the extras expose FeatureConfig's full surface so the config
+    never lies about what ran."""
     n_fft = int(sr * win_t)
     if ftype == "fbank":
-        return dsp_numpy.log_melspec(y, sr, n_fft=n_fft, hop_t=hop_t, win_t=win_t, n_mels=n_mels)
+        return dsp_numpy.log_melspec(
+            y, sr, n_fft=n_fft, hop_t=hop_t, win_t=win_t, n_mels=n_mels,
+            window=window, preemphasis=preemphasis, norm_mel=mel_norm,
+            log_floor=log_floor_mel,
+        )
     if ftype == "spec":
-        return dsp_numpy.log_spectrogram(y, sr, n_fft=n_fft, hop_t=hop_t, win_t=win_t)
+        return dsp_numpy.log_spectrogram(
+            y, sr, n_fft=n_fft, hop_t=hop_t, win_t=win_t,
+            window=window, preemphasis=preemphasis, log_floor=log_floor_spec,
+        )
     raise ValueError(f"Unknown feature type {ftype!r}")
 
 
@@ -59,6 +73,7 @@ def prepare_numpy(
     hop_t: float = 0.010,
     n_mels: int = 80,
     verbose: bool = True,
+    **feat_kwargs,
 ) -> tuple[int, tuple[Path, Path, Path]]:
     """NumPy-backend extraction for one split; returns
     (count, (wav_scp, feats_scp, len_scp)) like the reference."""
@@ -80,7 +95,8 @@ def prepare_numpy(
                 locked_sr = sr
             elif locked_sr != sr:
                 raise ValueError(f"Inconsistent sample rate ({locked_sr} != {sr}).")
-            feat = generate_feat(ftype, y, locked_sr, win_t, hop_t, n_mels)
+            feat = generate_feat(ftype, y, locked_sr, win_t, hop_t, n_mels,
+                                 **feat_kwargs)
             np_path = set_path / f"{seq}.npy"
             with open(np_path, "wb") as nf:
                 np.save(nf, feat)
@@ -105,6 +121,7 @@ def prepare_jax(
     batch_size: int = 32,
     verbose: bool = True,
     buffer_samples: int = 64 * 1024 * 1024,
+    **feat_kwargs,
 ) -> tuple[int, tuple[Path, Path, Path]]:
     """Accelerator-backed batched extraction (same outputs as prepare_numpy).
 
@@ -135,15 +152,17 @@ def prepare_jax(
     locked_sr = sample_rate
     frame_counts: dict[str, int] = {}  # small: one int per utterance
 
+    def write_one(seq: str, feat: np.ndarray) -> None:
+        with open(set_path / f"{seq}.npy", "wb") as nf:
+            np.save(nf, feat)
+        frame_counts[seq] = len(feat)
+
     def flush_chunk(loaded: dict[str, np.ndarray]) -> None:
-        # write each macro-chunk's results immediately (nothing accumulates)
-        feats = featurize_signals(loaded, locked_sr, ftype=ftype, win_t=win_t,
-                                  hop_t=hop_t, n_mels=n_mels,
-                                  batch_size=batch_size)
-        for seq, feat in feats.items():
-            with open(set_path / f"{seq}.npy", "wb") as nf:
-                np.save(nf, feat)
-            frame_counts[seq] = len(feat)
+        # each result is written as its batch completes (the sink), so peak
+        # memory is the chunk's audio + one batch of features
+        featurize_signals(loaded, locked_sr, ftype=ftype, win_t=win_t,
+                          hop_t=hop_t, n_mels=n_mels, batch_size=batch_size,
+                          sink=write_one, **feat_kwargs)
         loaded.clear()
 
     pending: dict[str, np.ndarray] = {}

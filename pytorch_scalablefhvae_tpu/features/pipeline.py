@@ -62,6 +62,11 @@ def preprocess_data(
                 win_t=fcfg.win_t,
                 hop_t=fcfg.hop_t,
                 n_mels=fcfg.n_mels,
+                window=fcfg.window,
+                preemphasis=fcfg.preemphasis,
+                mel_norm=fcfg.mel_norm,
+                log_floor_mel=fcfg.log_floor_mel,
+                log_floor_spec=fcfg.log_floor_spec,
             )
             paths[split] = {"wav_pth": wav_pth, "feat_pth": feat_pth, "len_pth": len_pth}
         else:

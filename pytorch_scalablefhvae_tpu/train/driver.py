@@ -112,14 +112,19 @@ def train_from_config(
         exp_dir = Path(continue_from).parent
     else:
         exp_dir = config.exp_dir(exp_root)
-        if (
-            finetune
-            and continue_from is not None
-            and exp_dir.resolve() == Path(continue_from).parent.resolve()
-        ):
-            # the saved config re-derives the source run's directory name;
-            # a finetune must not clobber its source checkpoints
-            exp_dir = exp_dir.with_name(exp_dir.name + "_finetune")
+        if finetune and continue_from is not None:
+            # a finetune is a new experiment and must never write into a
+            # directory that already holds checkpoints (the saved config
+            # re-derives the source run's name — and a finetune-of-a-finetune
+            # would re-derive the ORIGINAL run's name)
+            base = exp_dir
+            n = 0
+            while exp_dir.exists() and (
+                any(exp_dir.glob("*_e*.npz")) or any(exp_dir.glob("*_e*.orbax"))
+            ):
+                n += 1
+                suffix = "_finetune" if n == 1 else f"_finetune{n}"
+                exp_dir = base.with_name(base.name + suffix)
     train_loader, dev_loader = build_loaders(
         config, data_root, is_preprocessed, fbank_conf
     )

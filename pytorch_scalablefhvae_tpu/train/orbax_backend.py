@@ -90,8 +90,13 @@ def _saved_mu2_rows(ckptr, path) -> int | None:
                 shape = getattr(leaf, "shape", None)
                 if shape is not None and len(shape) == 2:
                     return int(shape[0])
-    except Exception:
-        pass
+    except Exception as e:  # orbax metadata API drift / IO failure
+        import warnings
+
+        warnings.warn(
+            f"Could not read orbax array metadata for {path} ({e}); "
+            f"falling back to sidecar table_rows/num_seqs hints"
+        )
     return None
 
 

@@ -227,3 +227,42 @@ class TestPrepareJaxStreaming:
             a = np.load(tmp_path / "big" / "train" / f"{k}.npy")
             b = np.load(tmp_path / "small" / "train" / f"{k}.npy")
             np.testing.assert_array_equal(a, b)
+
+
+class TestFeatureConfigHonored:
+    """FeatureConfig's window/floor/norm fields flow through every
+    extraction path (they were previously parsed but ignored)."""
+
+    def test_generate_feat_honors_config_fields(self, rng):
+        from pytorch_scalablefhvae_tpu.features.extract import generate_feat
+
+        y = make_signal(rng, 0.2)
+        base = generate_feat("fbank", y, SR)
+        floored = generate_feat("fbank", y, SR, log_floor_mel=-5.0)
+        assert floored.min() >= -5.0
+        assert base.min() < -5.0  # the default floor admits smaller values
+        hann = generate_feat("fbank", y, SR, window="hann")
+        assert np.abs(hann - base).max() > 1e-3  # window actually changes
+
+    def test_featurize_signals_matches_generate_feat(self, rng):
+        from pytorch_scalablefhvae_tpu.features.dsp_jax import featurize_signals
+        from pytorch_scalablefhvae_tpu.features.extract import generate_feat
+
+        y = make_signal(rng, 0.2)
+        got = featurize_signals({"a": y}, SR, n_mels=40, log_floor_mel=-10.0)["a"]
+        ref = generate_feat("fbank", y, SR, n_mels=40, log_floor_mel=-10.0)
+        assert got.shape == ref.shape
+        mask = ref > -8.0
+        np.testing.assert_allclose(got[mask], ref[mask], atol=3e-2, rtol=3e-2)
+
+    def test_featurize_signals_sink_streams(self, rng):
+        from pytorch_scalablefhvae_tpu.features.dsp_jax import featurize_signals
+
+        sigs = {f"u{i}": make_signal(rng, 0.15 + 0.02 * i) for i in range(3)}
+        collected = {}
+        ret = featurize_signals(sigs, SR, sink=lambda k, f: collected.__setitem__(k, f))
+        assert ret == {}
+        assert sorted(collected) == ["u0", "u1", "u2"]
+        plain = featurize_signals(sigs, SR)
+        for k in sigs:
+            np.testing.assert_array_equal(collected[k], plain[k])
