@@ -136,6 +136,7 @@ class SegmentLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         _SENTINEL = object()
         stop = threading.Event()
+        failure: list[BaseException] = []
 
         def _put(item) -> bool:
             """Blocking put that aborts when the consumer abandoned us."""
@@ -152,6 +153,8 @@ class SegmentLoader:
                 for idx in self._batches_indices():
                     if not _put(self._assemble(idx)):
                         return
+            except BaseException as e:  # surface in the consumer, never
+                failure.append(e)       # silently truncate the epoch
             finally:
                 _put(_SENTINEL)
 
@@ -161,6 +164,8 @@ class SegmentLoader:
             while True:
                 item = q.get()
                 if item is _SENTINEL:
+                    if failure:
+                        raise failure[0]
                     break
                 yield item
         finally:

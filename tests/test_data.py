@@ -307,3 +307,28 @@ class TestTransferDtype:
         b = next(iter(loader))
         _, m = step(state, b.feats, b.seq_idx, b.nsegs, b.weight)
         assert np.isfinite(float(m["loss"]))
+
+
+class TestLoaderErrorPropagation:
+    def test_producer_exception_reaches_consumer(self, tmp_path, rng):
+        """A failure in the prefetch thread must raise in the consumer, not
+        silently truncate the epoch."""
+        feat_scp, len_scp = build_split(tmp_path, rng)
+        store = FeatureStore(feat_scp, len_scp, min_len=20, verbose=False)
+        ds = SegmentDataset(store, seg_len=20, seg_shift=8)
+        loader = SegmentLoader(ds, batch_size=4, shuffle=False, prefetch=2)
+
+        boom = RuntimeError("gather exploded")
+        calls = {"n": 0}
+        orig = loader._assemble
+
+        def failing(idx):
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise boom
+            return orig(idx)
+
+        loader._assemble = failing
+        with pytest.raises(RuntimeError, match="gather exploded"):
+            for _ in loader:
+                pass
