@@ -115,7 +115,11 @@ def bench_end_to_end(k_dispatch: int = 64, epochs: int = 2,
     stacking, transfers on this 1-core host). Mirrors train/loop.py's
     dispatch paths exactly."""
     from pytorch_scalablefhvae_tpu.data.feature_store import FeatureStore
-    from pytorch_scalablefhvae_tpu.data.loader import SegmentLoader, device_prefetch
+    from pytorch_scalablefhvae_tpu.data.loader import (
+        SegmentLoader,
+        device_prefetch,
+        stack_prefetch,
+    )
     from pytorch_scalablefhvae_tpu.data.segments import SegmentDataset
     from pytorch_scalablefhvae_tpu.models import SimpleFHVAE
     from pytorch_scalablefhvae_tpu.train.step import (
@@ -152,22 +156,18 @@ def bench_end_to_end(k_dispatch: int = 64, epochs: int = 2,
 
     def run_epoch(state, loss=None):
         segs = 0
-        if k_dispatch > 1:  # train/loop.py k>1 path: stack K batches, flush
-            pending = []
-            for b in loader:
-                pending.append(b)
-                segs += b.num_real
-                if len(pending) == k_dispatch:
-                    stacked = tuple(
-                        np.stack([getattr(p, f) for p in pending])
-                        for f in ("feats", "seq_idx", "nsegs", "weight")
-                    )
-                    state, m = mstep(state, *stacked)
+        if k_dispatch > 1:  # train/loop.py k>1 path: prefetched K-stacks
+            for item in stack_prefetch(loader, k_dispatch):
+                if item[0] == "stack":
+                    _, arrs, counts = item
+                    state, m = mstep(state, *arrs)
                     loss = m["loss"]
-                    pending.clear()
-            for b in pending:  # tail: single-step path
-                state, m = step(state, b.feats, b.seq_idx, b.nsegs, b.weight)
-                loss = m["loss"]
+                    segs += sum(counts)
+                else:  # tail: single-step path
+                    _, b, n = item
+                    state, m = step(state, b.feats, b.seq_idx, b.nsegs, b.weight)
+                    loss = m["loss"]
+                    segs += n
         else:  # k=1 path: device_prefetch overlaps transfers with compute
             for b in device_prefetch(loader):
                 state, m = step(state, b.feats, b.seq_idx, b.nsegs, b.weight)

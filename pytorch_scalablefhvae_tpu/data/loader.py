@@ -180,6 +180,54 @@ class SegmentLoader:
             t.join(timeout=5.0)
 
 
+def stack_prefetch(batches, k: int, put=None, size: int = 1):
+    """Stack K batches and ship them to the device ahead of consumption —
+    the K-step-dispatch analogue of :func:`device_prefetch`.
+
+    Yields ``("stack", placed_arrays, counts)`` for every full group of K
+    batches and ``("tail", batch, num_real)`` for the leftovers. The next
+    stack is assembled and its (async) transfer dispatched before the
+    previous one is yielded, so host stacking and host->device copies
+    overlap the device's K-step program instead of serializing with it.
+
+    ``put``: placement callable ``(feats, seq_idx, nsegs, weight) -> tuple``;
+    defaults to plain ``jax.device_put`` per array (mesh callers pass
+    ``shard_stacked_batch``).
+    """
+    import collections
+
+    import jax
+
+    if put is None:
+        def put(arrs):
+            return tuple(jax.device_put(a) for a in arrs)
+
+    buf: "collections.deque" = collections.deque()
+    pending: list[Batch] = []
+
+    def make_stack():
+        arrs = (
+            np.stack([p.feats for p in pending]),
+            np.stack([p.seq_idx for p in pending]),
+            np.stack([p.nsegs for p in pending]),
+            np.stack([p.weight for p in pending]),
+        )
+        counts = [p.num_real for p in pending]
+        pending.clear()
+        return ("stack", put(arrs), counts)
+
+    for b in batches:
+        pending.append(b)
+        if len(pending) == k:
+            buf.append(make_stack())
+            while len(buf) > size:
+                yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+    for b in pending:
+        yield ("tail", b, b.num_real)
+
+
 def device_prefetch(batches, size: int = 2):
     """Overlap host->device transfer with device compute.
 

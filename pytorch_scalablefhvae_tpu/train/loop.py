@@ -19,7 +19,7 @@ import jax
 import numpy as np
 
 from pytorch_scalablefhvae_tpu.config import ExperimentConfig
-from pytorch_scalablefhvae_tpu.data.loader import Batch, SegmentLoader, device_prefetch
+from pytorch_scalablefhvae_tpu.data.loader import SegmentLoader, device_prefetch
 from pytorch_scalablefhvae_tpu.models.base import build_model
 from pytorch_scalablefhvae_tpu.train import checkpoint as ckpt
 from pytorch_scalablefhvae_tpu.train.metrics import MetricHistory, MetricWriter
@@ -341,33 +341,36 @@ def run_training(
 
         k_dispatch = max(config.train.steps_per_dispatch, 1) if multi_train_step else 1
         if k_dispatch > 1:
-            pending: list[Batch] = []
+            from pytorch_scalablefhvae_tpu.data.loader import stack_prefetch
 
-            def flush(state):
-                stacked = (
-                    np.stack([p.feats for p in pending]),
-                    np.stack([p.seq_idx for p in pending]),
-                    np.stack([p.nsegs for p in pending]),
-                    np.stack([p.weight for p in pending]),
+            if mesh is not None:
+                from pytorch_scalablefhvae_tpu.parallel.mesh import (
+                    shard_stacked_batch as _ssb,
                 )
-                state, metrics = multi_train_step(state, *stacked)
-                step_losses.append(metrics["loss"])  # [k] device array
-                step_counts.extend(p.num_real for p in pending)
-                pending.clear()
-                return state
 
-            for b in epoch_loader:
-                pending.append(b)
-                if len(pending) == k_dispatch:
-                    state = flush(state)
-                    if not np.isfinite(float(np.asarray(step_losses[-1])[-1])):
+                placed = lambda arrs: _ssb(mesh, *arrs)  # noqa: E731
+            else:
+                placed = None
+            # stacks transfer ahead of compute (stack_prefetch); divergence
+            # is checked on the PREVIOUS flush's loss — already complete, so
+            # the fetch never drains the dispatch pipeline
+            for item in stack_prefetch(epoch_loader, k_dispatch, put=placed):
+                if item[0] == "stack":
+                    _, arrs, counts = item
+                    state, metrics = multi_train_step(state, *arrs)
+                    step_losses.append(metrics["loss"])  # [k] device array
+                    step_counts.extend(counts)
+                    if len(step_losses) >= 2 and not np.isfinite(
+                        float(np.asarray(step_losses[-2])[-1])
+                    ):
                         result.state, result.diverged, result.last_epoch = state, True, epoch
                         _divergence_abort()
-            # tail: single-step path for the leftover batches
-            for b in pending:
-                state, metrics = train_step(state, b.feats, b.seq_idx, b.nsegs, b.weight)
-                step_losses.append(metrics["loss"])
-                step_counts.append(b.num_real)
+                else:  # tail: single-step path for the leftover batches
+                    _, b, n = item
+                    state, metrics = train_step(state, b.feats, b.seq_idx,
+                                                b.nsegs, b.weight)
+                    step_losses.append(metrics["loss"])
+                    step_counts.append(n)
         else:
             for batch_idx, b in enumerate(device_prefetch(epoch_loader)):
                 state, metrics = train_step(state, b.feats, b.seq_idx, b.nsegs, b.weight)
