@@ -23,7 +23,7 @@ SEG_LEN, N_MELS, BATCH = 20, 80, 256
 NUM_SEQS = 4620  # TIMIT train-partition sequence count
 ALPHA = 10.0
 WARMUP, STEPS = 10, 256
-BASELINE_STEPS = 16  # the 1-core torch baseline is noisy; average more steps
+BASELINE_STEPS = 16  # split into best-of-two chunks (the 1-core host is noisy)
 
 
 def make_batches(rng, n=8):

@@ -190,9 +190,10 @@ def stack_prefetch(batches, k: int, put=None, size: int = 1):
     previous one is yielded, so host stacking and host->device copies
     overlap the device's K-step program instead of serializing with it.
 
-    ``put``: placement callable ``(feats, seq_idx, nsegs, weight) -> tuple``;
-    defaults to plain ``jax.device_put`` per array (mesh callers pass
-    ``shard_stacked_batch``).
+    ``put``: placement callable taking ONE 4-tuple ``(feats, seq_idx, nsegs,
+    weight)`` of stacked ``[K, B, ...]`` arrays and returning the placed
+    tuple; defaults to plain per-array ``jax.device_put``. Mesh callers wrap
+    ``shard_stacked_batch``: ``lambda arrs: shard_stacked_batch(mesh, *arrs)``.
     """
     import collections
 

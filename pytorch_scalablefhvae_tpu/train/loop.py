@@ -218,7 +218,11 @@ def run_training(
     else:
         train_step = make_train_step(model, optimizer, config.optim.alpha_dis,
                                      donate=config.train.donate_state)
+    # the K>1 loop places stacks itself via stack_prefetch (its ``put``
+    # handles sharding/transfer ahead of compute), so multi_train_step is the
+    # raw compiled program in both modes — no per-dispatch re-placement
     multi_train_step = None
+    stack_placer = None
     if config.train.steps_per_dispatch > 1 and not config.train.legacy:
         if mesh is not None:
             from pytorch_scalablefhvae_tpu.parallel.mesh import shard_stacked_batch
@@ -226,16 +230,13 @@ def run_training(
                 make_sharded_multi_train_step,
             )
 
-            _raw_multi = make_sharded_multi_train_step(
+            multi_train_step = make_sharded_multi_train_step(
                 model, optimizer, config.optim.alpha_dis, mesh,
                 donate=config.train.donate_state,
             )
 
-            def multi_train_step(state, feats_k, seq_idx_k, nsegs_k, weight_k):
-                return _raw_multi(
-                    state,
-                    *shard_stacked_batch(mesh, feats_k, seq_idx_k, nsegs_k, weight_k),
-                )
+            def stack_placer(arrs):
+                return shard_stacked_batch(mesh, *arrs)
 
         else:
             from pytorch_scalablefhvae_tpu.train.step import make_multi_train_step
@@ -343,18 +344,10 @@ def run_training(
         if k_dispatch > 1:
             from pytorch_scalablefhvae_tpu.data.loader import stack_prefetch
 
-            if mesh is not None:
-                from pytorch_scalablefhvae_tpu.parallel.mesh import (
-                    shard_stacked_batch as _ssb,
-                )
-
-                placed = lambda arrs: _ssb(mesh, *arrs)  # noqa: E731
-            else:
-                placed = None
             # stacks transfer ahead of compute (stack_prefetch); divergence
             # is checked on the PREVIOUS flush's loss — already complete, so
             # the fetch never drains the dispatch pipeline
-            for item in stack_prefetch(epoch_loader, k_dispatch, put=placed):
+            for item in stack_prefetch(epoch_loader, k_dispatch, put=stack_placer):
                 if item[0] == "stack":
                     _, arrs, counts = item
                     state, metrics = multi_train_step(state, *arrs)
