@@ -189,7 +189,7 @@ def bench_end_to_end(k_dispatch: int = 64, epochs: int = 2,
     return best
 
 
-def bench_input_link_mbps(mbytes: int = 32) -> float:
+def bench_input_link_MBps(mbytes: int = 32) -> float:
     """Measured host->device transfer bandwidth (MB/s). Contextualizes the
     end-to-end numbers: on a tunneled single-chip rig this is the binding
     constraint (~17 MB/s measured), not the host pipeline or the step."""
@@ -334,7 +334,7 @@ def main() -> None:
             extras["host_pipeline_sps"] = round(
                 bench_end_to_end(host_only=True), 1
             )
-            extras["input_link_mbps"] = round(bench_input_link_mbps(), 1)
+            extras["input_link_MB_per_s"] = round(bench_input_link_MBps(), 1)
         except Exception as e:
             print(f"# end-to-end bench failed: {e}")
 

@@ -131,7 +131,12 @@ class TrainConfig:
     log_params: bool = False
     # bundle K optimizer steps into one dispatched XLA program (lax.scan);
     # amortizes per-dispatch overhead, which dominates sub-ms steps. Forced
-    # to 1 in legacy mode to keep exact step-boundary semantics.
+    # to 1 in legacy mode to keep exact step-boundary semantics. Note: the
+    # divergence check is pipelined (it reads the PREVIOUS dispatch's loss so
+    # the fetch never stalls the step stream), so a NaN can run up to ~2K
+    # optimizer steps before the abort fires — with donate_state the pre-NaN
+    # state is unrecoverable by then; epoch-end checkpoints still bound the
+    # loss to one epoch.
     steps_per_dispatch: int = 1
     # checkpointing: "npz" (portable single-file) | "orbax" (async sharded)
     ckpt_backend: str = "npz"

@@ -196,7 +196,22 @@ def find_best_checkpoint(exp_dir: str | Path) -> Path:
         return matches[-1]
     pointer = exp_dir / "best_model_pointer.json"
     if pointer.exists():
-        return Path(json.loads(pointer.read_text())["path"])
+        target = Path(json.loads(pointer.read_text())["path"])
+        if target.exists():
+            return target
+        # the pointer sidecar is written when the async orbax save is
+        # *staged*; a crash before the commit can leave it dangling. Self-heal
+        # by falling back to the latest committed epoch checkpoint.
+        committed = sorted(exp_dir.glob("*_e*.orbax"), key=_epoch_of)
+        if committed:
+            import warnings
+
+            warnings.warn(
+                f"best_model_pointer.json points at {target} which never "
+                f"committed (interrupted async save); falling back to the "
+                f"latest committed checkpoint {committed[-1]}"
+            )
+            return committed[-1]
     raise FileNotFoundError(f"No best-model checkpoint under {exp_dir}")
 
 

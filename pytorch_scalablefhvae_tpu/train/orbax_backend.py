@@ -145,9 +145,22 @@ def load_checkpoint_orbax(
     def adapt(path, saved, tmpl):
         t_shape = tuple(np.shape(tmpl))
         if tuple(np.shape(saved)) != t_shape:
-            # mu2 row-count padding is layout, not architecture (see
-            # checkpoint.load_checkpoint)
-            return _adapt_rows(np.asarray(saved), t_shape[0])
+            path_str = "/".join(str(p) for p in path)
+            # ONLY mu2 row-count mismatches are layout, not architecture
+            # (mesh-axis padding); any other shape drift is a real mismatch
+            # and must raise rather than silently slice/pad (mirrors
+            # checkpoint.load_checkpoint's guard)
+            if (
+                "mu2_table" in path_str
+                and np.ndim(saved) == 2
+                and len(t_shape) == 2
+                and np.shape(saved)[1] == t_shape[1]
+            ):
+                return _adapt_rows(np.asarray(saved), t_shape[0])
+            raise ValueError(
+                f"Leaf {path_str} shape mismatch: checkpoint "
+                f"{tuple(np.shape(saved))} vs model {t_shape}"
+            )
         return saved
 
     state = jax.tree_util.tree_map_with_path(adapt, state, template_state)
