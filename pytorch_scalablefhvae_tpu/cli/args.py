@@ -73,6 +73,16 @@ def add_train_flags(p: argparse.ArgumentParser) -> None:
                    choices=["float32", "bfloat16"],
                    help="Feature-batch dtype shipped host->device; bfloat16 "
                         "halves input-link bytes (model upcasts on entry)")
+    p.add_argument("--data-placement", type=str, default="auto",
+                   choices=["host", "device", "auto"],
+                   help="Training-batch source: host loader, device-resident "
+                        "packed store (HBM-staged; steps gather on device), "
+                        "or auto (device iff the store fits the budget)")
+    p.add_argument("--device-store-max-bytes", type=int, default=4 << 30,
+                   help="auto placement budget for the staged store, bytes")
+    p.add_argument("--shard-device-store", action="store_true",
+                   help="Row-shard the staged store over the mesh's model "
+                        "axis (m-fold capacity; psum rebuilds segments)")
     p.add_argument("--mvn-path", type=str, default=None,
                    help="Path to a precomputed mean/variance normalization file")
     p.add_argument("--seg-len", type=int, default=20, help="Segment length to use")
@@ -188,6 +198,9 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
             pack_cache_dir=getattr(args, "pack_cache_dir", None),
             dev_batch_size=getattr(args, "dev_batch_size", 2048),
             transfer_dtype=getattr(args, "transfer_dtype", "float32"),
+            data_placement=getattr(args, "data_placement", "auto"),
+            device_store_max_bytes=getattr(args, "device_store_max_bytes", 4 << 30),
+            shard_device_store=getattr(args, "shard_device_store", False),
             **subset_kw,
         ),
         model=ModelConfig(

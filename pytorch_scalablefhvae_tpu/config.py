@@ -68,8 +68,19 @@ class DataConfig:
     # persist + memmap the packed feature arrays (corpus-scale splits)
     pack_cache_dir: str | None = None
     # dtype of feature batches shipped host->device ("float32" | "bfloat16");
-    # bfloat16 halves input-link bytes, the model upcasts on entry
+    # bfloat16 halves input-link bytes (and the staged store's HBM), the
+    # model upcasts on entry
     transfer_dtype: str = "float32"
+    # where training batches come from: "host" (loader ships every batch),
+    # "device" (packed store staged in HBM once; steps gather on device), or
+    # "auto" (device iff the store fits device_store_max_bytes). Device
+    # placement drops per-epoch host->device traffic to one index-plan
+    # upload; legacy mode always uses the host loader.
+    data_placement: str = "auto"
+    device_store_max_bytes: int = 4 << 30
+    # row-shard the staged store over the mesh's "model" axis (m-fold
+    # capacity; segments rebuilt with a psum over ICI per step)
+    shard_device_store: bool = False
     # librispeech subset lists (preprocess_librispeech.py:98-103; B17 fixed:
     # test list is test-clean + test-other)
     train_list: tuple[str, ...] = ("train-clean-100",)

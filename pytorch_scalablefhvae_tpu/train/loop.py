@@ -201,6 +201,52 @@ def run_training(
         if verbose:
             print(f"Resumed from {continue_from} at epoch {start_epoch}")
 
+    # device-resident data path: stage the packed store in HBM once; steps
+    # gather segments on device, so per-epoch host->device traffic is one
+    # tiny index-plan upload instead of every batch (data/device_store.py)
+    from pytorch_scalablefhvae_tpu.data.device_store import (
+        DeviceDataSource,
+        resolve_data_placement,
+    )
+
+    use_device_data = resolve_data_placement(
+        config.data.data_placement, ds.store, mesh,
+        shard_store=config.data.shard_device_store,
+        max_bytes=config.data.device_store_max_bytes,
+        legacy=config.train.legacy,
+        store_dtype=config.data.transfer_dtype,
+    )
+    device_source = None
+    device_step_k = device_step_1 = None
+    if use_device_data:
+        from pytorch_scalablefhvae_tpu.train.device_step import (
+            make_device_train_step,
+        )
+
+        device_source = DeviceDataSource(
+            ds.store, mesh, shard_store=config.data.shard_device_store,
+            store_dtype=config.data.transfer_dtype,
+        )
+        _device_steps: dict[int, Any] = {}
+
+        def device_step_for(k: int):
+            """One compiled program per scan length: the main K plus the
+            epoch's tail (n_batches % K) run as ONE dispatch each — per-batch
+            tail dispatches would dominate wall-clock on high-latency links."""
+            if k not in _device_steps:
+                _device_steps[k] = make_device_train_step(
+                    model, optimizer, config.optim.alpha_dis, seg_len,
+                    train_loader.batch_size, k, mesh,
+                    shard_store=config.data.shard_device_store,
+                    donate=config.train.donate_state,
+                )
+            return _device_steps[k]
+        if verbose:
+            mb = ds.store.data.shape[0] * ds.store.dim * (
+                2 if config.data.transfer_dtype == "bfloat16" else 4) / 1e6
+            print(f"Training data device-resident ({mb:.0f} MB staged"
+                  f"{', row-sharded' if config.data.shard_device_store and mesh is not None else ''})")
+
     if mesh is not None:
         from pytorch_scalablefhvae_tpu.parallel import shard_batch as _shard_batch
         from pytorch_scalablefhvae_tpu.parallel.sharded_step import (
@@ -340,13 +386,51 @@ def run_training(
             writer.close()
             raise SystemExit(2)  # train_model.py:464-466 exit-code parity
 
-        k_dispatch = max(config.train.steps_per_dispatch, 1) if multi_train_step else 1
-        if k_dispatch > 1:
+        if use_device_data:
+            # device-resident path: upload the epoch's index plan, then every
+            # dispatch reads HBM only (base offset + real count are scalars).
+            # Divergence is checked on the PREVIOUS dispatch's loss, like the
+            # stack path — the fetch never drains the pipeline.
+            k_dev = max(config.train.steps_per_dispatch, 1)
+            plan, (seq_dev, starts_dev, nsegs_dev) = device_source.stage_epoch(
+                epoch_loader.dataset, epoch_loader._order(),
+                epoch_loader.batch_size,
+            )
+            counts_all = plan.batch_real_counts()
+            B = epoch_loader.batch_size
+            n_real = np.int32(plan.n_real)
+            groups = plan.n_batches // k_dev
+            tail = plan.n_batches % k_dev
+            store_dev = device_source.data
+
+            def _dev_dispatch(state, step_fn, base, n_batches):
+                state, metrics = step_fn(
+                    state, store_dev, seq_dev, starts_dev, nsegs_dev,
+                    np.int32(base * B), n_real,
+                )
+                step_losses.append(metrics["loss"])
+                step_counts.extend(counts_all[base : base + n_batches])
+                if len(step_losses) >= 2 and not np.isfinite(
+                    float(np.asarray(step_losses[-2]).ravel()[-1])
+                ):
+                    result.state, result.diverged, result.last_epoch = (
+                        state, True, epoch)
+                    _divergence_abort()
+                return state
+
+            step_k = device_step_for(k_dev)
+            for g in range(groups):
+                state = _dev_dispatch(state, step_k, g * k_dev, k_dev)
+            if tail:
+                state = _dev_dispatch(state, device_step_for(tail),
+                                      groups * k_dev, tail)
+        elif multi_train_step is not None and config.train.steps_per_dispatch > 1:
             from pytorch_scalablefhvae_tpu.data.loader import stack_prefetch
 
             # stacks transfer ahead of compute (stack_prefetch); divergence
             # is checked on the PREVIOUS flush's loss — already complete, so
             # the fetch never drains the dispatch pipeline
+            k_dispatch = max(config.train.steps_per_dispatch, 1)
             for item in stack_prefetch(epoch_loader, k_dispatch, put=stack_placer):
                 if item[0] == "stack":
                     _, arrs, counts = item

@@ -129,6 +129,10 @@ class TestConfigFlagCompleteness:
             ("data", "dev_batch_size"): (["--dev-batch-size", "128"], 128),
             ("data", "pack_cache_dir"): (["--pack-cache-dir", "/pc"], "/pc"),
             ("data", "transfer_dtype"): (["--transfer-dtype", "bfloat16"], "bfloat16"),
+            ("data", "data_placement"): (["--data-placement", "device"], "device"),
+            ("data", "device_store_max_bytes"): (
+                ["--device-store-max-bytes", "1024"], 1024),
+            ("data", "shard_device_store"): (["--shard-device-store"], True),
             ("data", "train_list"): (["--train-list", "train-other-500"],
                                      ("train-other-500",)),
             ("data", "dev_list"): (["--dev-list", "dev-clean"], ("dev-clean",)),

@@ -1,0 +1,197 @@
+"""Device-resident training data path (data/device_store.py).
+
+- epoch-plan construction and padding semantics
+- host-loader vs device-resident training equivalence (same permutation,
+  same parameter trajectory)
+- placement resolution (auto gating, legacy exclusion)
+- mesh: replicated and row-sharded staged store, gather correctness
+"""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from pytorch_scalablefhvae_tpu.config import (
+    DataConfig,
+    ExperimentConfig,
+    ModelConfig,
+    TrainConfig,
+)
+from pytorch_scalablefhvae_tpu.data.device_store import (
+    DeviceDataSource,
+    build_epoch_plan,
+    resolve_data_placement,
+)
+from pytorch_scalablefhvae_tpu.data.feature_store import FeatureStore
+from pytorch_scalablefhvae_tpu.data.segments import SegmentDataset
+from pytorch_scalablefhvae_tpu.features.pipeline import preprocess_data
+from pytorch_scalablefhvae_tpu.train.driver import train_from_config
+
+
+def make_store(rng, n_seqs=6, frames=60, dim=8):
+    return FeatureStore.from_arrays({
+        f"s{i}": rng.standard_normal((frames + i, dim)).astype(np.float32)
+        for i in range(n_seqs)
+    })
+
+
+class TestEpochPlan:
+    def test_padding_and_counts(self, rng):
+        ds = SegmentDataset(make_store(rng), seg_len=20, seg_shift=8)
+        order = np.arange(len(ds))
+        plan = build_epoch_plan(ds, order, batch_size=7)
+        assert len(plan.seq_idx) % 7 == 0
+        assert plan.n_real == len(ds)
+        counts = plan.batch_real_counts()
+        assert sum(counts) == len(ds)
+        assert all(c == 7 for c in counts[:-1])
+        # padded tail rows are (seq 0, frame 0)
+        assert (plan.seq_idx[plan.n_real:] == 0).all()
+        assert (plan.abs_starts[plan.n_real:] == 0).all()
+
+    def test_abs_starts_index_the_pack(self, rng):
+        store = make_store(rng)
+        ds = SegmentDataset(store, seg_len=20, seg_shift=8)
+        order = np.arange(len(ds))
+        plan = build_epoch_plan(ds, order, batch_size=len(ds))
+        # gather via the plan == the store's own segment gather
+        via_plan = store.data[
+            plan.abs_starts[:, None] + np.arange(20)[None, :]
+        ]
+        via_store = store.gather_segments(ds.seq_idx, ds.starts, 20)
+        np.testing.assert_array_equal(via_plan[: plan.n_real], via_store)
+
+
+class TestPlacementResolution:
+    def test_auto_gates_on_bytes(self, rng):
+        store = make_store(rng)
+        assert resolve_data_placement("auto", store, max_bytes=1 << 30)
+        assert not resolve_data_placement("auto", store, max_bytes=16)
+        assert resolve_data_placement("device", store, max_bytes=16)
+        assert not resolve_data_placement("host", store)
+
+    def test_legacy_forces_host(self, rng):
+        store = make_store(rng)
+        assert not resolve_data_placement("auto", store, legacy=True)
+        with pytest.raises(ValueError):
+            resolve_data_placement("device", store, legacy=True)
+
+    def test_sharded_budget_scales_with_model_axis(self, rng):
+        from pytorch_scalablefhvae_tpu.parallel.mesh import make_mesh
+
+        store = make_store(rng)  # ~6*63*8*4 ≈ 12 KB
+        mesh = make_mesh((2, 4))
+        per_chip = store.data.nbytes // 3  # fits only when x4 sharded
+        assert not resolve_data_placement("auto", store, mesh, False, per_chip)
+        assert resolve_data_placement("auto", store, mesh, True, per_chip)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    cfg = ExperimentConfig(data=DataConfig(dataset="synthetic"))
+    preprocess_data(cfg, root=root)
+    return root
+
+
+def cfg_for(tmp_path, placement, **kw):
+    data_kw = dict(
+        dataset="synthetic",
+        mvn_path=str(tmp_path / f"mvn_{placement}.json"),
+        training_batch_size=32,
+        dev_batch_size=64,
+        data_placement=placement,
+    )
+    for k in ("transfer_dtype", "shard_device_store"):
+        if k in kw:
+            data_kw[k] = kw.pop(k)
+    return ExperimentConfig(
+        data=DataConfig(**data_kw),
+        model=ModelConfig(z1_hus=(32, 32), z2_hus=(32, 32), x_hus=(32, 32),
+                          z1_dim=8, z2_dim=8),
+        train=TrainConfig(epochs=2, patience=10, seed=0, **kw),
+    )
+
+
+def final_params(corpus, tmp_path, placement, **kw):
+    cfg = cfg_for(tmp_path, placement, **kw)
+    res = train_from_config(
+        cfg, data_root=corpus, exp_root=tmp_path / f"exp_{placement}",
+        is_preprocessed=True, verbose=False,
+    )
+    assert not res.diverged
+    return res
+
+
+class TestHostDeviceEquivalence:
+    def test_same_parameter_trajectory(self, corpus, tmp_path):
+        """Same seed + same permutation => same trained params, K=1."""
+        host = final_params(corpus, tmp_path, "host")
+        dev = final_params(corpus, tmp_path, "device")
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+            ),
+            host.state.params, dev.state.params,
+        )
+        h = list(host.history.values["train_loss_results"].values())
+        d = list(dev.history.values["train_loss_results"].values())
+        np.testing.assert_allclose(h, d, rtol=1e-4)
+
+    def test_k_bundled_dispatch(self, corpus, tmp_path):
+        """K>1 groups + tail batches on the device path track the host path."""
+        host = final_params(corpus, tmp_path, "host", steps_per_dispatch=3)
+        dev = final_params(corpus, tmp_path, "device", steps_per_dispatch=3)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+            ),
+            host.state.params, dev.state.params,
+        )
+
+    def test_hierarchical_composes(self, corpus, tmp_path):
+        """Round subsets share the staged pack (zero-copy views)."""
+        res = final_params(corpus, tmp_path, "device",
+                           sample_hierarchical=True,
+                           num_hierarchical_sequences=3)
+        assert res.state.params["mu2_table"].shape[0] == 3
+        assert np.isfinite(
+            list(res.history.values["train_loss_results"].values())
+        ).all()
+
+
+class TestMesh:
+    def test_device_data_on_mesh(self, corpus, tmp_path):
+        dev = final_params(corpus, tmp_path, "device", mesh_shape=(4, 2))
+        host = final_params(corpus, tmp_path, "host", mesh_shape=(4, 2))
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+            ),
+            host.state.params, dev.state.params,
+        )
+
+    def test_sharded_store_gather_correct(self, rng):
+        """Row-sharded staged store: shard_map gather == numpy gather."""
+        from pytorch_scalablefhvae_tpu.parallel.mesh import make_mesh
+        from pytorch_scalablefhvae_tpu.train.device_step import _make_gather
+
+        mesh = make_mesh((4, 2))
+        store = make_store(rng, n_seqs=4, frames=50, dim=8)
+        src = DeviceDataSource(store, mesh, shard_store=True)
+        ds = SegmentDataset(store, seg_len=20, seg_shift=8)
+        order = rng.permutation(len(ds))[:8]
+        plan = build_epoch_plan(ds, order, batch_size=8)
+        gather = _make_gather(20, mesh, shard_store=True)
+        out = jax.jit(gather)(src.data, jax.device_put(plan.abs_starts))
+        expect = store.data[plan.abs_starts[:, None] + np.arange(20)[None, :]]
+        np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-6)
+
+    def test_sharded_store_training_runs(self, corpus, tmp_path):
+        res = final_params(corpus, tmp_path, "device", mesh_shape=(4, 2),
+                           shard_device_store=True, steps_per_dispatch=2)
+        assert np.isfinite(
+            list(res.history.values["train_loss_results"].values())
+        ).all()
