@@ -16,9 +16,12 @@ mu2 row count must be padded to a multiple of the "model" axis size
 (``parallel.mesh.padded_num_seqs``; the training loop sets the model's
 ``num_seqs_padded`` accordingly).
 
-Evaluation under a mesh is intentionally unsharded: dev/test splits are
-scored against small MAP-estimated per-split mu2 tables (train/loop.py
-``eval_dev``), which are not row-sharded.
+Evaluation under a mesh shards the batch over "data" too
+(:func:`make_sharded_eval_step` / :func:`make_sharded_encode_step`): dev/test
+splits are scored against small MAP-estimated per-split mu2 tables, which
+stay replicated (they are O(dev-split) rows), while the two per-epoch dev
+passes (encode for the MAP table + scoring) scale with the mesh instead of
+serializing onto one device.
 """
 
 from __future__ import annotations
@@ -27,9 +30,12 @@ import jax
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+import jax.numpy as jnp
+
 from pytorch_scalablefhvae_tpu.models.base import loss_from_outputs
 from pytorch_scalablefhvae_tpu.parallel.mesh import (
     batch_sharding,
+    params_shardings,
     stacked_batch_sharding,
     state_shardings,
 )
@@ -78,6 +84,70 @@ def make_sharded_train_step(model, optimizer, alpha: float, mesh: Mesh, donate: 
                 donate_argnums=(0,) if donate else (),
             )
         return compiled[key](state, feats, seq_idx, nsegs, weight)
+
+    return step
+
+
+def make_sharded_eval_step(model, alpha: float, mesh: Mesh):
+    """Mesh-compiled eval step (posterior-mean pass, weighted metric sums).
+
+    Same contract as ``train.step.make_eval_step(with_table_override=True)``:
+    the extra trailing argument is the split's MAP-estimated mu2 table, which
+    stays replicated (it is O(split sequences), tiny next to the training
+    table). Batch arrays shard over "data" so the two per-epoch dev passes
+    scale with the mesh (SURVEY §3.1 eval phase at scale).
+    """
+
+    def step_fn(params, feats, seq_idx, nsegs, weight, key, table):
+        out = model.apply(params, feats, seq_idx, nsegs, key, sample=False,
+                          mu2_table=table)
+        loss, metrics = loss_from_outputs(out, weight, alpha)
+        n = jnp.sum(weight)
+        sums = {k: v * n for k, v in metrics.items()}
+        sums["count"] = n
+        return sums
+
+    compiled = {}
+
+    def step(params, feats, seq_idx, nsegs, weight, key, table):
+        if not compiled:
+            p_sh = params_shardings(mesh, params)
+            b_sh = batch_sharding(mesh)
+            repl = NamedSharding(mesh, P())
+            compiled["fn"] = jax.jit(
+                step_fn,
+                in_shardings=(p_sh, b_sh["feats"], b_sh["seq_idx"],
+                              b_sh["nsegs"], b_sh["weight"], repl, repl),
+                out_shardings=None,
+            )
+        return compiled["fn"](params, feats, seq_idx, nsegs, weight, key, table)
+
+    return step
+
+
+def make_sharded_encode_step(model, mesh: Mesh):
+    """Mesh-compiled encoder pass -> z2 posterior means, batch-sharded.
+
+    Used by the MAP mu2 estimation passes (dev eval + hierarchical round
+    init), which previously ran unsharded on one device under a mesh.
+    """
+
+    def step_fn(params, feats):
+        enc = model.encode(params, feats.astype(jnp.float32),
+                           jax.random.PRNGKey(0), sample=False)
+        return enc["z2_mu"]
+
+    compiled = {}
+
+    def step(params, feats):
+        if not compiled:
+            p_sh = params_shardings(mesh, params)
+            f_sh = NamedSharding(mesh, P("data", None, None))
+            compiled["fn"] = jax.jit(
+                step_fn, in_shardings=(p_sh, f_sh),
+                out_shardings=NamedSharding(mesh, P("data", None)),
+            )
+        return compiled["fn"](params, feats)
 
     return step
 

@@ -296,8 +296,22 @@ def run_training(
     # rows in the learned table (the reference scored dev segments against
     # train-table rows, a meaningless pairing; the papers' test-time
     # procedure is MAP inference of mu2)
-    eval_step = make_eval_step(model, config.optim.alpha_dis, with_table_override=True)
-    encode_step = make_encode_step(model)
+    if mesh is not None and dev_loader.batch_size % mesh.shape["data"] == 0 \
+            and train_loader.batch_size % mesh.shape["data"] == 0:
+        # both per-epoch dev passes (encode for the MAP table + scoring) and
+        # the hierarchical-round encode scale with the mesh; the MAP tables
+        # themselves stay replicated (O(split) rows)
+        from pytorch_scalablefhvae_tpu.parallel.sharded_step import (
+            make_sharded_encode_step,
+            make_sharded_eval_step,
+        )
+
+        eval_step = make_sharded_eval_step(model, config.optim.alpha_dis, mesh)
+        encode_step = make_sharded_encode_step(model, mesh)
+    else:
+        eval_step = make_eval_step(model, config.optim.alpha_dis,
+                                   with_table_override=True)
+        encode_step = make_encode_step(model)
     pz2_var = float(np.exp(model.pz2_logvar))
 
     def eval_dev(params, key):

@@ -212,3 +212,44 @@ class TestGraftEntry:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+
+class TestShardedEval:
+    @pytest.mark.parametrize("shape", [(4, 2), (8, 1)])
+    def test_sharded_eval_matches_unsharded(self, rng, shape):
+        """Mesh-compiled eval/encode steps == single-device ones (the dev
+        split scores against a replicated MAP table either way)."""
+        from pytorch_scalablefhvae_tpu.parallel.sharded_step import (
+            make_sharded_encode_step,
+            make_sharded_eval_step,
+        )
+        from pytorch_scalablefhvae_tpu.train.step import (
+            make_encode_step,
+            make_eval_step,
+        )
+
+        model = small_model()
+        opt = make_optimizer(1e-3, 0.95, 0.999)
+        state = create_train_state(model, opt, seed=0)
+        feats, seq_idx, nsegs, weight = make_batch(rng)
+        weight[-3:] = 0.0  # padded rows
+        table = rng.standard_normal((NUM_SEQS, 8)).astype(np.float32)
+        key = jax.random.PRNGKey(3)
+
+        ref_eval = make_eval_step(model, 10.0, with_table_override=True)
+        ref = {k: float(v) for k, v in ref_eval(
+            state.params, feats, seq_idx, nsegs, weight, key, table).items()}
+        ref_z2 = np.asarray(make_encode_step(model)(state.params, feats))
+
+        mesh = make_mesh(shape)
+        s_sh = shard_state(mesh, create_train_state(model, opt, seed=0))
+        sh_eval = make_sharded_eval_step(model, 10.0, mesh)
+        got = {k: float(v) for k, v in sh_eval(
+            s_sh.params, feats, seq_idx, nsegs, weight, key, table).items()}
+        got_z2 = np.asarray(
+            make_sharded_encode_step(model, mesh)(s_sh.params, feats))
+
+        for k in ref:
+            np.testing.assert_allclose(got[k], ref[k], rtol=2e-5, atol=1e-6,
+                                       err_msg=k)
+        np.testing.assert_allclose(got_z2, ref_z2, rtol=2e-5, atol=1e-6)
