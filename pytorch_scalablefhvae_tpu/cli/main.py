@@ -158,6 +158,17 @@ def _cmd_encode(args) -> int:
     return 0
 
 
+def _cmd_import_checkpoint(args) -> int:
+    from pytorch_scalablefhvae_tpu.compat import import_reference_checkpoint
+
+    path = import_reference_checkpoint(
+        args.checkpoint, args.out_dir, args.num_seqs,
+        mu2_init_std=args.mu2_init_std,
+    )
+    print(f"Wrote {path}")
+    return 0
+
+
 def _cmd_prep_timit(args) -> int:
     from pytorch_scalablefhvae_tpu.corpus.timit import process_timit
 
@@ -264,6 +275,21 @@ def build_parser() -> argparse.ArgumentParser:
                         "actually had — encoding at a different rate skews "
                         "the feature geometry")
     p.set_defaults(fn=_cmd_encode)
+
+    p = sub.add_parser(
+        "import-checkpoint",
+        help="Convert a reference PyTorch .tar checkpoint (utils.py:116-152 "
+             "schema) to this framework's npz format for --continue-from "
+             "--finetune (the reference never persisted a mu2 table, so the "
+             "imported table is fresh and resume is finetune-like)",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("checkpoint", type=str, help="Reference .tar checkpoint")
+    p.add_argument("out_dir", type=str, help="Output directory for the npz")
+    p.add_argument("--num-seqs", type=int, required=True,
+                   help="mu2 table rows (training-corpus sequence count)")
+    p.add_argument("--mu2-init-std", type=float, default=0.0,
+                   help="stddev of the fresh mu2 table (0 = zeros)")
+    p.set_defaults(fn=_cmd_import_checkpoint)
 
     p = sub.add_parser("prep-timit", help="Generate TIMIT wav.scp manifests",
                        formatter_class=argparse.ArgumentDefaultsHelpFormatter)

@@ -107,6 +107,149 @@ def loss_function(lower_bound, log_qy, alpha=10.0):
     return -1.0 * jnp.mean(lower_bound + alpha * log_qy)
 
 
+# ---------------------------------------------------------------------------
+# Reference .tar checkpoint import (on-disk interop, SURVEY.md §9)
+# ---------------------------------------------------------------------------
+
+# reference module attribute -> our params key (simple_fhvae.py:31-36)
+_MLP_MAP = {
+    "z2_pre_encoder": "z2_pre",
+    "z1_pre_encoder": "z1_pre",
+    "pre_decoder": "dec_pre",
+}
+_GAUSS_MAP = {
+    "z2_gauss_layer": "z2_gauss",
+    "z1_gauss_layer": "z1_gauss",
+    "dec_gauss_layer": "dec_gauss",
+}
+
+
+def _map_reference_key(key: str):
+    """Reference state_dict key -> (path tuple into our params, transpose?).
+
+    Reference naming (simple_fhvae.py:127-244): MLPs are
+    ``<module>.fc<N>.linear.{weight,bias}``; Gaussian heads are
+    ``<module>.{mulayer,logvar_layer}.{weight,bias}``. torch Linear weights
+    are [out, in]; ours are [in, out].
+    """
+    parts = key.split(".")
+    mod = parts[0]
+    if mod in _MLP_MAP and parts[1].startswith("fc"):
+        layer = int(parts[1][2:]) - 1
+        leaf = "w" if parts[-1] == "weight" else "b"
+        return (_MLP_MAP[mod], "layers", layer, leaf), parts[-1] == "weight"
+    if mod in _GAUSS_MAP and parts[1] in ("mulayer", "logvar_layer"):
+        head = "mu" if parts[1] == "mulayer" else "logvar"
+        leaf = "w" if parts[-1] == "weight" else "b"
+        return (_GAUSS_MAP[mod], head, leaf), parts[-1] == "weight"
+    return None, False
+
+
+def load_reference_checkpoint(checkpoint_file, num_seqs: int,
+                              mu2_init_std: float = 0.0, seed: int = 0):
+    """Import a reference ``.tar`` checkpoint (utils.py:116-152 schema) into
+    this framework's params pytree.
+
+    Returns ``(model, params, meta)`` where ``meta`` carries the reference's
+    epoch/best/history fields. The reference never persisted a mu2 table
+    (defect B7 — it regenerated noise each forward), so the imported table is
+    fresh (``mu2_init_std`` * N(0,1); 0 -> zeros) sized for ``num_seqs`` —
+    resume semantics are therefore finetune-like: MLP weights transfer, the
+    table re-estimates. Optimizer moments are not imported for the same
+    reason (the reference's Adam state covers a param set without the table).
+
+    Only ``simple_fhvae`` checkpoints exist in the wild (the reference's
+    FHVAE is an unimplemented stub, fhvae.py:14).
+    """
+    import torch
+
+    from pytorch_scalablefhvae_tpu.models.base import init_mu2_table
+    from pytorch_scalablefhvae_tpu.models.simple_fhvae import SimpleFHVAE
+
+    ckpt = torch.load(checkpoint_file, map_location="cpu", weights_only=False)
+    model_type = ckpt.get("model_type", "simple_fhvae")
+    if model_type != "simple_fhvae":
+        raise ValueError(
+            f"Cannot import model_type {model_type!r}: the reference only "
+            "implements simple_fhvae (its FHVAE is a stub, fhvae.py:14)"
+        )
+    state_dict = ckpt["state_dict"]
+    # saved model_params are (z1_hus, z2_hus, z1_dim, z2_dim, x_hus) —
+    # WITHOUT input_size (utils.py:134-141); infer it from the z2 encoder's
+    # first layer, [h0, input_size] in torch orientation
+    z1_hus, z2_hus, z1_dim, z2_dim, x_hus = ckpt["model_params"]
+    input_size = int(state_dict["z2_pre_encoder.fc1.linear.weight"].shape[1])
+
+    model = SimpleFHVAE(
+        input_size=input_size, z1_hus=tuple(z1_hus), z2_hus=tuple(z2_hus),
+        z1_dim=int(z1_dim), z2_dim=int(z2_dim), x_hus=tuple(x_hus),
+        num_seqs=num_seqs,
+    )
+    import jax
+
+    params = model.init(jax.random.PRNGKey(seed))
+    params = jax.tree_util.tree_map(np.asarray, params)
+
+    unmapped = []
+    for key, tensor in state_dict.items():
+        path, transpose = _map_reference_key(key)
+        if path is None:
+            unmapped.append(key)
+            continue
+        arr = np.asarray(tensor.detach().cpu().numpy(), dtype=np.float32)
+        if transpose:
+            arr = arr.T
+        node = params
+        for p in path[:-1]:
+            node = node[p]
+        if node[path[-1]].shape != arr.shape:
+            raise ValueError(
+                f"{key}: reference shape {arr.shape} does not fit "
+                f"{'.'.join(map(str, path))} {node[path[-1]].shape}"
+            )
+        node[path[-1]] = arr
+    if unmapped:
+        raise ValueError(f"Unrecognized reference state_dict keys: {unmapped}")
+
+    params["mu2_table"] = np.asarray(
+        init_mu2_table(jax.random.PRNGKey(seed), num_seqs, int(z2_dim),
+                       float(mu2_init_std))
+    )
+    meta = {
+        "model_type": model_type,
+        "epoch": int(ckpt.get("epoch", 0)),
+        "best_epoch": int(ckpt.get("best_epoch", 0)),
+        "best_val_lb": float(ckpt.get("best_val_lb", -np.inf)),
+        "values": ckpt.get("values") or {},
+    }
+    return model, params, meta
+
+
+def import_reference_checkpoint(checkpoint_file, out_dir, num_seqs: int,
+                                mu2_init_std: float = 0.0, seed: int = 0):
+    """Convert a reference ``.tar`` into this framework's npz format, ready
+    for ``--continue-from <out> --finetune``. Returns the npz path."""
+    from pytorch_scalablefhvae_tpu.train import checkpoint as ckpt_mod
+    from pytorch_scalablefhvae_tpu.train.step import (
+        create_train_state,
+        make_optimizer,
+    )
+
+    model, params, meta = load_reference_checkpoint(
+        checkpoint_file, num_seqs, mu2_init_std, seed)
+    optimizer = make_optimizer(1e-3, 0.95, 0.999)
+    state = create_train_state(model, optimizer, seed=seed)
+    state = state._replace(params=params, opt_state=optimizer.init(params))
+    return ckpt_mod.save_checkpoint(
+        out_dir, state, model_type=model.model_type,
+        model_params=model.model_params(), run_info="imported",
+        epoch=meta["epoch"], best_epoch=meta["best_epoch"],
+        best_val_lb=meta["best_val_lb"], values=meta["values"],
+        extra_meta={"imported_from": str(checkpoint_file),
+                    "num_seqs": num_seqs},
+    )
+
+
 def estimate_mu2_dict(model, params, loader, pz2_var=None, pmu2_var=1.0):
     """Estimate mu2 per sequence from encoder means (utils.py:45-60 intent).
 
