@@ -44,6 +44,9 @@ def add_common_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--dither-seed", type=int, default=0,
                    help="Seed for the deterministic dither stream (kaldi-semantics "
                         "extractor; the reference's dither was unseeded)")
+    p.add_argument("--num-workers", type=int, default=0,
+                   help=">1 fans per-utterance feature extraction over a "
+                        "process pool (outputs identical to sequential)")
     p.add_argument("--train-list", type=str, nargs="+", default=None,
                    help="LibriSpeech training subsets (default: train-clean-100)")
     p.add_argument("--dev-list", type=str, nargs="+", default=None,
@@ -185,6 +188,7 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
             hop_t=args.hop_size,
             n_mels=args.mels,
             dither_seed=getattr(args, "dither_seed", 0),
+            num_workers=getattr(args, "num_workers", 0),
         ),
         data=DataConfig(
             dataset=args.dataset,

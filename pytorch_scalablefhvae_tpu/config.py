@@ -44,6 +44,10 @@ class FeatureConfig:
     use_energy: bool = False
     htk_compat: bool = True
     dither_seed: int = 0  # reference dither is unseeded; ours is deterministic
+    # >1 fans per-utterance extraction over a process pool (reference
+    # Pool(3)/Pool(8) capability); outputs are identical to sequential.
+    # Default sequential: on single-core hosts a pool only adds overhead.
+    num_workers: int = 0
 
     @property
     def n_fft(self) -> int:

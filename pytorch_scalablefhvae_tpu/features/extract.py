@@ -62,6 +62,20 @@ def generate_feat(
     raise ValueError(f"Unknown feature type {ftype!r}")
 
 
+def _numpy_worker(job):
+    """Pool worker: decode + featurize + save one utterance.
+
+    Top-level (picklable); returns (seq, npy_path, n_frames, sr) so the
+    parent writes manifests in order and enforces sample-rate consistency.
+    """
+    seq, path, np_path, ftype, sample_rate, win_t, hop_t, n_mels, kw = job
+    y, sr = read_audio(path, sample_rate)
+    feat = generate_feat(ftype, y, sample_rate or sr, win_t, hop_t, n_mels, **kw)
+    with open(np_path, "wb") as nf:
+        np.save(nf, feat)
+    return seq, np_path, len(feat), sr
+
+
 def prepare_numpy(
     dataset: str,
     set_name: str,
@@ -73,10 +87,19 @@ def prepare_numpy(
     hop_t: float = 0.010,
     n_mels: int = 80,
     verbose: bool = True,
+    num_workers: int = 0,
     **feat_kwargs,
 ) -> tuple[int, tuple[Path, Path, Path]]:
     """NumPy-backend extraction for one split; returns
-    (count, (wav_scp, feats_scp, len_scp)) like the reference."""
+    (count, (wav_scp, feats_scp, len_scp)) like the reference.
+
+    ``num_workers > 1`` fans the per-utterance decode+FFT+mel work over a
+    process pool (the capability of the reference's ``Pool(3)``,
+    preprocess_data.py:45 — but over utterances, which load-balances;
+    extraction is CPU-bound in the FFT on multi-core hosts). The default
+    stays sequential: this box has one core, where a pool only adds
+    serialization overhead.
+    """
     set_path = Path(output_dir or dataset_dir) / set_name
     wav_path = set_path / "wav.scp"
     feat_path = set_path / "feats.scp"
@@ -88,21 +111,44 @@ def prepare_numpy(
     start = time.time()
     count = 0
     locked_sr = sample_rate
-    with open(feat_path, "w") as ff, open(len_path, "w") as lf:
-        for seq, path in read_scp(wav_path).items():
-            y, sr = read_audio(path, sample_rate)
-            if locked_sr is None:
-                locked_sr = sr
-            elif locked_sr != sr:
-                raise ValueError(f"Inconsistent sample rate ({locked_sr} != {sr}).")
-            feat = generate_feat(ftype, y, locked_sr, win_t, hop_t, n_mels,
-                                 **feat_kwargs)
-            np_path = set_path / f"{seq}.npy"
-            with open(np_path, "wb") as nf:
-                np.save(nf, feat)
-            ff.write(f"{seq} {np_path}\n")
-            lf.write(f"{seq} {len(feat)}\n")
-            count += 1
+    entries = read_scp(wav_path).items()
+    if num_workers and num_workers > 1:
+        import multiprocessing as mp
+
+        jobs = [
+            (seq, path, set_path / f"{seq}.npy", ftype, sample_rate,
+             win_t, hop_t, n_mels, feat_kwargs)
+            for seq, path in entries
+        ]
+        with mp.Pool(num_workers) as pool, \
+                open(feat_path, "w") as ff, open(len_path, "w") as lf:
+            # imap preserves manifest order
+            for seq, np_path, n_frames, sr in pool.imap(
+                    _numpy_worker, jobs, chunksize=8):
+                if locked_sr is None:
+                    locked_sr = sr
+                elif locked_sr != sr:
+                    raise ValueError(
+                        f"Inconsistent sample rate ({locked_sr} != {sr}).")
+                ff.write(f"{seq} {np_path}\n")
+                lf.write(f"{seq} {n_frames}\n")
+                count += 1
+    else:
+        with open(feat_path, "w") as ff, open(len_path, "w") as lf:
+            for seq, path in entries:
+                y, sr = read_audio(path, sample_rate)
+                if locked_sr is None:
+                    locked_sr = sr
+                elif locked_sr != sr:
+                    raise ValueError(f"Inconsistent sample rate ({locked_sr} != {sr}).")
+                feat = generate_feat(ftype, y, locked_sr, win_t, hop_t, n_mels,
+                                     **feat_kwargs)
+                np_path = set_path / f"{seq}.npy"
+                with open(np_path, "wb") as nf:
+                    np.save(nf, feat)
+                ff.write(f"{seq} {np_path}\n")
+                lf.write(f"{seq} {len(feat)}\n")
+                count += 1
     if verbose:
         print(f"{set_name}: {count} utterances in {time.time() - start:.2f}s (numpy/{ftype})")
     return count, (wav_path, feat_path, len_path)
@@ -202,6 +248,28 @@ def _native_fbank():
         return None
 
 
+def _kaldi_worker(job):
+    """Pool worker: decode + Kaldi-semantics fbank for one utterance.
+
+    Returns the feature matrix; the parent serializes ark writes (one
+    archive). The native extractor loads lazily per process.
+    """
+    seq, path, sample_rate, conf_kwargs, seed, use_native = job
+    y, sr = read_audio(path, sample_rate)
+    conf_sr = conf_kwargs.get("sr")
+    if conf_sr is not None and int(conf_sr) != int(sr):
+        raise ValueError(
+            f"Sample rate mismatch for '{seq}': fbank conf expects "
+            f"{conf_sr} Hz but {path} is {sr} Hz"
+        )
+    kwargs = dict(conf_kwargs)
+    kwargs.setdefault("sr", sr)
+    native = _native_fbank() if use_native else None
+    if native is not None:
+        return seq, native(y, seed=seed, **kwargs)
+    return seq, kaldi_fbank(y, seed=seed, **kwargs)
+
+
 def prepare_kaldi(
     dataset_dir: str | Path,
     set_name: str,
@@ -211,10 +279,17 @@ def prepare_kaldi(
     verbose: bool = True,
     use_native: bool = True,
     dither_seed: int = 0,
+    num_workers: int = 0,
 ) -> tuple[int, tuple[Path, Path, Path, Path]]:
     """Kaldi-backend extraction for one split; returns
     (count, (dataset_dir, feats_ark, feats_scp, len_scp)) like the reference
-    (prepare_kaldi_data.py:82)."""
+    (prepare_kaldi_data.py:82).
+
+    ``num_workers > 1`` fans decode+fbank over a process pool (reference
+    ``Pool(3)`` capability, prepare_kaldi_data.py:124); the single ark is
+    written by the parent in manifest order, so outputs are byte-identical
+    to the sequential path (per-utterance dither streams are seeded by key).
+    """
     set_dir = Path(dataset_dir) / set_name
     wav_scp = set_dir / "wav.scp"
     feat_ark = set_dir / "feats.ark"
@@ -224,6 +299,32 @@ def prepare_kaldi(
         raise ValueError(f"The wav.scp file at {wav_scp} does not exist!")
 
     conf_kwargs = fbank_kwargs_from_conf(parse_fbank_conf(str(fbank_conf)))
+
+    if num_workers and num_workers > 1:
+        import multiprocessing as mp
+
+        jobs = [
+            (seq, path, sample_rate, conf_kwargs,
+             (zlib.crc32(seq.encode()) + dither_seed) % (2**31), use_native)
+            for seq, path in read_scp(wav_scp).items()
+        ]
+        start = time.time()
+        count = 0
+        with mp.Pool(num_workers) as pool, \
+                ArkWriter(feat_ark, feat_scp) as writer, \
+                open(len_scp, "w") as lf:
+            for seq, feat in pool.imap(_kaldi_worker, jobs, chunksize=8):
+                writer.write(seq, feat)
+                lf.write(f"{seq} {len(feat)}\n")
+                count += 1
+                if verbose and count % 200 == 0:
+                    print(f"{set_name.capitalize():7} processed {count} "
+                          f"utterances in {time.time() - start:.2f} seconds")
+        if verbose:
+            print(f"{set_name.capitalize()} feature computation completed in "
+                  f"{time.time() - start:.2f} seconds")
+        return count, (Path(dataset_dir), feat_ark, feat_scp, len_scp)
+
     native = _native_fbank() if use_native else None
 
     start = time.time()

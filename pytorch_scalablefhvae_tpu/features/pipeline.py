@@ -55,9 +55,14 @@ def preprocess_data(
     for split in SPLITS:
         if fcfg.data_format == "numpy":
             prep = prepare_jax if fcfg.extractor == "jax" else prepare_numpy
+            worker_kw = (
+                {} if fcfg.extractor == "jax"  # accelerator-batched already
+                else {"num_workers": fcfg.num_workers}
+            )
             _, (wav_pth, feat_pth, len_pth) = prep(
                 dcfg.dataset, split, out_dir,
                 ftype=fcfg.feat_type,
+                **worker_kw,
                 sample_rate=fcfg.sample_rate,
                 win_t=fcfg.win_t,
                 hop_t=fcfg.hop_t,
@@ -72,7 +77,7 @@ def preprocess_data(
         else:
             _, (_, feat_ark, feat_pth, len_pth) = prepare_kaldi(
                 out_dir, split, fbank_conf, sample_rate=fcfg.sample_rate,
-                dither_seed=fcfg.dither_seed,
+                dither_seed=fcfg.dither_seed, num_workers=fcfg.num_workers,
             )
             paths[split] = {
                 "wav_pth": out_dir / split / "wav.scp",

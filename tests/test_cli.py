@@ -118,6 +118,7 @@ class TestConfigFlagCompleteness:
             ("features", "hop_t"): (["--hop-size", "0.005"], 0.005),
             ("features", "n_mels"): (["--mels", "40"], 40),
             ("features", "dither_seed"): (["--dither-seed", "7"], 7),
+            ("features", "num_workers"): (["--num-workers", "2"], 2),
             ("data", "dataset"): (["--dataset", "timit"], "timit"),
             ("data", "raw_data_dir"): (["--raw-data-dir", "/x"], "/x"),
             ("data", "min_len"): (["--min-len", "30"], 30),

@@ -198,3 +198,72 @@ class TestScanUnroll:
                                        rtol=1e-6, atol=1e-6)
             np.testing.assert_allclose(np.asarray(hu), np.asarray(h1),
                                        rtol=1e-6, atol=1e-6)
+
+
+class TestWavefrontLSTM:
+    def test_wavefront_matches_numpy_oracle(self, rng):
+        """The wavefront schedule (layer-2 step t-1 advanced with layer-1
+        step t) is the SAME math as a plain sequential 2-layer LSTM."""
+        import jax
+        import jax.numpy as jnp
+
+        from pytorch_scalablefhvae_tpu.models.fhvae import (
+            init_lstm_stack,
+            run_lstm_wavefront2,
+        )
+
+        p = init_lstm_stack(jax.random.PRNGKey(0), 8, (16, 16))
+
+        def sig(v):
+            return 1.0 / (1.0 + np.exp(-v))
+
+        def np_lstm(p, xs):
+            seq = xs
+            for cell in p["cells"]:
+                w, b = np.asarray(cell["w"]), np.asarray(cell["b"])
+                hid = w.shape[1] // 4
+                d = w.shape[0] - hid
+                h = np.zeros((xs.shape[0], hid), np.float32)
+                c = np.zeros_like(h)
+                outs = []
+                for t in range(seq.shape[1]):
+                    g = seq[:, t] @ w[:d] + h @ w[d:] + b
+                    i, f, gg, o = np.split(g, 4, axis=-1)
+                    c = sig(f) * c + sig(i) * np.tanh(gg)
+                    h = sig(o) * np.tanh(c)
+                    outs.append(h)
+                seq = np.stack(outs, 1)
+            return seq, h
+
+        xs = rng.standard_normal((4, 7, 8)).astype(np.float32)
+        want_seq, want_h = np_lstm(p, xs)
+        got_seq, got_h = run_lstm_wavefront2(p, jnp.asarray(xs))
+        np.testing.assert_allclose(np.asarray(got_seq), want_seq,
+                                   rtol=2e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(got_h), want_h,
+                                   rtol=2e-5, atol=1e-6)
+
+    def test_run_lstm_dispatches_and_matches_generic(self, rng):
+        """run_lstm's 2-layer fast path == the generic per-layer path (forced
+        by a 3-layer stack truncated to compare on the first two layers is
+        not possible; instead compare against the same cells run one layer
+        at a time through the generic path)."""
+        import jax
+        import jax.numpy as jnp
+
+        from pytorch_scalablefhvae_tpu.models.fhvae import (
+            init_lstm_stack,
+            run_lstm,
+        )
+
+        p = init_lstm_stack(jax.random.PRNGKey(1), 6, (12, 12))
+        xs = jnp.asarray(rng.standard_normal((3, 9, 6)).astype(np.float32))
+        # generic path, one single-layer stack at a time (never hits the
+        # 2-layer wavefront dispatch)
+        mid, _ = run_lstm({"cells": p["cells"][:1]}, xs)
+        want_seq, want_h = run_lstm({"cells": p["cells"][1:]}, mid)
+        got_seq, got_h = run_lstm(p, xs)
+        np.testing.assert_allclose(np.asarray(got_seq), np.asarray(want_seq),
+                                   rtol=2e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(got_h), np.asarray(want_h),
+                                   rtol=2e-5, atol=1e-6)
