@@ -1,0 +1,47 @@
+#!/usr/bin/env bash
+# Reproduce the measured-training-quality claim in PARITY.md ("Measured
+# training quality"): 30 epochs of the recurrent FHVAE (the CLI default) on
+# the synthetic corpus, end-to-end through the sfhvae CLI, followed by
+# evaluation + the dev speaker probe.
+#
+# On one TPU chip this takes a few minutes (first compile ~30 s); on CPU it
+# is slower but identical (pass PLATFORM=cpu). Seeded throughout — the run
+# that produced misc/repro_quality_metrics.jsonl used exactly this script.
+#
+# Expected outcome (seed 0): dev lower bound improves monotonically from
+# about -2325 (epoch 0) toward -2030 (epoch 29), and the dev speaker probe
+# reports z2 accuracy 1.00 (4 speakers, chance 0.25) with z1 well below it —
+# the FHVAE disentanglement signature.
+#
+# Usage:  bash misc/repro_quality.sh [WORKDIR]
+#         PLATFORM=cpu bash misc/repro_quality.sh   # force CPU
+set -euo pipefail
+
+WORKDIR="${1:-$(mktemp -d)}"
+REPO="$(cd "$(dirname "${BASH_SOURCE[0]}")/.." && pwd)"
+PLATFORM="${PLATFORM:-}"
+RUN=(python -m pytorch_scalablefhvae_tpu.cli.main)
+if [[ -n "$PLATFORM" ]]; then
+  RUN=(env JAX_PLATFORMS="$PLATFORM" python -m pytorch_scalablefhvae_tpu.cli.main)
+fi
+
+cd "$WORKDIR"
+export PYTHONPATH="$REPO${PYTHONPATH:+:$PYTHONPATH}"
+
+"${RUN[@]}" preprocess --dataset synthetic --data-root .
+
+"${RUN[@]}" train \
+    --dataset synthetic --preprocessed --data-root . \
+    --model-type fhvae --epochs 30 --patience 30 --seed 0 \
+    --training-batch-size 32 --dev-batch-size 64 \
+    --mvn-path ./mvn.json --exp-root ./experiments
+
+EXP=experiments/synthetic_np_fbank/fhvae_e30_p30_a10.0
+
+"${RUN[@]}" eval "$EXP" --set-name dev --data-root .
+"${RUN[@]}" probe "$EXP" --set-name dev --data-root .
+
+echo
+echo "Metrics history: $EXP/metrics.jsonl"
+echo "Compare against the committed reference run:"
+echo "  $REPO/misc/repro_quality_metrics.jsonl"

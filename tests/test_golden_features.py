@@ -188,6 +188,58 @@ class TestLibrosaSemanticsFromSpec:
         np.testing.assert_allclose(ls[2, :8], golden_spec, rtol=1e-5, atol=1e-5)
 
 
+class TestCanonicalTools:
+    """Diff both extractors against REAL canonical-tool output.
+
+    Neither librosa nor Kaldi exists on this box (zero egress), so the
+    constants are generated offline by ``misc/gen_golden_canonical.py`` and
+    committed as ``tests/golden_canonical.json``. Until that file lands,
+    these tests skip — parity is then pinned only by the spec-derived
+    pipelines above, which is the documented residual gap (VERDICT r2 §1).
+    """
+
+    @pytest.fixture(scope="class")
+    def canonical(self):
+        import json
+        from pathlib import Path
+
+        path = Path(__file__).parent / "golden_canonical.json"
+        if not path.exists():
+            pytest.skip(
+                "tests/golden_canonical.json not generated yet — run "
+                "misc/gen_golden_canonical.py on a machine with "
+                "librosa/Kaldi and commit the output"
+            )
+        return json.loads(path.read_text())
+
+    def test_librosa_canonical_melspec(self, canonical):
+        if "librosa" not in canonical:
+            pytest.skip("no librosa constants in golden_canonical.json")
+        got = log_melspec(golden_signal(), SR, n_fft=128, win_t=128 / SR,
+                          hop_t=64 / SR, n_mels=6)
+        want = np.array(canonical["librosa"]["log_melspec_first3"], np.float32)
+        np.testing.assert_allclose(got[:3], want, rtol=2e-4, atol=2e-4)
+
+    def test_librosa_canonical_spectrogram(self, canonical):
+        if "librosa" not in canonical:
+            pytest.skip("no librosa constants in golden_canonical.json")
+        got = log_spectrogram(golden_signal(), SR, n_fft=128, win_t=128 / SR,
+                              hop_t=64 / SR)
+        want = np.array(canonical["librosa"]["log_spec_row2_first8"], np.float32)
+        np.testing.assert_allclose(got[2, :8], want, rtol=2e-4, atol=2e-4)
+
+    def test_kaldi_canonical_fbank(self, canonical):
+        if "kaldi" not in canonical:
+            pytest.skip("no kaldi constants in golden_canonical.json")
+        # compute-fbank-feats read the int16-quantized signal; feed the
+        # dequantized equivalent so both pipelines see identical samples
+        y = golden_signal()
+        q = np.clip(np.round(y * 32768.0), -32768, 32767) / 32768.0
+        got = kaldi_fbank(q, SR, n_mels=8, dither=0.0)
+        want = np.array(canonical["kaldi"]["fbank_first3"], np.float32)
+        np.testing.assert_allclose(got[:3], want, rtol=2e-4, atol=2e-3)
+
+
 class TestGoldenCrossPaths:
     """The C++ extractor and the JAX batched path reproduce the same goldens
     (when built/available), so parity extends to every backend."""
