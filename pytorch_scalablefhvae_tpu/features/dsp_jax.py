@@ -40,13 +40,32 @@ def _frame_indices(n_frames: int, n_fft: int, hop: int) -> jnp.ndarray:
     return jnp.asarray(idx, jnp.int32)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "sr", "n_fft", "hop_t", "win_t", "window", "preemphasis",
-        "n_mels", "log", "norm_mel", "log_floor", "feat_type", "use_fft",
-    ),
-)
+@functools.lru_cache(maxsize=32)
+def _spectral_consts(sr: int, n_fft: int, win: int, window: str,
+                     n_mels: int, norm_mel: str | None, need_mel: bool):
+    """Device-resident window / DFT-basis / mel-filterbank constants.
+
+    Hoisted OUT of the jitted compute and passed as arguments: embedding
+    multi-hundred-KB weight matrices as jit constants makes XLA re-stage
+    them into the Pallas custom_call on every invocation (measured 23x
+    slower than operand-passing on v5e); as cached arguments they are
+    uploaded once per configuration and reused.
+    """
+    w = periodic_window(window, win)
+    if win < n_fft:
+        lpad = (n_fft - win) // 2
+        w = np.pad(w, (lpad, n_fft - win - lpad))
+    C, S = _rdft_matrices(n_fft)
+    if need_mel:
+        fb = jnp.asarray(
+            mel_filterbank(sr, n_fft, n_mels=n_mels, htk=False, norm=norm_mel),
+            jnp.float32,
+        )
+    else:  # spec path: placeholder keeps the jitted signature uniform
+        fb = jnp.zeros((0, n_fft // 2 + 1), jnp.float32)
+    return jnp.asarray(w, jnp.float32), C, S, fb
+
+
 def batched_features(
     y: jnp.ndarray,
     lengths: jnp.ndarray,
@@ -63,6 +82,7 @@ def batched_features(
     log_floor: float = -20.0,
     feat_type: str = "fbank",
     use_fft: bool = False,
+    use_pallas: str = "auto",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Compute fbank/spec features for a padded batch of signals.
 
@@ -74,10 +94,58 @@ def batched_features(
         feats: ``[B, F_max, n_bins]`` (frames beyond a signal's frame count
             are zero), and ``n_frames``: ``[B]`` int32 per-signal frame counts
             (librosa centered convention: ``1 + length // hop``).
+
+    ``use_pallas``: "never" | "always" | "auto" — whether the fused Pallas
+    log-mel kernel (ops/fbank_pallas.py) replaces the jnp DFT+mel chain.
+    Same gating convention as models.base.discriminative_log_qy: "auto"
+    selects it on TPU backends; "always" runs it in interpret mode elsewhere
+    (tests). It applies to the fbank+log non-FFT configuration only.
     """
+    win = int(sr * win_t)
+    fused = bool(
+        feat_type == "fbank" and log and not use_fft
+        and (use_pallas == "always"
+             or (use_pallas == "auto" and jax.default_backend() == "tpu"))
+    )
+    w, C, S, fb = _spectral_consts(
+        sr, n_fft, win, window, n_mels, norm_mel,
+        need_mel=feat_type == "fbank",
+    )
+    return _batched_features_jit(
+        y, lengths, w, C, S, fb,
+        sr=sr, n_fft=n_fft, hop_t=hop_t, preemphasis=preemphasis,
+        log=log, log_floor=log_floor, feat_type=feat_type, use_fft=use_fft,
+        fused=fused,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "sr", "n_fft", "hop_t", "preemphasis",
+        "log", "log_floor", "feat_type", "use_fft", "fused",
+    ),
+)
+def _batched_features_jit(
+    y: jnp.ndarray,
+    lengths: jnp.ndarray,
+    w: jnp.ndarray,
+    C: jnp.ndarray,
+    S: jnp.ndarray,
+    fb: jnp.ndarray,
+    *,
+    sr: int,
+    n_fft: int,
+    hop_t: float,
+    preemphasis: float,
+    log: bool,
+    log_floor: float,
+    feat_type: str,
+    use_fft: bool,
+    fused: bool,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
     B, T = y.shape
     hop = int(sr * hop_t)
-    win = int(sr * win_t)
     pad = n_fft // 2
 
     y = y.astype(jnp.float32)
@@ -103,24 +171,30 @@ def batched_features(
     frames = jnp.take_along_axis(y[:, None, :], idxb.reshape(B, -1)[:, None, :], axis=2)
     frames = frames.reshape(B, n_frames_max, n_fft)
 
-    w = periodic_window(window, win)
-    if win < n_fft:
-        lpad = (n_fft - win) // 2
-        w = np.pad(w, (lpad, n_fft - win - lpad))
-    frames = frames * jnp.asarray(w, jnp.float32)[None, None, :]
+    # fused Pallas path: window + DFT + magnitude + mel + log in one VMEM-
+    # resident kernel (ops/fbank_pallas.py); see batched_features for gating.
+    if fused:
+        from pytorch_scalablefhvae_tpu.ops.fbank_pallas import fused_logmel_frames
+
+        out = fused_logmel_frames(
+            frames.reshape(B * n_frames_max, n_fft), w, C, S, fb.T,
+            log_floor=log_floor,
+            interpret=jax.default_backend() != "tpu",
+        ).reshape(B, n_frames_max, fb.shape[0])
+        frame_mask = jnp.arange(n_frames_max)[None, :] < n_frames[:, None]
+        out = jnp.where(frame_mask[:, :, None], out, 0.0)
+        return out, n_frames
+
+    frames = frames * w[None, None, :]
 
     if use_fft:
         spec = jnp.abs(jnp.fft.rfft(frames, n=n_fft, axis=-1))
     else:
-        C, S = _rdft_matrices(n_fft)
         re = jnp.einsum("bfn,nk->bfk", frames, C, preferred_element_type=jnp.float32)
         im = jnp.einsum("bfn,nk->bfk", frames, S, preferred_element_type=jnp.float32)
         spec = jnp.sqrt(re * re + im * im + 1e-30)
 
     if feat_type == "fbank":
-        fb = jnp.asarray(
-            mel_filterbank(sr, n_fft, n_mels=n_mels, htk=False, norm=norm_mel), jnp.float32
-        )
         out = jnp.einsum("bfk,mk->bfm", spec, fb, preferred_element_type=jnp.float32)
     elif feat_type == "spec":
         out = spec
@@ -149,6 +223,7 @@ def featurize_signals(
     mel_norm: str | None = "slaney",
     log_floor_mel: float = -20.0,
     log_floor_spec: float = -50.0,
+    use_pallas: str = "auto",
     sink=None,
 ) -> dict[str, "np.ndarray"]:
     """Batched featurization of in-memory signals -> ``{key: [T, dim]}``.
@@ -184,6 +259,7 @@ def featurize_signals(
             hop_t=hop_t, win_t=win_t, n_mels=n_mels, feat_type=ftype,
             window=window, preemphasis=preemphasis, norm_mel=mel_norm,
             log_floor=log_floor_mel if ftype == "fbank" else log_floor_spec,
+            use_pallas=use_pallas,
         )
         feats = np.asarray(jax.device_get(feats))
         n_frames = np.asarray(n_frames)
