@@ -39,7 +39,8 @@ def make_batches(rng, n=8):
 
 
 def bench_jax(num_seqs: int = NUM_SEQS, use_pallas: str = "never", steps: int = STEPS,
-              model_type: str = "simple_fhvae", k_dispatch: int = 64) -> float:
+              model_type: str = "simple_fhvae", k_dispatch: int = 64,
+              lstm_pallas: str = "auto") -> float:
     import jax
 
     from pytorch_scalablefhvae_tpu.models import FHVAE, SimpleFHVAE
@@ -51,7 +52,8 @@ def bench_jax(num_seqs: int = NUM_SEQS, use_pallas: str = "never", steps: int = 
 
     if model_type == "fhvae":
         model = FHVAE(input_size=SEG_LEN * N_MELS, num_seqs=num_seqs,
-                      feat_dim=N_MELS, use_pallas=use_pallas)
+                      feat_dim=N_MELS, use_pallas=use_pallas,
+                      lstm_pallas=lstm_pallas)
     else:
         model = SimpleFHVAE(
             input_size=SEG_LEN * N_MELS, num_seqs=num_seqs, use_pallas=use_pallas

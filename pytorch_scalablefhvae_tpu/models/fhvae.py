@@ -128,7 +128,8 @@ def run_lstm_wavefront2(p: dict, xs: jnp.ndarray, cdt=None,
 
 
 def run_lstm(
-    p: dict, xs: jnp.ndarray, cdt=None, unroll: int | bool = 1
+    p: dict, xs: jnp.ndarray, cdt=None, unroll: int | bool = 1,
+    use_pallas: str = "never",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Run a stacked LSTM over ``xs [B, T, D]``.
 
@@ -136,7 +137,11 @@ def run_lstm(
 
     Two-layer stacks (the reference default) dispatch to the wavefront
     schedule (:func:`run_lstm_wavefront2`), which halves the dependent-matmul
-    chain. The generic path below handles other depths.
+    chain, or — when ``use_pallas`` selects it ("always", or "auto" on a TPU
+    backend) — to the fused Pallas recurrence (ops/lstm_pallas.py), which
+    runs the whole two-layer scan in one kernel with VMEM-resident carries
+    and a custom reverse-time backward kernel. The generic path below
+    handles other depths.
 
     TPU scheduling: the input-to-gates projection of each layer is hoisted
     out of the recurrence as one ``[B*T, D] x [D, 4H]`` MXU matmul; only the
@@ -147,13 +152,22 @@ def run_lstm(
     and the recurrent matmul is tiny, so the scan's per-step loop overhead is
     a real cost; unrolling lets XLA software-pipeline consecutive steps.
     """
-    if (
+    two_layer = (
         len(p["cells"]) == 2
         and p["cells"][0]["w"].shape[1] == p["cells"][1]["w"].shape[1]
         and p["cells"][1]["w"].shape[0]
         == 2 * (p["cells"][1]["w"].shape[1] // 4)
         and xs.shape[1] >= 2
+    )
+    if two_layer and (
+        use_pallas == "always"
+        or (use_pallas == "auto" and jax.default_backend() == "tpu")
     ):
+        from pytorch_scalablefhvae_tpu.ops.lstm_pallas import lstm2_pallas
+
+        return lstm2_pallas(p, xs, cdt,
+                            interpret=jax.default_backend() != "tpu")
+    if two_layer:
         return run_lstm_wavefront2(p, xs, cdt, unroll=True)
     B, T, _ = xs.shape
     if not isinstance(unroll, bool):
@@ -208,6 +222,10 @@ class FHVAE:
     mu2_init_std: float = 1.0
     compute_dtype: str = "float32"
     use_pallas: str = "auto"
+    # fused Pallas recurrence for the three 2-layer LSTM stacks
+    # (ops/lstm_pallas.py); independent of use_pallas (the discriminative
+    # softmax kernel) because the two win in different regimes
+    lstm_pallas: str = "auto"
     feat_dim: int = 80  # frames arrive as [B, T, feat_dim]
     # lax.scan unroll factor for the LSTM recurrences (see run_lstm); the
     # default fully unrolls the reference's 20-frame segments
@@ -236,6 +254,7 @@ class FHVAE:
             mu2_init_std=cfg.mu2_init_std,
             compute_dtype=cfg.compute_dtype,
             use_pallas=getattr(cfg, "use_pallas", "auto"),
+            lstm_pallas=getattr(cfg, "lstm_pallas", "auto"),
             feat_dim=feat_dim,
         )
 
@@ -263,13 +282,14 @@ class FHVAE:
         cdt = self._cdt
         k2, k1 = jax.random.split(key)
 
-        _, h2 = run_lstm(params["z2_lstm"], x, cdt, self.scan_unroll)
+        _, h2 = run_lstm(params["z2_lstm"], x, cdt, self.scan_unroll,
+                         self.lstm_pallas)
         z2_mu, z2_logvar, z2 = layers.gauss_head(params["z2_gauss"], h2, k2, cdt, sample)
 
         T = x.shape[1]
         z2_tiled = jnp.broadcast_to(z2[:, None, :], (x.shape[0], T, z2.shape[-1]))
         _, h1 = run_lstm(params["z1_lstm"], jnp.concatenate([x, z2_tiled], axis=-1),
-                         cdt, self.scan_unroll)
+                         cdt, self.scan_unroll, self.lstm_pallas)
         z1_mu, z1_logvar, z1 = layers.gauss_head(params["z1_gauss"], h1, k1, cdt, sample)
         return {
             "z1_mu": z1_mu, "z1_logvar": z1_logvar, "z1": z1,
@@ -293,7 +313,8 @@ class FHVAE:
         B = z1.shape[0]
         z = jnp.concatenate([z1, z2], axis=-1)
         z_seq = jnp.broadcast_to(z[:, None, :], (B, num_frames, z.shape[-1]))
-        tops, _ = run_lstm(params["dec_lstm"], z_seq, cdt, self.scan_unroll)
+        tops, _ = run_lstm(params["dec_lstm"], z_seq, cdt, self.scan_unroll,
+                           self.lstm_pallas)
         flat = tops.reshape(B * num_frames, -1)
         if key is None:
             key = jax.random.PRNGKey(0)
