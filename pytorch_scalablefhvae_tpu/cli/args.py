@@ -126,7 +126,8 @@ def add_train_flags(p: argparse.ArgumentParser) -> None:
                    help="Epoch at which to capture the profiler trace")
     p.add_argument("--tensorboard", action="store_true", help="Enable TensorBoard logging")
     p.add_argument("--visdom", action="store_true",
-                   help="Accepted for parity; metrics go to JSONL/TensorBoard")
+                   help="Write per-epoch training curves to <exp_dir>/curves.svg "
+                        "(the reference Visdom plot, file-based)")
     p.add_argument("--tb-log-dir", default="./visualize/tensorboard",
                    help="Location of tensorboard log")
     p.add_argument("--log-params", action="store_true",
@@ -242,6 +243,7 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
             tensorboard=getattr(args, "tensorboard", False),
             tb_log_dir=getattr(args, "tb_log_dir", "./visualize/tensorboard"),
             log_params=getattr(args, "log_params", False),
+            plot_curves=getattr(args, "visdom", False),
             mesh_shape=mesh_shape,
         ),
     )

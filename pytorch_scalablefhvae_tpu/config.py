@@ -144,6 +144,9 @@ class TrainConfig:
     tensorboard: bool = False
     tb_log_dir: str = "./visualize/tensorboard"
     log_params: bool = False
+    # per-epoch curves.svg in the experiment dir (the reference --visdom
+    # flag's counterpart; see train/plots.py)
+    plot_curves: bool = False
     # bundle K optimizer steps into one dispatched XLA program (lax.scan);
     # amortizes per-dispatch overhead, which dominates sub-ms steps. Forced
     # to 1 in legacy mode to keep exact step-boundary semantics. Note: the

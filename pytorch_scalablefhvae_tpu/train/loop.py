@@ -519,6 +519,13 @@ def run_training(
             "val_log_pmu2": val.get("log_pmu2", float("nan")),
         }
         writer.write_epoch(epoch, scalars, params=state.params)
+        if config.train.plot_curves:
+            from pytorch_scalablefhvae_tpu.train.plots import write_curves_svg
+
+            # history already spans resumed epochs, so the curves replay
+            # prior training exactly like the reference logger.py:52-54
+            write_curves_svg(history, Path(exp_dir) / "curves.svg",
+                             config.run_id())
 
         if check_best(val["lower_bound"], best_val_lb):
             best_epoch = epoch
