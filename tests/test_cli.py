@@ -164,6 +164,7 @@ class TestConfigFlagCompleteness:
             ("train", "profile_dir"): (["--profile-dir", "/prof"], "/prof"),
             ("train", "profile_epoch"): (["--profile-epoch", "0"], 0),
             ("train", "tensorboard"): (["--tensorboard"], True),
+            ("train", "plot_curves"): (["--visdom"], True),
             ("train", "tb_log_dir"): (["--tb-log-dir", "/tb"], "/tb"),
             ("train", "log_params"): (["--log-params"], True),
             ("train", "steps_per_dispatch"): (["--steps-per-dispatch", "4"], 4),
