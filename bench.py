@@ -40,7 +40,8 @@ def make_batches(rng, n=8):
 
 def bench_jax(num_seqs: int = NUM_SEQS, use_pallas: str = "never", steps: int = STEPS,
               model_type: str = "simple_fhvae", k_dispatch: int = 64,
-              lstm_pallas: str = "auto") -> float:
+              lstm_pallas: str = "auto",
+              compute_dtype: str = "float32") -> float:
     import jax
 
     from pytorch_scalablefhvae_tpu.models import FHVAE, SimpleFHVAE
@@ -53,10 +54,11 @@ def bench_jax(num_seqs: int = NUM_SEQS, use_pallas: str = "never", steps: int = 
     if model_type == "fhvae":
         model = FHVAE(input_size=SEG_LEN * N_MELS, num_seqs=num_seqs,
                       feat_dim=N_MELS, use_pallas=use_pallas,
-                      lstm_pallas=lstm_pallas)
+                      lstm_pallas=lstm_pallas, compute_dtype=compute_dtype)
     else:
         model = SimpleFHVAE(
-            input_size=SEG_LEN * N_MELS, num_seqs=num_seqs, use_pallas=use_pallas
+            input_size=SEG_LEN * N_MELS, num_seqs=num_seqs,
+            use_pallas=use_pallas, compute_dtype=compute_dtype,
         )
     optimizer = make_optimizer(1e-3, 0.95, 0.999)
     state = create_train_state(model, optimizer, seed=0)
@@ -253,6 +255,55 @@ def bench_device_resident(k_dispatch: int = 64, epochs: int = 3,
         state, segs = run_epoch(state, e + 1)
         best = max(best, segs / (time.perf_counter() - t0))
     return best
+
+
+def bench_fbank_mframes(use_pallas: str, n_frames: int = 6400,
+                        iters: int = 64) -> float:
+    """On-device frame->log-mel rate (Mframes/s): the fused Pallas kernel
+    (ops/fbank_pallas.py) vs the equivalent jnp window+DFT+magnitude+mel+log
+    chain, at TIMIT-utterance-batch frame counts.
+
+    All ``iters`` extractions run inside ONE dispatched lax.scan program —
+    on the tunneled rig a single dispatch costs milliseconds (see
+    single_dispatch_sps), which would otherwise swamp a sub-ms kernel. The
+    framing/reflect gather stage is excluded: it is loop-invariant here and,
+    on the tunneled backend specifically, gather executes on the host, which
+    would turn the measurement into a tunnel benchmark."""
+    import jax
+    import jax.numpy as jnp
+
+    from pytorch_scalablefhvae_tpu.features.dsp_jax import _spectral_consts
+    from pytorch_scalablefhvae_tpu.ops.fbank_pallas import (
+        fused_logmel_frames,
+        logmel_frames_reference,
+    )
+
+    w, C, S, fb = _spectral_consts(16000, 400, 400, "hamming", N_MELS,
+                                   "slaney", True)
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.standard_normal((n_frames, 400)), jnp.float32)
+
+    @jax.jit
+    def run(frames):
+        def body(carry, _):
+            # carry feeds the input so iterations stay data-dependent
+            # (XLA would otherwise CSE the loop down to one extraction)
+            f = frames + carry * 1e-12
+            if use_pallas == "always":
+                out = fused_logmel_frames(f, w, C, S, fb.T)
+            else:
+                out = logmel_frames_reference(f, w, C, S, fb.T)
+            return jnp.sum(out[:1, :1]), ()
+        s, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return s
+
+    _ = float(np.asarray(run(frames)))  # compile + host-fetch sync
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = float(np.asarray(run(frames)))
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return n_frames / best / 1e6
 
 
 def bench_input_link_MBps(mbytes: int = 32) -> float:
@@ -483,6 +534,14 @@ def main() -> None:
             extras["fhvae_lstm_k64_sps"] = round(
                 bench_jax(steps=128, model_type="fhvae", k_dispatch=64), 1
             )
+            extras["fhvae_lstm_k64_scan_sps"] = round(
+                bench_jax(steps=128, model_type="fhvae", k_dispatch=64,
+                          lstm_pallas="never"), 1
+            )
+            extras["fhvae_lstm_k64_bf16_sps"] = round(
+                bench_jax(steps=128, model_type="fhvae", k_dispatch=64,
+                          compute_dtype="bfloat16"), 1
+            )
             extras.update(roofline_fields(
                 max(extras["fhvae_lstm_sps"], extras["fhvae_lstm_k64_sps"]),
                 fhvae_flops_per_seg(), device_kind, "fhvae"))
@@ -510,6 +569,13 @@ def main() -> None:
             extras["input_link_MB_per_s"] = round(bench_input_link_MBps(), 1)
         except Exception as e:
             print(f"# end-to-end bench failed: {e}")
+        try:
+            extras["fbank_jnp_mframes_per_s"] = round(
+                bench_fbank_mframes("never"), 1)
+            extras["fbank_pallas_mframes_per_s"] = round(
+                bench_fbank_mframes("always"), 1)
+        except Exception as e:
+            print(f"# fbank bench failed: {e}")
 
     def sig2(x: float) -> float:
         """2 significant figures: the torch-CPU baseline swings ~±40%

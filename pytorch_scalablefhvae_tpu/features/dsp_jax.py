@@ -34,12 +34,6 @@ def _rdft_matrices(n_fft: int, dtype=jnp.float32) -> tuple[jnp.ndarray, jnp.ndar
     return jnp.asarray(np.cos(ang), dtype), jnp.asarray(-np.sin(ang), dtype)
 
 
-def _frame_indices(n_frames: int, n_fft: int, hop: int) -> jnp.ndarray:
-    starts = np.arange(n_frames) * hop
-    idx = starts[:, None] + np.arange(n_fft)[None, :]
-    return jnp.asarray(idx, jnp.int32)
-
-
 @functools.lru_cache(maxsize=32)
 def _spectral_consts(sr: int, n_fft: int, win: int, window: str,
                      n_mels: int, norm_mel: str | None, need_mel: bool):
@@ -156,20 +150,33 @@ def _batched_features_jit(
         mask = jnp.arange(T)[None, :] < lengths[:, None]
         y = jnp.where(mask, y, 0.0)
 
-    # centered reflect pad. XLA-friendly: pad whole batch to T + 2*pad with
-    # reflection around the *true* end handled by gather with mirrored index.
+    # centered reflect pad + framing. The reflection around each signal's
+    # *true* end is a per-row gather over the [B, T+2*pad] extended signal
+    # (~T elements/row); the framing itself is hop-strided SLICES of that
+    # extended signal, not a gather — a [B, F, n_fft] frame gather moves
+    # n_fft/hop x more elements through the (slow, general) gather path and
+    # measured ~30x slower on v5e for the whole extraction.
     n_frames_max = 1 + T // hop
     n_frames = 1 + lengths // hop
 
-    idx = _frame_indices(n_frames_max, n_fft, hop) - pad  # [F, n_fft], signal coords
-    # reflect at 0 and at (length-1), per-signal
-    idx = jnp.abs(idx)  # left reflection
-    L = lengths[:, None, None]
-    idxb = jnp.broadcast_to(idx[None], (B, n_frames_max, n_fft))
-    idxb = jnp.where(idxb > L - 1, 2 * (L - 1) - idxb, idxb)
-    idxb = jnp.clip(idxb, 0, T - 1)
-    frames = jnp.take_along_axis(y[:, None, :], idxb.reshape(B, -1)[:, None, :], axis=2)
-    frames = frames.reshape(B, n_frames_max, n_fft)
+    Tp = T + 2 * pad
+    i = jnp.arange(Tp)[None, :] - pad  # signal coords
+    i = jnp.abs(i)  # left reflection
+    L = lengths[:, None]
+    i = jnp.where(i > L - 1, 2 * (L - 1) - i, i)  # right reflection
+    i = jnp.clip(i, 0, T - 1)
+    y_ext = jnp.take_along_axis(y, i, axis=1)  # [B, Tp]
+
+    # frame f = y_ext[f*hop : f*hop + n_fft]: stack ceil(n_fft/hop) shifted
+    # hop-chunk views and slice to n_fft columns
+    k = -(-n_fft // hop)  # chunks per frame
+    n_chunks = n_frames_max + k  # enough for the last frame's k chunks
+    if n_chunks * hop > Tp:
+        y_ext = jnp.pad(y_ext, ((0, 0), (0, n_chunks * hop - Tp)))
+    chunks = y_ext[:, : n_chunks * hop].reshape(B, n_chunks, hop)
+    frames = jnp.concatenate(
+        [chunks[:, j : j + n_frames_max] for j in range(k)], axis=-1
+    )[:, :, :n_fft]
 
     # fused Pallas path: window + DFT + magnitude + mel + log in one VMEM-
     # resident kernel (ops/fbank_pallas.py); see batched_features for gating.
