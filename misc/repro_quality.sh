@@ -18,6 +18,7 @@
 set -euo pipefail
 
 WORKDIR="${1:-$(mktemp -d)}"
+mkdir -p "$WORKDIR"
 REPO="$(cd "$(dirname "${BASH_SOURCE[0]}")/.." && pwd)"
 PLATFORM="${PLATFORM:-}"
 RUN=(python -m pytorch_scalablefhvae_tpu.cli.main)

@@ -75,6 +75,47 @@ def test_gradients_ragged_batch():
                                atol=2e-5, rtol=2e-5)
 
 
+def test_mesh_sharded_step_equivalence():
+    """FHVAE mesh training with the Pallas recurrence == the scan path.
+
+    The kernel sits inside a GSPMD-partitioned program on real multichip
+    runs; this pins that composition (and its numerics) on the virtual
+    (4, 2) mesh."""
+    from pytorch_scalablefhvae_tpu.models import FHVAE
+    from pytorch_scalablefhvae_tpu.parallel.mesh import make_mesh
+    from pytorch_scalablefhvae_tpu.parallel.sharded_step import (
+        make_sharded_train_step,
+    )
+    from pytorch_scalablefhvae_tpu.train.step import (
+        create_train_state,
+        make_optimizer,
+    )
+
+    mesh = make_mesh((4, 2))
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((16, 6, 12)).astype(np.float32)
+    seq = rng.integers(0, 12, (16,)).astype(np.int32)
+    ns = np.full((16,), 5.0, np.float32)
+    wt = np.ones((16,), np.float32)
+    losses, params = [], []
+    for lp in ["always", "never"]:
+        model = FHVAE(input_size=6 * 12, num_seqs=12, feat_dim=12,
+                      z1_hus=(8, 8), z2_hus=(8, 8), x_hus=(8, 8),
+                      z1_dim=4, z2_dim=4, lstm_pallas=lp,
+                      num_seqs_padded=12, shard_mesh=mesh)
+        opt = make_optimizer(1e-3, 0.95, 0.999)
+        state = create_train_state(model, opt, seed=0)
+        step = make_sharded_train_step(model, opt, 10.0, mesh)
+        state, m = step(state, feats, seq, ns, wt)
+        state, m = step(state, feats, seq, ns, wt)
+        losses.append(float(np.asarray(m["loss"])))
+        params.append(state.params)
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(params[0]), jax.tree.leaves(params[1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+
+
 def test_compute_dtype_projection():
     """cdt=bfloat16 only affects the hoisted input projection; recurrence is
     fp32 in the kernel (vs per-step casts in the scan path), so outputs agree
