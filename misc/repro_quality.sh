@@ -10,8 +10,12 @@
 #
 # Expected outcome (seed 0): dev lower bound improves monotonically from
 # about -2325 (epoch 0) toward -2030 (epoch 29), and the dev speaker probe
-# reports z2 accuracy 1.00 (4 speakers, chance 0.25) with z1 well below it —
-# the FHVAE disentanglement signature.
+# reports z2 accuracy 1.00 (4 speakers, chance 0.25). On this synthetic
+# corpus the z1 probe also saturates (speaker identity leaks into segment
+# content by construction); the per-term ELBO split — neg_kld_z2 shrinking
+# toward 0 while z2 stays perfectly predictive — is the disentanglement
+# signal here. The committed run (2026-08-16, one v5e chip, Pallas LSTM
+# recurrence active) is misc/repro_quality_metrics.jsonl.
 #
 # Usage:  bash misc/repro_quality.sh [WORKDIR]
 #         PLATFORM=cpu bash misc/repro_quality.sh   # force CPU
