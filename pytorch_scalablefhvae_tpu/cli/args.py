@@ -37,6 +37,10 @@ def add_common_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--mels", type=int, default=80, help="Number of filter banks")
     p.add_argument("--extractor", type=str, default="numpy", choices=["numpy", "jax"],
                    help="Feature extractor backend: host numpy or batched on-accelerator JAX")
+    p.add_argument("--fbank-pallas", type=str, default="auto",
+                   choices=["never", "always", "auto"],
+                   help="Fused Pallas log-mel kernel in the jax extractor "
+                        "(auto = on TPU backends)")
     p.add_argument("--fbank-conf", type=str, default="./misc/fbank.conf",
                    help="Path to the fbank.conf used by the kaldi-semantics extractor")
     p.add_argument("--kaldi-root", type=str, default="./kaldi/",
@@ -183,6 +187,7 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
         features=FeatureConfig(
             feat_type=args.feat_type,
             extractor=getattr(args, "extractor", "numpy"),
+            fbank_pallas=getattr(args, "fbank_pallas", "auto"),
             data_format=args.data_format,
             sample_rate=args.sample_rate,
             win_t=args.win_size,

@@ -38,6 +38,9 @@ class FeatureConfig:
     mel_norm: str = "slaney"
     log_floor_spec: float = -50.0
     log_floor_mel: float = -20.0
+    # fused Pallas log-mel kernel in the jax extractor (ops/fbank_pallas.py):
+    # "never" | "always" | "auto" (= on TPU backends)
+    fbank_pallas: str = "auto"
     # kaldi-semantics path (native backend; misc/fbank.conf parity)
     dither: float = 1.0
     remove_dc_offset: bool = True

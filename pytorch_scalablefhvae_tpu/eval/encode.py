@@ -186,7 +186,8 @@ def encode_audio(
                                 preemphasis=fcfg.preemphasis,
                                 mel_norm=fcfg.mel_norm,
                                 log_floor_mel=fcfg.log_floor_mel,
-                                log_floor_spec=fcfg.log_floor_spec)
+                                log_floor_spec=fcfg.log_floor_spec,
+                                use_pallas=getattr(fcfg, "fbank_pallas", "auto"))
     else:
         raw = {k: _featurize(y, locked_sr, fcfg) for k, y in signals.items()}
 

@@ -56,7 +56,9 @@ def preprocess_data(
         if fcfg.data_format == "numpy":
             prep = prepare_jax if fcfg.extractor == "jax" else prepare_numpy
             worker_kw = (
-                {} if fcfg.extractor == "jax"  # accelerator-batched already
+                # accelerator-batched already; route the fused-kernel choice
+                {"use_pallas": getattr(fcfg, "fbank_pallas", "auto")}
+                if fcfg.extractor == "jax"
                 else {"num_workers": fcfg.num_workers}
             )
             _, (wav_pth, feat_pth, len_pth) = prep(

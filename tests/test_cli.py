@@ -113,6 +113,7 @@ class TestConfigFlagCompleteness:
             ("features", "feat_type"): (["--feat-type", "spec"], "spec"),
             ("features", "data_format"): (["--data-format", "kaldi"], "kaldi"),
             ("features", "extractor"): (["--extractor", "jax"], "jax"),
+            ("features", "fbank_pallas"): (["--fbank-pallas", "never"], "never"),
             ("features", "sample_rate"): (["--sample-rate", "8000"], 8000),
             ("features", "win_t"): (["--win-size", "0.02"], 0.02),
             ("features", "hop_t"): (["--hop-size", "0.005"], 0.005),
