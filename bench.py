@@ -293,7 +293,10 @@ def bench_fbank_mframes(use_pallas: str, n_frames: int = 6400,
                 out = fused_logmel_frames(f, w, C, S, fb.T)
             else:
                 out = logmel_frames_reference(f, w, C, S, fb.T)
-            return jnp.sum(out[:1, :1]), ()
+            # sum the FULL output: a [:1,:1] slice would let the algebraic
+            # simplifier narrow the jnp chain to ~1 frame of work while the
+            # opaque Pallas call always computes all frames
+            return jnp.sum(out), ()
         s, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
         return s
 

@@ -54,8 +54,10 @@ def golden_signal(n=400):
 def librosa_constants(y):
     import librosa
 
-    # reference AudioUtils.to_melspec (utils.py:225-272)
-    pre = np.append(y[0] - 0.97 * y[0], y[1:] - 0.97 * y[:-1])
+    # reference AudioUtils.to_melspec (utils.py:225-272); pre-emphasis per
+    # utils.py:182 — y[t] - 0.97*y[t-1] with the FIRST sample unscaled
+    # (y - p*concat([[0], y[:-1]])), matching features/dsp_numpy.preemphasize
+    pre = y - 0.97 * np.concatenate([[0.0], y[:-1]])
     spec = np.abs(librosa.stft(pre, n_fft=N_FFT, hop_length=HOP,
                                win_length=N_FFT, window="hamming"))
     mel_fb = librosa.filters.mel(sr=SR, n_fft=N_FFT, n_mels=N_MELS_LIBROSA,

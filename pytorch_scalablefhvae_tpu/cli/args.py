@@ -115,6 +115,11 @@ def add_train_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--use-pallas", type=str, default="auto",
                    choices=["auto", "never", "always"],
                    help="Streaming Pallas discriminative softmax selection")
+    p.add_argument("--lstm-pallas", type=str, default="auto",
+                   choices=["auto", "never", "always"],
+                   help="Fused Pallas LSTM recurrence (fhvae); never = lax.scan")
+    p.add_argument("--scan-unroll", type=int, default=20,
+                   help="lax.scan unroll for the scan-path LSTM recurrences")
     p.add_argument("--device", type=str, default="tpu",
                    help="Accepted for parity; JAX selects the platform")
     p.add_argument("--seed", type=int, default=0, help="PRNG seed")
@@ -224,6 +229,8 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
             pz2_std=getattr(args, "pz2_std", 0.5),
             mu2_init_std=getattr(args, "mu2_init_std", 1.0),
             use_pallas=getattr(args, "use_pallas", "auto"),
+            lstm_pallas=getattr(args, "lstm_pallas", "auto"),
+            scan_unroll=getattr(args, "scan_unroll", 20),
         ),
         optim=OptimConfig(
             learning_rate=getattr(args, "learning_rate", 1e-3),

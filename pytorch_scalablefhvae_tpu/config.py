@@ -115,6 +115,12 @@ class ModelConfig:
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
     # streaming Pallas discriminative softmax: "auto" | "never" | "always"
     use_pallas: str = "auto"
+    # fused Pallas LSTM recurrence (ops/lstm_pallas.py), fhvae only;
+    # "never" falls back to the lax.scan path
+    lstm_pallas: str = "auto"
+    # lax.scan unroll for the scan-path LSTM recurrences (fhvae only);
+    # the default fully unrolls the reference's 20-frame segments
+    scan_unroll: int = 20
 
 
 @dataclass(frozen=True)

@@ -66,11 +66,16 @@ def _numpy_worker(job):
     """Pool worker: decode + featurize + save one utterance.
 
     Top-level (picklable); returns (seq, npy_path, n_frames, sr) so the
-    parent writes manifests in order and enforces sample-rate consistency.
+    parent writes manifests in order. ``expect_sr`` is the split's locked
+    sample rate (established by the parent from the first utterance):
+    mismatches raise BEFORE featurizing/saving, matching the sequential
+    path's behavior — no wrong-rate ``.npy`` ever reaches disk.
     """
-    seq, path, np_path, ftype, sample_rate, win_t, hop_t, n_mels, kw = job
+    seq, path, np_path, ftype, sample_rate, expect_sr, win_t, hop_t, n_mels, kw = job
     y, sr = read_audio(path, sample_rate)
-    feat = generate_feat(ftype, y, sample_rate or sr, win_t, hop_t, n_mels, **kw)
+    if expect_sr is not None and sr != expect_sr:
+        raise ValueError(f"Inconsistent sample rate ({expect_sr} != {sr}).")
+    feat = generate_feat(ftype, y, sr, win_t, hop_t, n_mels, **kw)
     with open(np_path, "wb") as nf:
         np.save(nf, feat)
     return seq, np_path, len(feat), sr
@@ -112,27 +117,35 @@ def prepare_numpy(
     count = 0
     locked_sr = sample_rate
     entries = read_scp(wav_path).items()
-    if num_workers and num_workers > 1:
+    entries = list(entries)
+    if num_workers and num_workers > 1 and entries:
         import multiprocessing as mp
 
-        jobs = [
-            (seq, path, set_path / f"{seq}.npy", ftype, sample_rate,
-             win_t, hop_t, n_mels, feat_kwargs)
-            for seq, path in entries
-        ]
-        with mp.Pool(num_workers) as pool, \
-                open(feat_path, "w") as ff, open(len_path, "w") as lf:
-            # imap preserves manifest order
-            for seq, np_path, n_frames, sr in pool.imap(
-                    _numpy_worker, jobs, chunksize=8):
-                if locked_sr is None:
-                    locked_sr = sr
-                elif locked_sr != sr:
-                    raise ValueError(
-                        f"Inconsistent sample rate ({locked_sr} != {sr}).")
-                ff.write(f"{seq} {np_path}\n")
-                lf.write(f"{seq} {n_frames}\n")
-                count += 1
+        with open(feat_path, "w") as ff, open(len_path, "w") as lf:
+            # first utterance runs in-process to LOCK the split's sample
+            # rate before any worker featurizes (the sequential path's
+            # raise-before-compute semantics)
+            seq, np_path, n_frames, sr = _numpy_worker(
+                (entries[0][0], entries[0][1],
+                 set_path / f"{entries[0][0]}.npy", ftype, sample_rate,
+                 locked_sr, win_t, hop_t, n_mels, feat_kwargs))
+            if locked_sr is None:
+                locked_sr = sr
+            ff.write(f"{seq} {np_path}\n")
+            lf.write(f"{seq} {n_frames}\n")
+            count += 1
+            jobs = [
+                (seq, path, set_path / f"{seq}.npy", ftype, sample_rate,
+                 locked_sr, win_t, hop_t, n_mels, feat_kwargs)
+                for seq, path in entries[1:]
+            ]
+            with mp.Pool(num_workers) as pool:
+                # imap preserves manifest order
+                for seq, np_path, n_frames, sr in pool.imap(
+                        _numpy_worker, jobs, chunksize=8):
+                    ff.write(f"{seq} {np_path}\n")
+                    lf.write(f"{seq} {n_frames}\n")
+                    count += 1
     else:
         with open(feat_path, "w") as ff, open(len_path, "w") as lf:
             for seq, path in entries:

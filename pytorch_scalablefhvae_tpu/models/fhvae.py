@@ -168,7 +168,7 @@ def run_lstm(
         return lstm2_pallas(p, xs, cdt,
                             interpret=jax.default_backend() != "tpu")
     if two_layer:
-        return run_lstm_wavefront2(p, xs, cdt, unroll=True)
+        return run_lstm_wavefront2(p, xs, cdt, unroll=unroll)
     B, T, _ = xs.shape
     if not isinstance(unroll, bool):
         unroll = max(1, min(int(unroll), T))
@@ -255,6 +255,7 @@ class FHVAE:
             compute_dtype=cfg.compute_dtype,
             use_pallas=getattr(cfg, "use_pallas", "auto"),
             lstm_pallas=getattr(cfg, "lstm_pallas", "auto"),
+            scan_unroll=getattr(cfg, "scan_unroll", 20),
             feat_dim=feat_dim,
         )
 

@@ -18,9 +18,9 @@ targets for the reference front-end (reference utils.py:185-268 `_melspec`,
 prepare_numpy_data.py): numerics match features/dsp_jax.py (librosa
 semantics) to float32 round-off, asserted by tests/test_fbank_pallas.py.
 
-Inference-only: feature extraction is never differentiated, so the VJP is
-defined as identically zero (a constant-feature op) rather than implementing
-a backward kernel.
+Inference-only: feature extraction is never differentiated, so no backward
+kernel is implemented; differentiating through this op raises (rather than
+silently returning zero gradients only on the Pallas-gated path).
 """
 
 from __future__ import annotations
@@ -134,8 +134,15 @@ def _fused_fwd(frames, window, cos_basis, sin_basis, mel_fb_t,
 
 
 def _fused_bwd(log_floor, interpret, res, g):
-    # inference-only op: features are constants w.r.t. any trained parameter
-    return tuple(jnp.zeros_like(a) for a in res)
+    # inference-only op: no backward kernel is implemented, and silently
+    # returning zeros would make a differentiated feature chain train
+    # correctly on the jnp path but not on the Pallas path — fail loudly
+    # at trace time instead (use use_pallas="never" to differentiate)
+    raise NotImplementedError(
+        "fused_logmel_frames is inference-only: it has no backward kernel. "
+        "Differentiating through feature extraction requires the jnp chain "
+        "(use_pallas='never')."
+    )
 
 
 _fused_logmel.defvjp(_fused_fwd, _fused_bwd)

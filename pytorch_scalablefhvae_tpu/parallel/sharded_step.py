@@ -91,22 +91,16 @@ def make_sharded_train_step(model, optimizer, alpha: float, mesh: Mesh, donate: 
 def make_sharded_eval_step(model, alpha: float, mesh: Mesh):
     """Mesh-compiled eval step (posterior-mean pass, weighted metric sums).
 
-    Same contract as ``train.step.make_eval_step(with_table_override=True)``:
-    the extra trailing argument is the split's MAP-estimated mu2 table, which
-    stays replicated (it is O(split sequences), tiny next to the training
-    table). Batch arrays shard over "data" so the two per-epoch dev passes
-    scale with the mesh (SURVEY §3.1 eval phase at scale).
+    Same contract as ``train.step.make_eval_step(with_table_override=True)``
+    — literally the same body (train.step.eval_step_fn), jitted here with
+    mesh shardings: the extra trailing argument is the split's MAP-estimated
+    mu2 table, which stays replicated (it is O(split sequences), tiny next
+    to the training table). Batch arrays shard over "data" so the two
+    per-epoch dev passes scale with the mesh (SURVEY §3.1 eval at scale).
     """
+    from pytorch_scalablefhvae_tpu.train.step import eval_step_fn
 
-    def step_fn(params, feats, seq_idx, nsegs, weight, key, table):
-        out = model.apply(params, feats, seq_idx, nsegs, key, sample=False,
-                          mu2_table=table)
-        loss, metrics = loss_from_outputs(out, weight, alpha)
-        n = jnp.sum(weight)
-        sums = {k: v * n for k, v in metrics.items()}
-        sums["count"] = n
-        return sums
-
+    step_fn = eval_step_fn(model, alpha)
     compiled = {}
 
     def step(params, feats, seq_idx, nsegs, weight, key, table):
@@ -129,14 +123,12 @@ def make_sharded_encode_step(model, mesh: Mesh):
     """Mesh-compiled encoder pass -> z2 posterior means, batch-sharded.
 
     Used by the MAP mu2 estimation passes (dev eval + hierarchical round
-    init), which previously ran unsharded on one device under a mesh.
+    init), which previously ran unsharded on one device under a mesh. The
+    body is train.step.encode_step_fn, jitted here with mesh shardings.
     """
+    from pytorch_scalablefhvae_tpu.train.step import encode_step_fn
 
-    def step_fn(params, feats):
-        enc = model.encode(params, feats.astype(jnp.float32),
-                           jax.random.PRNGKey(0), sample=False)
-        return enc["z2_mu"]
-
+    step_fn = encode_step_fn(model)
     compiled = {}
 
     def step(params, feats):

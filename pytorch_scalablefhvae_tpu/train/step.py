@@ -116,6 +116,37 @@ def make_multi_train_step(model, optimizer, alpha: float, donate: bool = True):
     return jax.jit(multi_fn, donate_argnums=donate_argnums)
 
 
+def eval_step_fn(model, alpha: float):
+    """Un-jitted eval step body: posterior-mean forward pass, weighted metric
+    sums + row count. The ONE definition of the eval contract — the
+    single-device wrapper below and the mesh-compiled wrapper
+    (parallel/sharded_step.make_sharded_eval_step) both jit exactly this, so
+    the two cannot drift."""
+
+    def step_fn(params, feats, seq_idx, nsegs, weight, key, table=None):
+        out = model.apply(params, feats, seq_idx, nsegs, key, sample=False,
+                          mu2_table=table)
+        loss, metrics = loss_from_outputs(out, weight, alpha)
+        n = jnp.sum(weight)
+        sums = {k: v * n for k, v in metrics.items()}
+        sums["count"] = n
+        return sums
+
+    return step_fn
+
+
+def encode_step_fn(model):
+    """Un-jitted encoder-only body -> z2 posterior means; shared by the
+    single-device and mesh-compiled wrappers like :func:`eval_step_fn`."""
+
+    def step_fn(params, feats):
+        enc = model.encode(params, feats.astype(jnp.float32), jax.random.PRNGKey(0),
+                           sample=False)
+        return enc["z2_mu"]
+
+    return step_fn
+
+
 def make_eval_step(model, alpha: float, with_table_override: bool = False):
     """Jitted eval step: posterior-mean forward pass, no parameter update.
 
@@ -127,16 +158,7 @@ def make_eval_step(model, alpha: float, with_table_override: bool = False):
     — used to evaluate held-out splits against their MAP-estimated tables
     (the learned table only covers training sequences).
     """
-
-    def step_fn(params, feats, seq_idx, nsegs, weight, key, table=None):
-        out = model.apply(params, feats, seq_idx, nsegs, key, sample=False,
-                          mu2_table=table)
-        loss, metrics = loss_from_outputs(out, weight, alpha)
-        n = jnp.sum(weight)
-        sums = {k: v * n for k, v in metrics.items()}
-        sums["count"] = n
-        return sums
-
+    step_fn = eval_step_fn(model, alpha)
     if with_table_override:
         return jax.jit(step_fn)
     return jax.jit(lambda params, feats, seq_idx, nsegs, weight, key: step_fn(
@@ -147,13 +169,7 @@ def make_eval_step(model, alpha: float, with_table_override: bool = False):
 def make_encode_step(model):
     """Jitted encoder-only pass returning z2 posterior means — the cheap
     first pass of mu2 MAP estimation (utils.py:45-60 intent)."""
-
-    def step_fn(params, feats):
-        enc = model.encode(params, feats.astype(jnp.float32), jax.random.PRNGKey(0),
-                           sample=False)
-        return enc["z2_mu"]
-
-    return jax.jit(step_fn)
+    return jax.jit(encode_step_fn(model))
 
 
 def make_latent_step(model):

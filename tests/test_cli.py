@@ -166,6 +166,8 @@ class TestConfigFlagCompleteness:
             ("train", "profile_epoch"): (["--profile-epoch", "0"], 0),
             ("train", "tensorboard"): (["--tensorboard"], True),
             ("train", "plot_curves"): (["--visdom"], True),
+            ("model", "lstm_pallas"): (["--lstm-pallas", "never"], "never"),
+            ("model", "scan_unroll"): (["--scan-unroll", "4"], 4),
             ("train", "tb_log_dir"): (["--tb-log-dir", "/tb"], "/tb"),
             ("train", "log_params"): (["--log-params"], True),
             ("train", "steps_per_dispatch"): (["--steps-per-dispatch", "4"], 4),

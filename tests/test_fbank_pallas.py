@@ -69,13 +69,14 @@ def test_batched_features_pallas_matches_jnp(rng):
         assert np.all(np.asarray(got)[b, int(nf[b]):] == 0.0)
 
 
-def test_gradients_blocked(rng):
-    """Extraction is inference-only: the kernel is behind stop_gradient."""
+def test_gradients_raise(rng):
+    """Extraction is inference-only: differentiation fails loudly (a silent
+    zero-grad VJP would train correctly on the jnp path but not here)."""
     w, C, S, fb_t = _setup()
     frames = jnp.asarray(rng.standard_normal((8, 400)), jnp.float32)
 
     def loss(fr):
         return jnp.sum(fused_logmel_frames(fr, w, C, S, fb_t, interpret=True))
 
-    g = jax.grad(loss)(frames)
-    np.testing.assert_allclose(np.asarray(g), 0.0)
+    with pytest.raises(NotImplementedError, match="inference-only"):
+        jax.grad(loss)(frames)
