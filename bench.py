@@ -41,7 +41,9 @@ def make_batches(rng, n=8):
 def bench_jax(num_seqs: int = NUM_SEQS, use_pallas: str = "never", steps: int = STEPS,
               model_type: str = "simple_fhvae", k_dispatch: int = 64,
               lstm_pallas: str = "auto",
-              compute_dtype: str = "float32") -> float:
+              compute_dtype: str = "float32",
+              batch: int | None = None) -> float:
+    BATCH = batch if batch is not None else globals()["BATCH"]
     import jax
 
     from pytorch_scalablefhvae_tpu.models import FHVAE, SimpleFHVAE
@@ -544,6 +546,13 @@ def main() -> None:
             extras["fhvae_lstm_k64_bf16_sps"] = round(
                 bench_jax(steps=128, model_type="fhvae", k_dispatch=64,
                           compute_dtype="bfloat16"), 1
+            )
+            # batch-scaling lever: the Pallas recurrence is chain-latency
+            # bound, so a larger batch does more work per chain step (the
+            # scan path measured flat here)
+            extras["fhvae_lstm_b1024_k64_sps"] = round(
+                bench_jax(steps=128, model_type="fhvae", k_dispatch=64,
+                          batch=1024), 1
             )
             extras.update(roofline_fields(
                 max(extras["fhvae_lstm_sps"], extras["fhvae_lstm_k64_sps"]),
