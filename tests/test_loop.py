@@ -65,6 +65,19 @@ class TestEndToEnd:
         assert list(exp_dir.glob("best_model_*.npz"))
         assert (exp_dir / "metrics.jsonl").exists()
 
+    def test_plot_curves_written(self, corpus, tmp_path):
+        """--visdom counterpart: curves.svg lands in the experiment dir and
+        carries the reference logger's four series (train/plots.py)."""
+        cfg = small_config(tmp_path, plot_curves=True)
+        train_from_config(cfg, data_root=corpus, exp_root=tmp_path / "exp",
+                          is_preprocessed=True, verbose=False)
+        svg = cfg.exp_dir(tmp_path / "exp") / "curves.svg"
+        assert svg.exists()
+        body = svg.read_text()
+        for label in ("Training Loss", "Validation Loss", "Lower Bound",
+                      "Discriminative Loss"):
+            assert label in body
+
     def test_hierarchical_sampling_runs(self, corpus, tmp_path):
         cfg = small_config(tmp_path, sample_hierarchical=True,
                            num_hierarchical_sequences=3)
