@@ -311,6 +311,85 @@ def bench_fbank_mframes(use_pallas: str, n_frames: int = 6400,
     return n_frames / best / 1e6
 
 
+def bench_hier_round(hier_k: int = 2000, frames: int = 60,
+                     k_dispatch: int = 32) -> dict:
+    """Hierarchical-round cost structure at LibriSpeech-960 scale.
+
+    With hierarchical sampling (BASELINE config 4) the per-step cost is
+    corpus-size-independent — the model's mu2 table is O(K) rows regardless
+    of the 281k-sequence corpus — so the scale question is the ROUND
+    TURNOVER: the MAP-init encode pass over the round's K sequences plus the
+    table swap/moment reset, amortized against the round's training epoch.
+    Returns {"hier_round_init_s", "hier_round_train_s",
+    "hier_round_overhead_pct"} measured with the real loop machinery
+    (estimate_split_mu2 + the K-bundled train path) on a K-sequence subset;
+    both phases scale linearly in the subset's segment count, so the
+    overhead percentage transfers to the full K=5000 configuration.
+    """
+    import jax
+
+    from pytorch_scalablefhvae_tpu.data.feature_store import FeatureStore
+    from pytorch_scalablefhvae_tpu.data.loader import SegmentLoader, stack_prefetch
+    from pytorch_scalablefhvae_tpu.data.segments import SegmentDataset
+    from pytorch_scalablefhvae_tpu.models import SimpleFHVAE
+    from pytorch_scalablefhvae_tpu.train.loop import estimate_split_mu2
+    from pytorch_scalablefhvae_tpu.train.step import (
+        create_train_state,
+        make_encode_step,
+        make_multi_train_step,
+        make_optimizer,
+    )
+
+    rng = np.random.default_rng(0)
+    store = FeatureStore.from_arrays({
+        f"s{i}": rng.standard_normal((frames, N_MELS)).astype(np.float32)
+        for i in range(hier_k)
+    })
+    ds = SegmentDataset(store, seg_len=SEG_LEN, seg_shift=8)
+    model = SimpleFHVAE(input_size=SEG_LEN * N_MELS, num_seqs=hier_k)
+    optimizer = make_optimizer(1e-3, 0.95, 0.999)
+    state = create_train_state(model, optimizer, seed=0)
+    encode_step = make_encode_step(model)
+    mstep = make_multi_train_step(model, optimizer, ALPHA, donate=False)
+
+    est_loader = SegmentLoader(ds, BATCH, shuffle=False, seed=0)
+    pz2_var = 0.25
+
+    def map_init():
+        return estimate_split_mu2(encode_step, state.params, est_loader,
+                                  hier_k, pz2_var, z2_dim=16)
+
+    table = map_init()  # compile
+    t0 = time.perf_counter()
+    table = map_init()
+    init_s = time.perf_counter() - t0
+
+    train_loader = SegmentLoader(ds, BATCH, shuffle=True, seed=0)
+    train_loader.set_epoch(1)
+
+    def epoch(state):
+        m = None
+        for item in stack_prefetch(iter(train_loader), k_dispatch):
+            if item[0] == "stack":
+                _, arrs, _counts = item
+                state, m = mstep(state, *arrs)
+            else:
+                break  # tail batches: negligible, skip for timing
+        assert m is not None, "hier-round bench needs >= one full K stack"
+        float(np.asarray(m["loss"]).ravel()[-1])
+        return state
+
+    state = epoch(state)  # compile
+    t0 = time.perf_counter()
+    state = epoch(state)
+    train_s = time.perf_counter() - t0
+    return {
+        "hier_round_init_s": round(init_s, 3),
+        "hier_round_train_s": round(train_s, 3),
+        "hier_round_overhead_pct": round(100.0 * init_s / (init_s + train_s), 1),
+    }
+
+
 def bench_input_link_MBps(mbytes: int = 32) -> float:
     """Measured host->device transfer bandwidth (MB/s). Contextualizes the
     end-to-end numbers: on a tunneled single-chip rig this is the binding
@@ -588,6 +667,10 @@ def main() -> None:
                 bench_fbank_mframes("always"), 1)
         except Exception as e:
             print(f"# fbank bench failed: {e}")
+        try:
+            extras.update(bench_hier_round())
+        except Exception as e:
+            print(f"# hier-round bench failed: {e}")
 
     def sig2(x: float) -> float:
         """2 significant figures: the torch-CPU baseline swings ~±40%

@@ -16,6 +16,7 @@ from pathlib import Path
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from pytorch_scalablefhvae_tpu.config import ExperimentConfig
@@ -98,6 +99,10 @@ def evaluate_split(
     return {k: v / count for k, v in totals.items()}
 
 
+# loader batches concatenated per encode dispatch in estimate_split_mu2
+_ENCODE_GROUP = 16
+
+
 def estimate_split_mu2(
     encode_step, params, loader: SegmentLoader, num_seqs: int,
     pz2_var: float, pmu2_var: float = 1.0, z2_dim: int | None = None,
@@ -106,16 +111,55 @@ def estimate_split_mu2(
 
     ``mu2[y] = sum(z2_mu of y's segments) / (nsegs(y) + pz2_var/pmu2_var)``
     (the closed-form posterior mean; utils.py:58-59 intent).
+
+    Dispatch economics: per-dispatch overhead dominates this pass (the
+    encode compute per batch is tiny), so full-size batches are
+    concatenated into super-batches of up to ``_ENCODE_GROUP`` before
+    dispatch — 16x fewer dispatches — and every result is fetched only
+    after all dispatches are queued. Ragged tail batches dispatch alone, so
+    at most two program shapes compile and mesh-sharded encode steps keep
+    their batch-divisibility guarantee (any multiple of a divisible batch
+    size divides too). Accumulation stays host-side fp64 — bit-identical to
+    the original per-batch formulation (bench.bench_hier_round measures the
+    round-turnover cost this bounds).
     """
+    pending = []
+    group: list = []
+
+    def flush_group():
+        if not group:
+            return
+        if len(group) == 1:
+            b = group[0]
+            feats, seq, w = b.feats, b.seq_idx, b.weight
+        else:
+            feats = np.concatenate([b.feats for b in group])
+            seq = np.concatenate([b.seq_idx for b in group])
+            w = np.concatenate([b.weight for b in group])
+        pending.append((encode_step(params, feats), seq, w))
+        group.clear()
+
+    full_b = None
+    for b in loader:
+        if full_b is None:
+            full_b = len(b.weight)
+        if len(b.weight) != full_b:  # ragged tail: dispatch alone
+            flush_group()
+            pending.append((encode_step(params, b.feats), b.seq_idx, b.weight))
+            continue
+        group.append(b)
+        if len(group) >= _ENCODE_GROUP:
+            flush_group()
+    flush_group()
     sums = None
     counts = np.zeros(num_seqs, dtype=np.float64)
-    for b in loader:
-        z2 = np.asarray(encode_step(params, b.feats))
+    for z2_dev, seq_idx, weight in pending:
+        z2 = np.asarray(z2_dev)
         if sums is None:
             sums = np.zeros((num_seqs, z2.shape[1]), dtype=np.float64)
-        real = b.weight > 0
-        np.add.at(sums, b.seq_idx[real], z2[real])
-        np.add.at(counts, b.seq_idx[real], 1.0)
+        real = weight > 0
+        np.add.at(sums, seq_idx[real], z2[real])
+        np.add.at(counts, seq_idx[real], 1.0)
     if sums is None:
         sums = np.zeros((num_seqs, z2_dim or 1), dtype=np.float64)
     r = pz2_var / pmu2_var
