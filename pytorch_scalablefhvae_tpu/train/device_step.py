@@ -157,3 +157,123 @@ def make_device_train_step(
                               nsegs_tab, base, n_real)
 
     return step
+
+
+def make_device_eval_pass(model, alpha: float, seg_len: int, batch_size: int,
+                          n_batches: int, mesh=None, shard_store: bool = False):
+    """Whole-split evaluation as ONE dispatched program over the staged store.
+
+    The per-epoch dev evaluation otherwise re-ships the entire dev split over
+    the host link every epoch (two passes: MAP encode + scoring). This scans
+    all ``n_batches`` eval batches inside one compiled program, gathering
+    segments from HBM, and returns per-batch weighted metric sums stacked
+    ``[n_batches]`` (plus "count") — the host reduces them in float64,
+    matching train.loop.evaluate_split's accumulation semantics exactly.
+
+    Eval is deterministic (``sample=False``), so no key is threaded.
+    """
+    gather = _make_gather(seg_len, mesh, shard_store)
+    B = batch_size
+    data_sh = (NamedSharding(mesh, P("data")) if mesh is not None else None)
+
+    def pass_fn(params, store, seq_idx_all, starts_all, nsegs_tab,
+                n_real, table):
+        def body(carry, b_i):
+            off = b_i * B
+            seq_idx = jax.lax.dynamic_slice_in_dim(seq_idx_all, off, B)
+            starts = jax.lax.dynamic_slice_in_dim(starts_all, off, B)
+            weight = ((off + jnp.arange(B, dtype=jnp.int32)) < n_real).astype(
+                jnp.float32
+            )
+            if data_sh is not None:
+                seq_idx = jax.lax.with_sharding_constraint(seq_idx, data_sh)
+                starts = jax.lax.with_sharding_constraint(starts, data_sh)
+                weight = jax.lax.with_sharding_constraint(weight, data_sh)
+            feats = gather(store, starts).astype(jnp.float32)
+            nsegs = jnp.take(nsegs_tab, seq_idx, axis=0, mode="clip")
+            if data_sh is not None:
+                nsegs = jax.lax.with_sharding_constraint(nsegs, data_sh)
+            out = model.apply(params, feats, seq_idx, nsegs,
+                              jax.random.PRNGKey(0), sample=False,
+                              mu2_table=table)
+            from pytorch_scalablefhvae_tpu.models.base import loss_from_outputs
+
+            _loss, metrics = loss_from_outputs(out, weight, alpha)
+            n = jnp.sum(weight)
+            sums = {k: v * n for k, v in metrics.items()}
+            sums["count"] = n
+            return carry, sums
+
+        _, stacked = jax.lax.scan(body, None,
+                                  jnp.arange(n_batches, dtype=jnp.int32))
+        return stacked
+
+    if mesh is None:
+        return jax.jit(pass_fn)
+
+    repl = NamedSharding(mesh, P())
+    store_sh = (NamedSharding(mesh, P("model", None)) if shard_store else repl)
+    from pytorch_scalablefhvae_tpu.parallel.mesh import params_shardings
+
+    compiled = {}
+
+    def run(params, store, seq_idx_all, starts_all, nsegs_tab, n_real, table):
+        if not compiled:
+            p_sh = params_shardings(mesh, params)
+            compiled["fn"] = jax.jit(
+                pass_fn,
+                in_shardings=(p_sh, store_sh, repl, repl, repl, repl, repl),
+                out_shardings=None,
+            )
+        return compiled["fn"](params, store, seq_idx_all, starts_all,
+                              nsegs_tab, n_real, table)
+
+    return run
+
+
+def make_device_encode_pass(model, seg_len: int, batch_size: int,
+                            n_batches: int, mesh=None,
+                            shard_store: bool = False):
+    """Whole-split encoder pass (z2 posterior means) as one dispatch.
+
+    Returns ``z2_mu`` stacked ``[n_batches, B, z2_dim]``; the host runs the
+    same fp64 MAP accumulation as the host-loader path (estimate_split_mu2),
+    so the resulting tables are bit-identical.
+    """
+    gather = _make_gather(seg_len, mesh, shard_store)
+    B = batch_size
+    data_sh = (NamedSharding(mesh, P("data")) if mesh is not None else None)
+
+    def pass_fn(params, store, starts_all):
+        def body(carry, b_i):
+            starts = jax.lax.dynamic_slice_in_dim(starts_all, b_i * B, B)
+            if data_sh is not None:
+                starts = jax.lax.with_sharding_constraint(starts, data_sh)
+            feats = gather(store, starts).astype(jnp.float32)
+            enc = model.encode(params, feats, jax.random.PRNGKey(0),
+                               sample=False)
+            return carry, enc["z2_mu"]
+
+        _, z2 = jax.lax.scan(body, None,
+                             jnp.arange(n_batches, dtype=jnp.int32))
+        return z2
+
+    if mesh is None:
+        return jax.jit(pass_fn)
+
+    repl = NamedSharding(mesh, P())
+    store_sh = (NamedSharding(mesh, P("model", None)) if shard_store else repl)
+    from pytorch_scalablefhvae_tpu.parallel.mesh import params_shardings
+
+    compiled = {}
+
+    def run(params, store, starts_all):
+        if not compiled:
+            p_sh = params_shardings(mesh, params)
+            compiled["fn"] = jax.jit(
+                pass_fn, in_shardings=(p_sh, store_sh, repl),
+                out_shardings=None,
+            )
+        return compiled["fn"](params, store, starts_all)
+
+    return run

@@ -358,7 +358,78 @@ def run_training(
         encode_step = make_encode_step(model)
     pz2_var = float(np.exp(model.pz2_logvar))
 
+    # device-resident dev evaluation: when the training data is staged on
+    # device, stage the dev split too (ONCE — its plan is epoch-invariant)
+    # and run both per-epoch passes (MAP encode + scoring) as one dispatched
+    # program each, instead of re-shipping the whole dev split every epoch.
+    dev_device = None
+    if use_device_data and resolve_data_placement(
+        config.data.data_placement, dev_loader.dataset.store, mesh,
+        shard_store=config.data.shard_device_store,
+        max_bytes=config.data.device_store_max_bytes,
+        legacy=config.train.legacy,
+        store_dtype=config.data.transfer_dtype,
+    ) and (mesh is None
+           or dev_loader.batch_size % mesh.shape["data"] == 0):
+        from pytorch_scalablefhvae_tpu.train.device_step import (
+            make_device_encode_pass,
+            make_device_eval_pass,
+        )
+
+        _dev_ds = dev_loader.dataset
+        _dev_src = DeviceDataSource(
+            _dev_ds.store, mesh, shard_store=config.data.shard_device_store,
+            store_dtype=config.data.transfer_dtype,
+        )
+        _dev_plan, (_dseq, _dstarts, _dnsegs) = _dev_src.stage_epoch(
+            _dev_ds, np.arange(len(_dev_ds)), dev_loader.batch_size,
+        )
+        dev_device = {
+            "encode": make_device_encode_pass(
+                model, _dev_ds.seg_len, dev_loader.batch_size,
+                _dev_plan.n_batches, mesh,
+                shard_store=config.data.shard_device_store),
+            "eval": make_device_eval_pass(
+                model, config.optim.alpha_dis, _dev_ds.seg_len,
+                dev_loader.batch_size, _dev_plan.n_batches, mesh,
+                shard_store=config.data.shard_device_store),
+            "src": _dev_src, "plan": _dev_plan,
+            "args": (_dseq, _dstarts, _dnsegs),
+        }
+        if verbose:
+            mb = _dev_ds.store.data.shape[0] * _dev_ds.store.dim * (
+                2 if config.data.transfer_dtype == "bfloat16" else 4) / 1e6
+            print(f"Dev split device-resident ({mb:.0f} MB staged)")
+
+    def _eval_dev_device(params):
+        dd = dev_device
+        plan, (dseq, dstarts, dnsegs) = dd["plan"], dd["args"]
+        n_real = np.int32(plan.n_real)
+        # MAP pass: one dispatch; host fp64 accumulation (bit-identical
+        # tables to estimate_split_mu2's host-loader path)
+        z2 = np.asarray(dd["encode"](params, dd["src"].data, dstarts))
+        z2 = z2.reshape(-1, z2.shape[-1])[: plan.n_real]
+        seq = plan.seq_idx[: plan.n_real]
+        num_seqs = dev_loader.dataset.num_seqs
+        sums = np.zeros((num_seqs, z2.shape[1]), dtype=np.float64)
+        counts = np.zeros(num_seqs, dtype=np.float64)
+        np.add.at(sums, seq, z2.astype(np.float64))
+        np.add.at(counts, seq, 1.0)
+        table = (sums / (counts + pz2_var)[:, None]).astype(np.float32)
+        # scoring pass: one dispatch; host f64 reduction of per-batch sums
+        # (evaluate_split's accumulation semantics)
+        stacked = dd["eval"](params, dd["src"].data, dseq, dstarts, dnsegs,
+                             n_real, jax.device_put(table))
+        stacked = {k: np.asarray(v, dtype=np.float64)
+                   for k, v in stacked.items()}
+        count = float(stacked.pop("count").sum())
+        if count == 0:
+            return {k: float("nan") for k in ("loss", "lower_bound", "log_qy")}
+        return {k: float(v.sum()) / count for k, v in stacked.items()}
+
     def eval_dev(params, key):
+        if dev_device is not None:
+            return _eval_dev_device(params)
         dev_table = estimate_split_mu2(
             encode_step, params, dev_loader, dev_loader.dataset.num_seqs,
             pz2_var, z2_dim=config.model.z2_dim,

@@ -136,9 +136,13 @@ class TestHostDeviceEquivalence:
             ),
             host.state.params, dev.state.params,
         )
-        h = list(host.history.values["train_loss_results"].values())
-        d = list(dev.history.values["train_loss_results"].values())
-        np.testing.assert_allclose(h, d, rtol=1e-4)
+        for series in ("train_loss_results", "val_loss_results",
+                       "lower_bound_results", "discrim_loss_results"):
+            # val series also pin the device-resident dev evaluation
+            # (single-dispatch MAP + scoring passes) against the host path
+            h = list(host.history.values[series].values())
+            d = list(dev.history.values[series].values())
+            np.testing.assert_allclose(h, d, rtol=1e-4, atol=1e-5)
 
     def test_k_bundled_dispatch(self, corpus, tmp_path):
         """K>1 groups + tail batches on the device path track the host path."""
@@ -172,6 +176,13 @@ class TestMesh:
             ),
             host.state.params, dev.state.params,
         )
+        # the device-resident dev evaluation composes with the mesh too
+        for series in ("val_loss_results", "lower_bound_results"):
+            np.testing.assert_allclose(
+                list(dev.history.values[series].values()),
+                list(host.history.values[series].values()),
+                rtol=1e-4, atol=1e-5,
+            )
 
     def test_sharded_store_gather_correct(self, rng):
         """Row-sharded staged store: shard_map gather == numpy gather."""
