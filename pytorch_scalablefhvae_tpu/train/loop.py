@@ -57,8 +57,6 @@ def _replace_mu2_table(state: TrainState, table) -> TrainState:
     preserved). Moments are matched by pytree *path* — the optimizer state
     mirrors the params dict, so its mu2 leaves carry 'mu2_table' in their
     path (shape matching would also hit dense heads of the same shape)."""
-    import jax.numpy as jnp
-
     params = dict(state.params, mu2_table=table)
 
     def reset(path, leaf):
