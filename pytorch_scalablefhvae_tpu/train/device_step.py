@@ -72,6 +72,64 @@ def _make_gather(seg_len: int, mesh, shard_store: bool):
     return gather
 
 
+def _make_batch_views(seg_len: int, batch_size: int, mesh, shard_store: bool):
+    """Shared per-batch prologue for every device-resident pass: slice the
+    plan rows at ``off``, build the padding weight mask, gather segments
+    from the staged store, and look up per-sequence nsegs — with "data"
+    sharding constraints applied under a mesh. The ONE definition the train,
+    eval, and encode scan bodies all use."""
+    gather = _make_gather(seg_len, mesh, shard_store)
+    B = batch_size
+    data_sh = (NamedSharding(mesh, P("data")) if mesh is not None else None)
+
+    def views(store, seq_idx_all, starts_all, nsegs_tab, off, n_real):
+        seq_idx = jax.lax.dynamic_slice_in_dim(seq_idx_all, off, B)
+        starts = jax.lax.dynamic_slice_in_dim(starts_all, off, B)
+        weight = ((off + jnp.arange(B, dtype=jnp.int32)) < n_real).astype(
+            jnp.float32
+        )
+        if data_sh is not None:
+            seq_idx = jax.lax.with_sharding_constraint(seq_idx, data_sh)
+            starts = jax.lax.with_sharding_constraint(starts, data_sh)
+            weight = jax.lax.with_sharding_constraint(weight, data_sh)
+        feats = gather(store, starts).astype(jnp.float32)
+        nsegs = jnp.take(nsegs_tab, seq_idx, axis=0, mode="clip")
+        if data_sh is not None:
+            nsegs = jax.lax.with_sharding_constraint(nsegs, data_sh)
+        return feats, seq_idx, nsegs, weight
+
+    return views
+
+
+def _compile_on_mesh(mesh, fn, shard_store: bool, lead_shardings,
+                     n_tail: int, out_shardings=None, donate_argnums=()):
+    """Lazily jit ``fn(lead, store, *tail)`` with mesh shardings: ``lead``
+    (state or params) via ``lead_shardings``, the staged store replicated or
+    row-sharded, everything else replicated. Compilation is deferred to the
+    first call so the lead argument's pytree is available;
+    ``out_shardings`` may be a callable of the resolved lead shardings (the
+    train step pins its output state to the input's layout so donation and
+    the next call's in_shardings line up)."""
+    repl = NamedSharding(mesh, P())
+    store_sh = (NamedSharding(mesh, P("model", None)) if shard_store else repl)
+    compiled = {}
+
+    def run(lead, store, *tail):
+        if not compiled:
+            lead_sh = lead_shardings(lead)
+            out_sh = (out_shardings(lead_sh) if callable(out_shardings)
+                      else out_shardings)
+            compiled["fn"] = jax.jit(
+                fn,
+                in_shardings=(lead_sh, store_sh) + (repl,) * n_tail,
+                out_shardings=out_sh,
+                donate_argnums=donate_argnums,
+            )
+        return compiled["fn"](lead, store, *tail)
+
+    return run
+
+
 def make_device_train_step(
     model,
     optimizer,
@@ -93,27 +151,15 @@ def make_device_train_step(
     ``n_real`` (int32): total real segments in the plan; rows at global
     positions >= n_real get weight 0.
     """
-    gather = _make_gather(seg_len, mesh, shard_store)
+    views = _make_batch_views(seg_len, batch_size, mesh, shard_store)
     B = batch_size
-    data_sh = (NamedSharding(mesh, P("data")) if mesh is not None else None)
 
     def multi_fn(state: TrainState, store, seq_idx_all, starts_all, nsegs_tab,
                  base, n_real):
         def body(state, k_i):
-            off = base + k_i * B
-            seq_idx = jax.lax.dynamic_slice_in_dim(seq_idx_all, off, B)
-            starts = jax.lax.dynamic_slice_in_dim(starts_all, off, B)
-            weight = ((off + jnp.arange(B, dtype=jnp.int32)) < n_real).astype(
-                jnp.float32
-            )
-            if data_sh is not None:
-                seq_idx = jax.lax.with_sharding_constraint(seq_idx, data_sh)
-                starts = jax.lax.with_sharding_constraint(starts, data_sh)
-                weight = jax.lax.with_sharding_constraint(weight, data_sh)
-            feats = gather(store, starts).astype(jnp.float32)
-            nsegs = jnp.take(nsegs_tab, seq_idx, axis=0, mode="clip")
-            if data_sh is not None:
-                nsegs = jax.lax.with_sharding_constraint(nsegs, data_sh)
+            feats, seq_idx, nsegs, weight = views(
+                store, seq_idx_all, starts_all, nsegs_tab,
+                base + k_i * B, n_real)
             step_key = jax.random.fold_in(state.rng, state.step)
 
             def loss_fn(params):
@@ -141,22 +187,12 @@ def make_device_train_step(
     from pytorch_scalablefhvae_tpu.parallel.mesh import state_shardings
 
     repl = NamedSharding(mesh, P())
-    store_sh = (NamedSharding(mesh, P("model", None)) if shard_store else repl)
-    compiled = {}
-
-    def step(state, store, seq_idx_all, starts_all, nsegs_tab, base, n_real):
-        if not compiled:
-            st_sh = state_shardings(mesh, state)
-            compiled["fn"] = jax.jit(
-                multi_fn,
-                in_shardings=(st_sh, store_sh, repl, repl, repl, repl, repl),
-                out_shardings=(st_sh, {m: repl for m in _METRIC_KEYS}),
-                donate_argnums=donate_argnums,
-            )
-        return compiled["fn"](state, store, seq_idx_all, starts_all,
-                              nsegs_tab, base, n_real)
-
-    return step
+    return _compile_on_mesh(
+        mesh, multi_fn, shard_store,
+        lambda state: state_shardings(mesh, state), n_tail=5,
+        out_shardings=lambda st_sh: (st_sh, {m: repl for m in _METRIC_KEYS}),
+        donate_argnums=donate_argnums,
+    )
 
 
 def make_device_eval_pass(model, alpha: float, seg_len: int, batch_size: int,
@@ -172,32 +208,17 @@ def make_device_eval_pass(model, alpha: float, seg_len: int, batch_size: int,
 
     Eval is deterministic (``sample=False``), so no key is threaded.
     """
-    gather = _make_gather(seg_len, mesh, shard_store)
+    views = _make_batch_views(seg_len, batch_size, mesh, shard_store)
     B = batch_size
-    data_sh = (NamedSharding(mesh, P("data")) if mesh is not None else None)
 
     def pass_fn(params, store, seq_idx_all, starts_all, nsegs_tab,
                 n_real, table):
         def body(carry, b_i):
-            off = b_i * B
-            seq_idx = jax.lax.dynamic_slice_in_dim(seq_idx_all, off, B)
-            starts = jax.lax.dynamic_slice_in_dim(starts_all, off, B)
-            weight = ((off + jnp.arange(B, dtype=jnp.int32)) < n_real).astype(
-                jnp.float32
-            )
-            if data_sh is not None:
-                seq_idx = jax.lax.with_sharding_constraint(seq_idx, data_sh)
-                starts = jax.lax.with_sharding_constraint(starts, data_sh)
-                weight = jax.lax.with_sharding_constraint(weight, data_sh)
-            feats = gather(store, starts).astype(jnp.float32)
-            nsegs = jnp.take(nsegs_tab, seq_idx, axis=0, mode="clip")
-            if data_sh is not None:
-                nsegs = jax.lax.with_sharding_constraint(nsegs, data_sh)
+            feats, seq_idx, nsegs, weight = views(
+                store, seq_idx_all, starts_all, nsegs_tab, b_i * B, n_real)
             out = model.apply(params, feats, seq_idx, nsegs,
                               jax.random.PRNGKey(0), sample=False,
                               mu2_table=table)
-            from pytorch_scalablefhvae_tpu.models.base import loss_from_outputs
-
             _loss, metrics = loss_from_outputs(out, weight, alpha)
             n = jnp.sum(weight)
             sums = {k: v * n for k, v in metrics.items()}
@@ -211,24 +232,11 @@ def make_device_eval_pass(model, alpha: float, seg_len: int, batch_size: int,
     if mesh is None:
         return jax.jit(pass_fn)
 
-    repl = NamedSharding(mesh, P())
-    store_sh = (NamedSharding(mesh, P("model", None)) if shard_store else repl)
     from pytorch_scalablefhvae_tpu.parallel.mesh import params_shardings
 
-    compiled = {}
-
-    def run(params, store, seq_idx_all, starts_all, nsegs_tab, n_real, table):
-        if not compiled:
-            p_sh = params_shardings(mesh, params)
-            compiled["fn"] = jax.jit(
-                pass_fn,
-                in_shardings=(p_sh, store_sh, repl, repl, repl, repl, repl),
-                out_shardings=None,
-            )
-        return compiled["fn"](params, store, seq_idx_all, starts_all,
-                              nsegs_tab, n_real, table)
-
-    return run
+    return _compile_on_mesh(mesh, pass_fn, shard_store,
+                            lambda params: params_shardings(mesh, params),
+                            n_tail=5)
 
 
 def make_device_encode_pass(model, seg_len: int, batch_size: int,
@@ -261,19 +269,8 @@ def make_device_encode_pass(model, seg_len: int, batch_size: int,
     if mesh is None:
         return jax.jit(pass_fn)
 
-    repl = NamedSharding(mesh, P())
-    store_sh = (NamedSharding(mesh, P("model", None)) if shard_store else repl)
     from pytorch_scalablefhvae_tpu.parallel.mesh import params_shardings
 
-    compiled = {}
-
-    def run(params, store, starts_all):
-        if not compiled:
-            p_sh = params_shardings(mesh, params)
-            compiled["fn"] = jax.jit(
-                pass_fn, in_shardings=(p_sh, store_sh, repl),
-                out_shardings=None,
-            )
-        return compiled["fn"](params, store, starts_all)
-
-    return run
+    return _compile_on_mesh(mesh, pass_fn, shard_store,
+                            lambda params: params_shardings(mesh, params),
+                            n_tail=1)

@@ -101,6 +101,16 @@ def evaluate_split(
 _ENCODE_GROUP = 16
 
 
+def _map_table(sums: np.ndarray, counts: np.ndarray, pz2_var: float,
+               pmu2_var: float = 1.0) -> np.ndarray:
+    """Closed-form MAP posterior mean from fp64 accumulators:
+    ``mu2[y] = sum / (count + pz2_var/pmu2_var)`` (utils.py:58-59 intent).
+    The ONE place this formula lives — both the host-loader and the
+    device-resident MAP passes finish through it."""
+    r = pz2_var / pmu2_var
+    return (sums / (counts + r)[:, None]).astype(np.float32)
+
+
 def estimate_split_mu2(
     encode_step, params, loader: SegmentLoader, num_seqs: int,
     pz2_var: float, pmu2_var: float = 1.0, z2_dim: int | None = None,
@@ -111,15 +121,16 @@ def estimate_split_mu2(
     (the closed-form posterior mean; utils.py:58-59 intent).
 
     Dispatch economics: per-dispatch overhead dominates this pass (the
-    encode compute per batch is tiny), so full-size batches are
-    concatenated into super-batches of up to ``_ENCODE_GROUP`` before
-    dispatch — 16x fewer dispatches — and every result is fetched only
-    after all dispatches are queued. Ragged tail batches dispatch alone, so
-    at most two program shapes compile and mesh-sharded encode steps keep
-    their batch-divisibility guarantee (any multiple of a divisible batch
-    size divides too). Accumulation stays host-side fp64 — bit-identical to
-    the original per-batch formulation (bench.bench_hier_round measures the
-    round-turnover cost this bounds).
+    encode compute per batch is tiny), so batches are concatenated into
+    super-batches of up to ``_ENCODE_GROUP`` before dispatch — 16x fewer
+    dispatches — and every result is fetched only after all dispatches are
+    queued. SegmentLoader pads every batch to full size, so at most two
+    program shapes compile (the full group and the final partial group),
+    and mesh-sharded encode steps keep their batch-divisibility guarantee
+    (any multiple of a divisible batch size divides too). Accumulation
+    stays host-side fp64 — bit-identical to the original per-batch
+    formulation (bench.bench_hier_round measures the round-turnover cost
+    this bounds).
     """
     pending = []
     group: list = []
@@ -137,14 +148,7 @@ def estimate_split_mu2(
         pending.append((encode_step(params, feats), seq, w))
         group.clear()
 
-    full_b = None
     for b in loader:
-        if full_b is None:
-            full_b = len(b.weight)
-        if len(b.weight) != full_b:  # ragged tail: dispatch alone
-            flush_group()
-            pending.append((encode_step(params, b.feats), b.seq_idx, b.weight))
-            continue
         group.append(b)
         if len(group) >= _ENCODE_GROUP:
             flush_group()
@@ -160,8 +164,7 @@ def estimate_split_mu2(
         np.add.at(counts, seq_idx[real], 1.0)
     if sums is None:
         sums = np.zeros((num_seqs, z2_dim or 1), dtype=np.float64)
-    r = pz2_var / pmu2_var
-    return (sums / (counts + r)[:, None]).astype(np.float32)
+    return _map_table(sums, counts, pz2_var, pmu2_var)
 
 
 def run_training(
@@ -361,10 +364,15 @@ def run_training(
     # and run both per-epoch passes (MAP encode + scoring) as one dispatched
     # program each, instead of re-shipping the whole dev split every epoch.
     dev_device = None
+    _itemsize = 2 if config.data.transfer_dtype == "bfloat16" else 4
+    _train_staged = ds.store.data.shape[0] * ds.store.dim * _itemsize
     if use_device_data and resolve_data_placement(
-        config.data.data_placement, dev_loader.dataset.store, mesh,
+        # opportunistic ("auto" even under forced device placement — dev
+        # staging must never OOM a run whose train store barely fits) and
+        # budgeted against what the train store already staged
+        "auto", dev_loader.dataset.store, mesh,
         shard_store=config.data.shard_device_store,
-        max_bytes=config.data.device_store_max_bytes,
+        max_bytes=max(config.data.device_store_max_bytes - _train_staged, 0),
         legacy=config.train.legacy,
         store_dtype=config.data.transfer_dtype,
     ) and (mesh is None
@@ -413,7 +421,7 @@ def run_training(
         counts = np.zeros(num_seqs, dtype=np.float64)
         np.add.at(sums, seq, z2.astype(np.float64))
         np.add.at(counts, seq, 1.0)
-        table = (sums / (counts + pz2_var)[:, None]).astype(np.float32)
+        table = _map_table(sums, counts, pz2_var)
         # scoring pass: one dispatch; host f64 reduction of per-batch sums
         # (evaluate_split's accumulation semantics)
         stacked = dd["eval"](params, dd["src"].data, dseq, dstarts, dnsegs,
