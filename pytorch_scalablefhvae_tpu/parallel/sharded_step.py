@@ -30,8 +30,6 @@ import jax
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-import jax.numpy as jnp
-
 from pytorch_scalablefhvae_tpu.models.base import loss_from_outputs
 from pytorch_scalablefhvae_tpu.parallel.mesh import (
     batch_sharding,
