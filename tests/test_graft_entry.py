@@ -20,9 +20,10 @@ import __graft_entry__ as graft  # noqa: E402
 
 def test_entry_compiles_and_runs():
     fn, args = graft.entry()
-    lb, log_qy = jax.jit(fn)(*args)
+    lb, log_qy, lb_rnn = jax.jit(fn)(*args)
     assert np.isfinite(np.asarray(lb)).all()
     assert np.isfinite(np.asarray(log_qy)).all()
+    assert np.isfinite(np.asarray(lb_rnn)).all()  # recurrent FHVAE covered
 
 
 def test_dryrun_inline_with_enough_devices():
