@@ -84,6 +84,25 @@ class TestFlagSurface:
         cfg2 = ExperimentConfig.from_json(cfg.to_json())
         assert cfg2 == cfg
 
+    def test_old_config_json_loads_with_defaults(self):
+        """Configs saved by earlier rounds (missing newer fields) must
+        resume cleanly: absent keys fall back to dataclass defaults."""
+        import json
+
+        from pytorch_scalablefhvae_tpu.config import ExperimentConfig
+
+        d = json.loads(ExperimentConfig().to_json())
+        for sec, keys in [("model", ["lstm_pallas", "scan_unroll"]),
+                          ("features", ["fbank_pallas"]),
+                          ("train", ["plot_curves"])]:
+            for k in keys:
+                d[sec].pop(k)
+        old = ExperimentConfig.from_json(json.dumps(d))
+        assert old.model.lstm_pallas == "auto"
+        assert old.model.scan_unroll == 20
+        assert old.features.fbank_pallas == "auto"
+        assert old.train.plot_curves is False
+
 
 class TestConfigFlagCompleteness:
     """Every config field is reachable from argv (VERDICT r1: config surface
