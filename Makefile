@@ -2,7 +2,7 @@
 # to obtain compute-fbank-feats; here `make native` builds the in-tree C++
 # equivalents in one compiler invocation).
 
-.PHONY: native native-asan test bench clean
+.PHONY: native native-asan test bench quality clean
 
 native:
 	python -c "from pytorch_scalablefhvae_tpu.native.binding import build_native; print(build_native(rebuild=True))"
@@ -15,6 +15,11 @@ test:
 
 bench:
 	python bench.py
+
+# reproduce the measured-training-quality claim (PARITY.md); compare the
+# resulting metrics.jsonl against misc/repro_quality_metrics.jsonl
+quality:
+	bash misc/repro_quality.sh
 
 clean:
 	rm -f pytorch_scalablefhvae_tpu/native/*.so
