@@ -30,14 +30,24 @@ def extract_latents(
     """
     step = make_latent_step(model)
     key = jax.random.PRNGKey(seed)
-    z1s, z2s, seqs, lbs = [], [], [], []
+    # queue EVERY dispatch before fetching any result: the latent outputs
+    # are tiny [B, d] arrays, and a per-batch np.asarray would stall the
+    # device on a host round-trip per batch (thousands on corpus splits).
+    # Only the needed output refs are kept — dropping x_mu immediately lets
+    # its [B, T, F] buffer free as each dispatch completes.
+    pending = []
     for i, b in enumerate(loader):
-        out = step(params, b.feats, b.seq_idx, b.nsegs, jax.random.fold_in(key, i))
-        real = b.weight > 0
-        z1s.append(np.asarray(out["z1_mu"])[real])
-        z2s.append(np.asarray(out["z2_mu"])[real])
-        lbs.append(np.asarray(out["lower_bound"])[real])
-        seqs.append(b.seq_idx[real])
+        out = step(params, b.feats, b.seq_idx, b.nsegs,
+                   jax.random.fold_in(key, i))
+        pending.append((out["z1_mu"], out["z2_mu"], out["lower_bound"],
+                        b.seq_idx, b.weight))
+    z1s, z2s, seqs, lbs = [], [], [], []
+    for z1, z2, lb, seq_idx, weight in pending:
+        real = weight > 0
+        z1s.append(np.asarray(z1)[real])
+        z2s.append(np.asarray(z2)[real])
+        lbs.append(np.asarray(lb)[real])
+        seqs.append(seq_idx[real])
     return {
         "z1_mu": np.concatenate(z1s) if z1s else np.zeros((0, 0)),
         "z2_mu": np.concatenate(z2s) if z2s else np.zeros((0, 0)),
