@@ -81,12 +81,21 @@ class TrainResult:
 def evaluate_split(
     eval_step, params, loader: SegmentLoader, key, table=None
 ) -> dict[str, float]:
-    """Full-split evaluation: exact weighted means of every metric."""
+    """Full-split evaluation: exact weighted means of every metric.
+
+    Every eval dispatch is queued before any result is fetched (per-batch
+    sums are scalars), so the device pipelines the pass instead of stalling
+    on a host round-trip per batch.
+    """
+    pending = []
+    for i, b in enumerate(loader):
+        args = (params, b.feats, b.seq_idx, b.nsegs, b.weight,
+                jax.random.fold_in(key, i))
+        pending.append(eval_step(*args) if table is None
+                       else eval_step(*args, table))
     totals: dict[str, float] = {}
     count = 0.0
-    for i, b in enumerate(loader):
-        args = (params, b.feats, b.seq_idx, b.nsegs, b.weight, jax.random.fold_in(key, i))
-        sums = eval_step(*args) if table is None else eval_step(*args, table)
+    for sums in pending:
         sums = {k: float(v) for k, v in sums.items()}
         n = sums.pop("count")
         count += n
