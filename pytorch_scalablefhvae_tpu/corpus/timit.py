@@ -15,9 +15,18 @@ from pathlib import Path
 
 from pytorch_scalablefhvae_tpu.utils.audio_io import is_sphere, read_sphere, write_wav
 
-_MISC = Path(__file__).resolve().parents[2] / "misc"
-DEFAULT_DEV_SPK = _MISC / "timit_dev_spk.list"
-DEFAULT_TEST_SPK = _MISC / "timit_test_spk.list"
+def _spk_list(name: str) -> Path:
+    """Resolve a speaker list: the repo's ``misc/`` when running from a
+    checkout (reference-layout parity), else the copy shipped inside the
+    package (so non-editable installs work too)."""
+    repo = Path(__file__).resolve().parents[2] / "misc" / name
+    if repo.exists():
+        return repo
+    return Path(__file__).resolve().parent / "data" / name
+
+
+DEFAULT_DEV_SPK = _spk_list("timit_dev_spk.list")
+DEFAULT_TEST_SPK = _spk_list("timit_test_spk.list")
 
 
 def process_timit(
