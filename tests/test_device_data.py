@@ -184,6 +184,21 @@ class TestMesh:
                 rtol=1e-4, atol=1e-5,
             )
 
+    def test_sharded_store_full_run_with_device_eval(self, corpus, tmp_path):
+        """Row-sharded staged store + device-resident dev eval == host path.
+
+        The dev store is row-sharded over "model" here too, so the eval
+        pass's shard_map gather + psum runs inside the whole-split scans."""
+        dev = final_params(corpus, tmp_path, "device", mesh_shape=(4, 2),
+                           shard_device_store=True)
+        host = final_params(corpus, tmp_path, "host", mesh_shape=(4, 2))
+        for series in ("train_loss_results", "val_loss_results"):
+            np.testing.assert_allclose(
+                list(dev.history.values[series].values()),
+                list(host.history.values[series].values()),
+                rtol=1e-4, atol=1e-5,
+            )
+
     def test_sharded_store_gather_correct(self, rng):
         """Row-sharded staged store: shard_map gather == numpy gather."""
         from pytorch_scalablefhvae_tpu.parallel.mesh import make_mesh
