@@ -120,6 +120,17 @@ def _map_table(sums: np.ndarray, counts: np.ndarray, pz2_var: float,
     return (sums / (counts + r)[:, None]).astype(np.float32)
 
 
+def _map_table_from_z2(z2: np.ndarray, seq_idx: np.ndarray, num_seqs: int,
+                       pz2_var: float) -> np.ndarray:
+    """fp64 per-sequence accumulation of (real) z2 means -> MAP table; the
+    shared finishing step of the device-resident MAP passes."""
+    sums = np.zeros((num_seqs, z2.shape[1]), dtype=np.float64)
+    counts = np.zeros(num_seqs, dtype=np.float64)
+    np.add.at(sums, seq_idx, z2.astype(np.float64))
+    np.add.at(counts, seq_idx, 1.0)
+    return _map_table(sums, counts, pz2_var)
+
+
 def estimate_split_mu2(
     encode_step, params, loader: SegmentLoader, num_seqs: int,
     pz2_var: float, pmu2_var: float = 1.0, z2_dim: int | None = None,
@@ -424,13 +435,8 @@ def run_training(
         # tables to estimate_split_mu2's host-loader path)
         z2 = np.asarray(dd["encode"](params, dd["src"].data, dstarts))
         z2 = z2.reshape(-1, z2.shape[-1])[: plan.n_real]
-        seq = plan.seq_idx[: plan.n_real]
-        num_seqs = dev_loader.dataset.num_seqs
-        sums = np.zeros((num_seqs, z2.shape[1]), dtype=np.float64)
-        counts = np.zeros(num_seqs, dtype=np.float64)
-        np.add.at(sums, seq, z2.astype(np.float64))
-        np.add.at(counts, seq, 1.0)
-        table = _map_table(sums, counts, pz2_var)
+        table = _map_table_from_z2(z2, plan.seq_idx[: plan.n_real],
+                                   dev_loader.dataset.num_seqs, pz2_var)
         # scoring pass: one dispatch; host f64 reduction of per-batch sums
         # (evaluate_split's accumulation semantics)
         stacked = dd["eval"](params, dd["src"].data, dseq, dstarts, dnsegs,
@@ -467,6 +473,29 @@ def run_training(
 
     hier_rng = np.random.default_rng(config.train.seed + 23)
 
+    # device-resident MAP init for hierarchical rounds: the round subsets are
+    # zero-copy views of the already-staged pack, so the per-round encode
+    # pass can read HBM directly instead of re-uploading the subset's
+    # features. Plans pad to a fixed batch-count CEILING (the K largest
+    # per-sequence segment counts) so every round reuses ONE compiled pass.
+    hier_device = None
+    if hier and use_device_data:
+        from pytorch_scalablefhvae_tpu.data.device_store import build_epoch_plan
+        from pytorch_scalablefhvae_tpu.train.device_step import (
+            make_device_encode_pass,
+        )
+
+        _B_tr = train_loader.batch_size
+        _top = np.sort(np.asarray(train_loader.dataset.nsegs))[-hier_k:]
+        _ceil_batches = max(int(-(-int(_top.sum()) // _B_tr)), 1)
+        hier_device = {
+            "pass": make_device_encode_pass(
+                model, seg_len, _B_tr, _ceil_batches, mesh,
+                shard_store=config.data.shard_device_store),
+            "rows": _ceil_batches * _B_tr,
+            "plan": build_epoch_plan,
+        }
+
     for epoch in range(start_epoch, config.train.epochs):
         if hier:
             # sample this round's sequence subset and MAP-initialize its
@@ -484,13 +513,27 @@ def run_training(
                 seed=config.train.seed + 31 * epoch,
                 transfer_dtype=config.data.transfer_dtype,
             )
-            est_loader = SegmentLoader(sub_ds, train_loader.batch_size,
-                                       shuffle=False, seed=0,
-                                       transfer_dtype=config.data.transfer_dtype)
-            table_np = estimate_split_mu2(
-                encode_step, state.params, est_loader, hier_k, pz2_var,
-                z2_dim=config.model.z2_dim,
-            )
+            if hier_device is not None:
+                # one dispatch over the staged pack (subset views keep
+                # absolute offsets); same unshuffled segment order and fp64
+                # accumulation as the host path below
+                plan = hier_device["plan"](
+                    sub_ds, np.arange(len(sub_ds)), train_loader.batch_size)
+                starts = np.zeros(hier_device["rows"], plan.abs_starts.dtype)
+                starts[: len(plan.abs_starts)] = plan.abs_starts
+                z2 = np.asarray(hier_device["pass"](
+                    state.params, device_source.data, jax.device_put(starts)))
+                z2 = z2.reshape(-1, z2.shape[-1])[: plan.n_real]
+                table_np = _map_table_from_z2(
+                    z2, plan.seq_idx[: plan.n_real], hier_k, pz2_var)
+            else:
+                est_loader = SegmentLoader(
+                    sub_ds, train_loader.batch_size, shuffle=False, seed=0,
+                    transfer_dtype=config.data.transfer_dtype)
+                table_np = estimate_split_mu2(
+                    encode_step, state.params, est_loader, hier_k, pz2_var,
+                    z2_dim=config.model.z2_dim,
+                )
             pad = model.table_rows - table_np.shape[0]
             if pad:
                 # zero rows beyond num_seqs: masked out of the softmax,

@@ -165,6 +165,22 @@ class TestHostDeviceEquivalence:
             list(res.history.values["train_loss_results"].values())
         ).all()
 
+    def test_hierarchical_device_map_matches_host(self, corpus, tmp_path):
+        """The device-resident round MAP init (one dispatch over the staged
+        pack, fixed-ceiling plan) tracks the host-loader estimate path."""
+        host = final_params(corpus, tmp_path, "host",
+                            sample_hierarchical=True,
+                            num_hierarchical_sequences=3)
+        dev = final_params(corpus, tmp_path, "device",
+                           sample_hierarchical=True,
+                           num_hierarchical_sequences=3)
+        for series in ("train_loss_results", "val_loss_results"):
+            np.testing.assert_allclose(
+                list(dev.history.values[series].values()),
+                list(host.history.values[series].values()),
+                rtol=1e-4, atol=1e-5,
+            )
+
 
 class TestMesh:
     def test_device_data_on_mesh(self, corpus, tmp_path):
