@@ -325,7 +325,18 @@ def _maybe_init_multihost(args) -> bool:
         return False
     import jax
 
-    jax.distributed.initialize()
+    # explicit coordinator overrides for launchers jax's cluster
+    # auto-detection doesn't recognize (plain SSH/process launchers; also
+    # how tests/test_multihost.py runs a REAL 2-process init). On pods,
+    # leave these unset and initialize() discovers everything itself.
+    kwargs = {}
+    if os.environ.get("SFHVAE_COORDINATOR"):
+        kwargs = {
+            "coordinator_address": os.environ["SFHVAE_COORDINATOR"],
+            "num_processes": int(os.environ["SFHVAE_NUM_PROCESSES"]),
+            "process_id": int(os.environ["SFHVAE_PROCESS_ID"]),
+        }
+    jax.distributed.initialize(**kwargs)
     if getattr(args, "mesh", None):
         from pytorch_scalablefhvae_tpu.parallel.mesh import validate_multihost_mesh
 

@@ -101,6 +101,14 @@ def batched_features(
         and (use_pallas == "always"
              or (use_pallas == "auto" and jax.default_backend() == "tpu"))
     )
+    if fused and use_pallas == "always" and jax.default_backend() != "tpu":
+        import warnings
+
+        warnings.warn(
+            "--fbank-pallas=always on a non-TPU backend runs the log-mel "
+            "kernel in Pallas INTERPRET mode (orders of magnitude slower "
+            "than the jnp path); use 'auto' to gate on the backend.",
+            RuntimeWarning, stacklevel=2)
     w, C, S, fb = _spectral_consts(
         sr, n_fft, win, window, n_mels, norm_mel,
         need_mel=feat_type == "fbank",

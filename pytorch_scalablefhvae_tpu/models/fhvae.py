@@ -163,10 +163,27 @@ def run_lstm(
         use_pallas == "always"
         or (use_pallas == "auto" and jax.default_backend() == "tpu")
     ):
-        from pytorch_scalablefhvae_tpu.ops.lstm_pallas import lstm2_pallas
+        from pytorch_scalablefhvae_tpu.ops.lstm_pallas import (
+            LSTM2_VMEM_BUDGET,
+            lstm2_pallas,
+            lstm2_vmem_bytes,
+        )
 
-        return lstm2_pallas(p, xs, cdt,
-                            interpret=jax.default_backend() != "tpu")
+        hid = p["cells"][0]["w"].shape[1] // 4
+        over_budget = lstm2_vmem_bytes(hid, xs.shape[0]) > LSTM2_VMEM_BUDGET
+        if use_pallas == "always" or not over_budget:
+            if use_pallas == "always" and jax.default_backend() != "tpu":
+                import warnings
+
+                warnings.warn(
+                    "--lstm-pallas=always on a non-TPU backend runs the "
+                    "recurrence kernel in Pallas INTERPRET mode (orders of "
+                    "magnitude slower than the scan path); use 'auto' to "
+                    "gate on the backend.", RuntimeWarning, stacklevel=2)
+            return lstm2_pallas(p, xs, cdt,
+                                interpret=jax.default_backend() != "tpu")
+        # "auto" + wide stack: the backward kernel's VMEM-resident weight
+        # grads would blow the budget and fail to compile — scan instead
     if two_layer:
         return run_lstm_wavefront2(p, xs, cdt, unroll=unroll)
     B, T, _ = xs.shape

@@ -40,6 +40,30 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def lstm2_vmem_bytes(hid: int, batch: int, block_batch: int = 256) -> int:
+    """Worst-case VMEM residency estimate (bytes) for the BACKWARD kernel —
+    the larger of the two. Used by run_lstm's "auto" gating to fall back to
+    the wavefront scan when a wide stack (e.g. z1_hus=(1024,1024)) would
+    blow the ~16 MB VMEM budget and fail to compile at runtime (ADVICE r03).
+
+    Resident per grid step: 3 weight blocks + 3 weight-grad outputs + 3
+    fp32 weight-grad accumulators ([H, 4H] each = 36 H^2 fp32 total), the
+    b2/db2/ab2 rows, 4 [bt, H] carry scratches, and the streamed per-step
+    blocks (xg1 + dxg1 [bt, 4H], two resid views [bt, 3H], tops/g_tops/g_h2
+    [bt, H]) which Pallas double-buffers.
+    """
+    bt = min(block_batch, max(_round_up(batch, 8), 8))
+    weights = 9 * hid * 4 * hid + 4 * (4 * hid)          # [H,4H] x9 + rows
+    carries = 4 * bt * hid
+    streamed = 2 * bt * (4 * hid + 4 * hid + 3 * hid + 3 * hid + 3 * hid)
+    return 4 * (weights + carries + streamed)
+
+
+# conservative budget: v5e VMEM is ~128 KB/lane-group * 128 = 16 MB/core;
+# leave headroom for Mosaic's own buffers and the fwd kernel's residual
+LSTM2_VMEM_BUDGET = 12 * 1024 * 1024
+
+
 def _sigmoid(x):
     return jax.nn.sigmoid(x)
 

@@ -83,24 +83,31 @@ def evaluate_split(
 ) -> dict[str, float]:
     """Full-split evaluation: exact weighted means of every metric.
 
-    Every eval dispatch is queued before any result is fetched (per-batch
-    sums are scalars), so the device pipelines the pass instead of stalling
-    on a host round-trip per batch.
+    Eval dispatches run ahead of result fetches through a bounded window
+    (per-batch sums are scalars), so the device pipelines the pass instead
+    of stalling on a host round-trip per batch — while capping how many
+    batches of input feats are simultaneously live in device memory.
     """
-    pending = []
+    pending: list = []
+    totals: dict[str, float] = {}
+    count = 0.0
+
+    def drain_one():
+        nonlocal count
+        sums = {k: float(v) for k, v in pending.pop(0).items()}
+        count += sums.pop("count")
+        for k, v in sums.items():
+            totals[k] = totals.get(k, 0.0) + v
+
     for i, b in enumerate(loader):
         args = (params, b.feats, b.seq_idx, b.nsegs, b.weight,
                 jax.random.fold_in(key, i))
         pending.append(eval_step(*args) if table is None
                        else eval_step(*args, table))
-    totals: dict[str, float] = {}
-    count = 0.0
-    for sums in pending:
-        sums = {k: float(v) for k, v in sums.items()}
-        n = sums.pop("count")
-        count += n
-        for k, v in sums.items():
-            totals[k] = totals.get(k, 0.0) + v
+        if len(pending) > _PENDING_WINDOW:
+            drain_one()
+    while pending:
+        drain_one()
     if count == 0:
         return {k: float("nan") for k in ("loss", "lower_bound", "log_qy")}
     return {k: v / count for k, v in totals.items()}
@@ -108,6 +115,26 @@ def evaluate_split(
 
 # loader batches concatenated per encode dispatch in estimate_split_mu2
 _ENCODE_GROUP = 16
+
+def dispatch_losses_diverged(losses: np.ndarray) -> bool:
+    """Whether a completed K-step dispatch's sub-losses show divergence.
+
+    Both the FIRST and LAST sub-loss are checked: a NaN injected at
+    sub-step 0 is caught one dispatch later, bounding the overrun at one
+    dispatch (~K steps) even with ``donate_state`` having consumed the
+    pre-NaN state; NaNs propagate forward through the params, so a NaN
+    appearing mid-dispatch reaches the last sub-loss too. (The reference
+    checked every step synchronously, train_model.py:464-466 — here the
+    check must not drain the dispatch pipeline.)
+    """
+    flat = losses.ravel()
+    return not (np.isfinite(flat[0]) and np.isfinite(flat[-1]))
+
+
+# max dispatches in flight before results drain oldest-first (ADVICE r03):
+# deep enough to hide the per-dispatch round trip, shallow enough to cap
+# the in-flight input buffers in HBM on corpus-scale splits.
+_PENDING_WINDOW = 32
 
 
 def _map_table(sums: np.ndarray, counts: np.ndarray, pz2_var: float,
@@ -152,8 +179,20 @@ def estimate_split_mu2(
     formulation (bench.bench_hier_round measures the round-turnover cost
     this bounds).
     """
-    pending = []
+    pending: list = []
     group: list = []
+    sums = None
+    counts = np.zeros(num_seqs, dtype=np.float64)
+
+    def drain_one():
+        nonlocal sums
+        z2_dev, seq_idx, weight = pending.pop(0)
+        z2 = np.asarray(z2_dev)
+        if sums is None:
+            sums = np.zeros((num_seqs, z2.shape[1]), dtype=np.float64)
+        real = weight > 0
+        np.add.at(sums, seq_idx[real], z2[real])
+        np.add.at(counts, seq_idx[real], 1.0)
 
     def flush_group():
         if not group:
@@ -167,21 +206,16 @@ def estimate_split_mu2(
             w = np.concatenate([b.weight for b in group])
         pending.append((encode_step(params, feats), seq, w))
         group.clear()
+        if len(pending) > _PENDING_WINDOW:
+            drain_one()
 
     for b in loader:
         group.append(b)
         if len(group) >= _ENCODE_GROUP:
             flush_group()
     flush_group()
-    sums = None
-    counts = np.zeros(num_seqs, dtype=np.float64)
-    for z2_dev, seq_idx, weight in pending:
-        z2 = np.asarray(z2_dev)
-        if sums is None:
-            sums = np.zeros((num_seqs, z2.shape[1]), dtype=np.float64)
-        real = weight > 0
-        np.add.at(sums, seq_idx[real], z2[real])
-        np.add.at(counts, seq_idx[real], 1.0)
+    while pending:
+        drain_one()
     if sums is None:
         sums = np.zeros((num_seqs, z2_dim or 1), dtype=np.float64)
     return _map_table(sums, counts, pz2_var, pmu2_var)
@@ -464,6 +498,14 @@ def run_training(
         tb_log_dir=config.train.tb_log_dir,
         log_params=config.train.log_params,
     )
+    # --log-params gradient histograms (logger.py:80-86 parity): grads are
+    # consumed inside the fused train step, so a separate once-per-epoch
+    # snapshot pass recomputes them on the epoch's first batch
+    grad_step = None
+    if config.train.log_params and config.train.tensorboard:
+        from pytorch_scalablefhvae_tpu.train.step import make_grad_step
+
+        grad_step = make_grad_step(model, config.optim.alpha_dis)
     if start_epoch > 0:
         writer.replay_history(history, start_epoch)
 
@@ -573,6 +615,11 @@ def run_training(
             writer.close()
             raise SystemExit(2)  # train_model.py:464-466 exit-code parity
 
+        def _prev_dispatch_diverged() -> bool:
+            # NaN check on the PREVIOUS dispatch's sub-losses (already
+            # complete, so the fetch never drains the pipeline)
+            return dispatch_losses_diverged(np.asarray(step_losses[-2]))
+
         if use_device_data:
             # device-resident path: upload the epoch's index plan, then every
             # dispatch reads HBM only (base offset + real count are scalars).
@@ -597,9 +644,7 @@ def run_training(
                 )
                 step_losses.append(metrics["loss"])
                 step_counts.extend(counts_all[base : base + n_batches])
-                if len(step_losses) >= 2 and not np.isfinite(
-                    float(np.asarray(step_losses[-2]).ravel()[-1])
-                ):
+                if len(step_losses) >= 2 and _prev_dispatch_diverged():
                     result.state, result.diverged, result.last_epoch = (
                         state, True, epoch)
                     _divergence_abort()
@@ -624,9 +669,7 @@ def run_training(
                     state, metrics = multi_train_step(state, *arrs)
                     step_losses.append(metrics["loss"])  # [k] device array
                     step_counts.extend(counts)
-                    if len(step_losses) >= 2 and not np.isfinite(
-                        float(np.asarray(step_losses[-2])[-1])
-                    ):
+                    if len(step_losses) >= 2 and _prev_dispatch_diverged():
                         result.state, result.diverged, result.last_epoch = state, True, epoch
                         _divergence_abort()
                 else:  # tail: single-step path for the leftover batches
@@ -691,7 +734,13 @@ def run_training(
             "val_neg_kld_z2": val.get("neg_kld_z2", float("nan")),
             "val_log_pmu2": val.get("log_pmu2", float("nan")),
         }
-        writer.write_epoch(epoch, scalars, params=state.params)
+        grads = None
+        if grad_step is not None:
+            b = next(iter(epoch_loader))
+            grads = grad_step(state.params, b.feats, b.seq_idx, b.nsegs,
+                              b.weight,
+                              jax.random.fold_in(eval_key, 100000 + epoch))
+        writer.write_epoch(epoch, scalars, params=state.params, grads=grads)
         if config.train.plot_curves:
             from pytorch_scalablefhvae_tpu.train.plots import write_curves_svg
 

@@ -70,7 +70,8 @@ class MetricWriter:
             except Exception as e:  # pragma: no cover - optional dependency
                 print(f"TensorBoard unavailable ({e}); falling back to JSONL only")
 
-    def write_epoch(self, epoch: int, scalars: Mapping[str, float], params=None) -> None:
+    def write_epoch(self, epoch: int, scalars: Mapping[str, float], params=None,
+                    grads=None) -> None:
         rec = {"epoch": epoch, "run_id": self.run_id}
         rec.update({k: float(v) for k, v in scalars.items()})
         with open(self.jsonl_path, "a") as f:
@@ -79,15 +80,19 @@ class MetricWriter:
             for k, v in scalars.items():
                 self._tb.add_scalar(f"{self.run_id}/{k}", float(v), epoch + 1)
             if self.log_params and params is not None:
-                import jax
-
-                flat = jax.tree_util.tree_flatten_with_path(params)[0]
-                for path, leaf in flat:
-                    tag = "/".join(str(p) for p in path).replace("'", "")
-                    import numpy as np
-
-                    self._tb.add_histogram(tag, np.asarray(leaf).ravel(), epoch + 1)
+                self._write_histograms("", params, epoch)
+            if self.log_params and grads is not None:
+                # per-parameter GRADIENT histograms (logger.py:80-86 parity)
+                self._write_histograms("grads/", grads, epoch)
             self._tb.flush()
+
+    def _write_histograms(self, prefix: str, tree, epoch: int) -> None:
+        import jax
+        import numpy as np
+
+        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            tag = prefix + "/".join(str(p) for p in path).replace("'", "")
+            self._tb.add_histogram(tag, np.asarray(leaf).ravel(), epoch + 1)
 
     # history key -> the live per-epoch scalar tag it corresponds to, so
     # resumed curves continue the same TensorBoard series

@@ -172,6 +172,24 @@ def make_encode_step(model):
     return jax.jit(encode_step_fn(model))
 
 
+def make_grad_step(model, alpha: float):
+    """Jitted gradient snapshot: per-parameter grads for one batch, no
+    update. Grads never leave the jitted train step (they are consumed by
+    the fused Adam update), so ``--log-params`` gradient histograms
+    (reference logger.py:80-86) are produced by this separate pass — one
+    extra fwd+bwd per epoch, only when the flag is on.
+    """
+
+    def step_fn(params, feats, seq_idx, nsegs, weight, key):
+        def loss_fn(p):
+            out = model.apply(p, feats, seq_idx, nsegs, key, sample=True)
+            return loss_from_outputs(out, weight, alpha)
+
+        return jax.grad(lambda p: loss_fn(p)[0])(params)
+
+    return jax.jit(step_fn)
+
+
 def make_latent_step(model):
     """Jitted latent-extraction step for evaluation (eval_model.py TODO:57-59)."""
 

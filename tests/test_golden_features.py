@@ -205,32 +205,50 @@ class TestCanonicalTools:
 
         path = Path(__file__).parent / "golden_canonical.json"
         if not path.exists():
-            pytest.skip(
-                "tests/golden_canonical.json not generated yet — run "
-                "misc/gen_golden_canonical.py on a machine with "
-                "librosa/Kaldi and commit the output"
-            )
+            return {}
         return json.loads(path.read_text())
 
     def test_librosa_canonical_melspec(self, canonical):
         if "librosa" not in canonical:
-            pytest.skip("no librosa constants in golden_canonical.json")
+            pytest.skip(
+                "no librosa constants — run misc/gen_golden_canonical.py on "
+                "a machine with librosa and commit golden_canonical.json")
         got = log_melspec(golden_signal(), SR, n_fft=128, win_t=128 / SR,
                           hop_t=64 / SR, n_mels=6)
         want = np.array(canonical["librosa"]["log_melspec_first3"], np.float32)
         np.testing.assert_allclose(got[:3], want, rtol=2e-4, atol=2e-4)
 
     def test_librosa_canonical_spectrogram(self, canonical):
-        if "librosa" not in canonical:
-            pytest.skip("no librosa constants in golden_canonical.json")
         got = log_spectrogram(golden_signal(), SR, n_fft=128, win_t=128 / SR,
                               hop_t=64 / SR)
-        want = np.array(canonical["librosa"]["log_spec_row2_first8"], np.float32)
-        np.testing.assert_allclose(got[2, :8], want, rtol=2e-4, atol=2e-4)
+        if "librosa" in canonical:
+            want = np.array(canonical["librosa"]["log_spec_row2_first8"],
+                            np.float32)
+            np.testing.assert_allclose(got[2, :8], want, rtol=2e-4, atol=2e-4)
+        else:
+            # no librosa on this box: scipy.signal.stft is the independent
+            # canonical-grade STFT standing in (reflect boundary + periodic
+            # hamming reproduce librosa's centered rstft exactly; see
+            # TestScipyIndependentSTFT for the full-matrix version)
+            from scipy.signal import get_window, stft
+
+            y = golden_signal()
+            pre = y - 0.97 * np.concatenate([[0.0], y[:-1]])
+            win = get_window("hamming", 128, fftbins=True)
+            _, _, Z = stft(pre, fs=SR, window=win, nperseg=128, noverlap=64,
+                           boundary="even", padded=False, detrend=False,
+                           return_onesided=True, scaling="spectrum")
+            mag = np.abs(Z).T * win.sum()
+            want = np.log(np.maximum(mag, np.finfo(np.float64).tiny))
+            want[want < -50.0] = -50.0
+            np.testing.assert_allclose(got[2, :8], want[2, :8].astype(np.float32),
+                                       rtol=2e-5, atol=2e-5)
 
     def test_kaldi_canonical_fbank(self, canonical):
         if "kaldi" not in canonical:
-            pytest.skip("no kaldi constants in golden_canonical.json")
+            pytest.skip(
+                "no kaldi constants — run misc/gen_golden_canonical.py on a "
+                "machine with Kaldi and commit golden_canonical.json")
         # compute-fbank-feats read the int16-quantized signal; feed the
         # dequantized equivalent so both pipelines see identical samples
         y = golden_signal()
@@ -267,3 +285,86 @@ class TestGoldenCrossPaths:
         got = np.asarray(feats)[0, : int(np.asarray(n)[0])]
         mask = ref > -15.0
         np.testing.assert_allclose(got[mask], ref[mask], rtol=2e-2, atol=2e-2)
+
+
+class TestCommittedGoldenRegression:
+    """FULL feature matrices pinned against the committed artifact
+    ``tests/golden/regression_features.npz`` (misc/gen_golden_regression.py,
+    VERDICT r03 item 5): parity is bits on disk, not a run-time
+    self-comparison. Covers both extractor families at the test configs AND
+    the reference's production defaults (23-mel fbank.conf, 80-mel librosa)."""
+
+    @pytest.fixture(scope="class")
+    def goldens(self):
+        from pathlib import Path
+
+        return np.load(Path(__file__).parent / "golden" / "regression_features.npz")
+
+    def golden_signal_16k(self):
+        t = np.arange(1600) / 16000
+        rng = np.random.default_rng(42)
+        return (
+            0.6 * np.sin(2 * np.pi * 1000 * t)
+            + 0.3 * np.sin(2 * np.pi * 3137 * t + 0.5)
+            + 0.1 * rng.standard_normal(1600)
+        ).astype(np.float64)
+
+    def test_kaldi_family(self, goldens):
+        np.testing.assert_allclose(
+            kaldi_fbank(golden_signal(), SR, n_mels=8, dither=0.0),
+            goldens["kaldi_fbank_8mel_sr8k"], rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            kaldi_fbank(self.golden_signal_16k(), 16000, n_mels=23, dither=0.0),
+            goldens["kaldi_fbank_23mel_sr16k"], rtol=1e-5, atol=1e-5)
+
+    def test_librosa_family(self, goldens):
+        y = golden_signal()
+        np.testing.assert_allclose(
+            log_melspec(y, SR, n_fft=128, win_t=128 / SR, hop_t=64 / SR, n_mels=6),
+            goldens["librosa_melspec_6mel_sr8k"], rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            log_spectrogram(y, SR, n_fft=128, win_t=128 / SR, hop_t=64 / SR),
+            goldens["librosa_spec_sr8k"], rtol=1e-5, atol=1e-5)
+        y16 = self.golden_signal_16k()
+        np.testing.assert_allclose(
+            log_melspec(y16, 16000, n_fft=400, win_t=0.025, hop_t=0.010, n_mels=80),
+            goldens["librosa_melspec_80mel_sr16k"], rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            log_spectrogram(y16, 16000, n_fft=400, win_t=0.025, hop_t=0.010),
+            goldens["librosa_spec_sr16k"], rtol=1e-5, atol=1e-5)
+
+    def test_native_matches_committed_goldens(self, goldens):
+        from pytorch_scalablefhvae_tpu.native.binding import native_fbank
+
+        try:
+            got = native_fbank(golden_signal(), SR, n_mels=8, dither=0.0)
+        except Exception as e:  # toolchain unavailable
+            pytest.skip(f"native extractor unavailable: {e}")
+        np.testing.assert_allclose(got, goldens["kaldi_fbank_8mel_sr8k"],
+                                   rtol=2e-4, atol=2e-4)
+
+
+class TestScipyIndependentSTFT:
+    """The librosa-recipe spectrogram validated against scipy.signal.stft —
+    a genuinely independent, widely-validated STFT implementation (not our
+    code, not our naive pipeline): reflect ('even') boundary + periodic
+    hamming + magnitude reproduce librosa's centered rstft exactly."""
+
+    def test_spectrogram_matches_scipy(self):
+        from scipy.signal import get_window, stft
+
+        y = golden_signal()
+        n_fft, hop = 128, 64
+        got = log_spectrogram(y, SR, n_fft=n_fft, win_t=n_fft / SR,
+                              hop_t=hop / SR)
+        pre = y - 0.97 * np.concatenate([[0.0], y[:-1]])
+        win = get_window("hamming", n_fft, fftbins=True)
+        _, _, Z = stft(pre, fs=SR, window=win, nperseg=n_fft,
+                       noverlap=n_fft - hop, boundary="even", padded=False,
+                       detrend=False, return_onesided=True,
+                       scaling="spectrum")
+        mag = np.abs(Z).T * win.sum()  # undo scipy's 1/sum(win) scaling
+        expected = np.log(np.maximum(mag, np.finfo(np.float64).tiny))
+        expected[expected < -50.0] = -50.0
+        np.testing.assert_allclose(got, expected[: got.shape[0]].astype(np.float32),
+                                   rtol=2e-5, atol=2e-5)

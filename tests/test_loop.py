@@ -202,3 +202,70 @@ class TestFinetuneDirectory:
         assert ft_dir.exists() and list(ft_dir.glob("*_e0.npz"))
         # source checkpoint untouched
         assert src_ckpts[0].read_bytes() == src_bytes
+
+
+class TestDivergenceAbort:
+    def test_dispatch_check_covers_first_and_last_subloss(self):
+        """VERDICT r03 item 7: a NaN injected at sub-step 0 of a K-step
+        dispatch is caught by the next dispatch's check even if later
+        sub-losses look finite — bounding the donated-state overrun at one
+        dispatch (~K steps)."""
+        from pytorch_scalablefhvae_tpu.train.loop import dispatch_losses_diverged
+
+        assert not dispatch_losses_diverged(np.array([1.0, 2.0, 3.0]))
+        assert dispatch_losses_diverged(np.array([np.nan, 1.0, 2.0]))
+        assert dispatch_losses_diverged(np.array([1.0, 2.0, np.inf]))
+        assert dispatch_losses_diverged(np.array(np.nan))  # K=1 scalar
+        assert not dispatch_losses_diverged(np.array(0.5))
+
+    def test_k_dispatch_nan_aborts_with_exit_2(self, corpus, tmp_path):
+        """Divergence in the K-step bundled path aborts with exit code 2
+        (train_model.py:464-466 parity)."""
+        cfg = small_config(tmp_path, steps_per_dispatch=4)
+        cfg = dataclasses.replace(
+            cfg, optim=OptimConfig(learning_rate=1e18),
+            train=dataclasses.replace(cfg.train, epochs=3))
+        with pytest.raises(SystemExit) as e:
+            train_from_config(
+                cfg, data_root=corpus, exp_root=tmp_path / "exp",
+                is_preprocessed=True, verbose=False,
+            )
+        assert e.value.code == 2
+
+
+class TestGradHistograms:
+    def test_writer_emits_grad_histograms(self, tmp_path):
+        """--log-params logs value AND gradient histograms
+        (reference logger.py:80-86 parity, VERDICT r03 item 6)."""
+        from pytorch_scalablefhvae_tpu.train.metrics import MetricWriter
+
+        class FakeTB:
+            def __init__(self):
+                self.hist, self.scalars = [], []
+
+            def add_scalar(self, tag, v, step):
+                self.scalars.append(tag)
+
+            def add_histogram(self, tag, vals, step):
+                self.hist.append(tag)
+
+            def flush(self):
+                pass
+
+        w = MetricWriter(tmp_path, "run", tensorboard=False, log_params=True)
+        w._tb = FakeTB()
+        params = {"enc": {"w": np.ones((3, 3))}}
+        grads = {"enc": {"w": np.full((3, 3), 0.1)}}
+        w.write_epoch(0, {"train_loss": 1.0}, params=params, grads=grads)
+        assert any(t.startswith("grads/") for t in w._tb.hist)
+        assert any(not t.startswith("grads/") for t in w._tb.hist)
+
+    def test_end_to_end_with_log_params(self, corpus, tmp_path):
+        cfg = small_config(tmp_path, tensorboard=True, log_params=True,
+                           tb_log_dir=str(tmp_path / "tb"))
+        res = train_from_config(
+            cfg, data_root=corpus, exp_root=tmp_path / "exp",
+            is_preprocessed=True, verbose=False,
+        )
+        assert not res.diverged
+        assert list((tmp_path / "tb").glob("events.out.tfevents.*"))

@@ -222,3 +222,44 @@ class TestOrbaxBackend:
             np.asarray(loaded.params["mu2_table"]),
             np.asarray(state_pad.params["mu2_table"])[:NUM_SEQS],
         )
+
+    def test_interrupted_save_self_heals(self, setup, tmp_path, rng):
+        """A sidecar + best-pointer written for a save whose async commit
+        never finished (crash/preemption): loads fall back to the latest
+        COMMITTED checkpoint with a warning instead of raising
+        (VERDICT r03 item 8)."""
+        model, optimizer, state = setup
+        step = make_train_step(model, optimizer, alpha=10.0, donate=False)
+        trained, _ = step(state, *make_batch(rng))
+        save_checkpoint_orbax(
+            tmp_path, trained, model_type="simple_fhvae", run_info="h", epoch=0,
+            meta={"best_epoch": 0, "best_val_lb": -1.0, "values": {}},
+        )
+        wait_for_saves()
+        # simulate the interruption: epoch-1 sidecar + best pointer exist,
+        # the .orbax directory does not (orbax commits via atomic rename)
+        dangling = (tmp_path / "simple_fhvae_h_e1.orbax").resolve()
+        (tmp_path / "simple_fhvae_h_e1.json").write_text(json.dumps(
+            {"best_epoch": 1, "best_val_lb": -0.5, "values": {},
+             "backend": "orbax", "epoch": 1}))
+        (tmp_path / "best_model_pointer.json").write_text(json.dumps(
+            {"path": str(dangling), "epoch": 1}))
+
+        # find_best_checkpoint self-heals the dangling pointer
+        with pytest.warns(UserWarning, match="never committed"):
+            best = ckpt.find_best_checkpoint(tmp_path)
+        assert best.name == "simple_fhvae_h_e0.orbax"
+
+        # a direct load of the dangling path falls back to epoch 0
+        with pytest.warns(UserWarning, match="falling back"):
+            loaded, meta = load_checkpoint_orbax(dangling, state)
+        states_equal(loaded, trained)
+        assert meta["epoch"] == 0 and meta["start_epoch"] == 1
+
+    def test_interrupted_save_no_fallback_raises(self, setup, tmp_path):
+        model, optimizer, state = setup
+        dangling = (tmp_path / "simple_fhvae_x_e0.orbax").resolve()
+        (tmp_path / "simple_fhvae_x_e0.json").write_text(json.dumps(
+            {"best_epoch": 0, "epoch": 0}))
+        with pytest.raises(FileNotFoundError, match="no earlier committed"):
+            load_checkpoint_orbax(dangling, state)
