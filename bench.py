@@ -318,21 +318,33 @@ def bench_hier_round(hier_k: int = 2000, frames: int = 60,
     With hierarchical sampling (BASELINE config 4) the per-step cost is
     corpus-size-independent — the model's mu2 table is O(K) rows regardless
     of the 281k-sequence corpus — so the scale question is the ROUND
-    TURNOVER: the MAP-init encode pass over the round's K sequences plus the
-    table swap/moment reset, amortized against the round's training epoch.
-    Returns {"hier_round_init_s", "hier_round_train_s",
-    "hier_round_overhead_pct"} measured with the real loop machinery
-    (estimate_split_mu2 + the K-bundled train path) on a K-sequence subset;
-    both phases scale linearly in the subset's segment count, so the
-    overhead percentage transfers to the full K=5000 configuration.
+    TURNOVER: the MAP-init pass over the round's K sequences plus the table
+    swap/moment reset, amortized against the round's training epoch.
+
+    Primary keys {"hier_round_init_s", "hier_round_train_s",
+    "hier_round_overhead_pct"} measure the DEVICE-RESIDENT round machinery
+    the loop uses at this scale (train/loop.py hier_device: one
+    make_device_map_pass dispatch computes the replacement table in HBM;
+    training reads the staged pack). "hier_round_host_*" keys measure the
+    host-loader fallback (estimate_split_mu2 + the K-bundled stack path) for
+    comparison. Both phases scale linearly in the subset's segment count, so
+    the overhead percentage transfers to the full K=5000 configuration.
     """
     import jax
 
+    from pytorch_scalablefhvae_tpu.data.device_store import DeviceDataSource
     from pytorch_scalablefhvae_tpu.data.feature_store import FeatureStore
     from pytorch_scalablefhvae_tpu.data.loader import SegmentLoader, stack_prefetch
     from pytorch_scalablefhvae_tpu.data.segments import SegmentDataset
     from pytorch_scalablefhvae_tpu.models import SimpleFHVAE
-    from pytorch_scalablefhvae_tpu.train.loop import estimate_split_mu2
+    from pytorch_scalablefhvae_tpu.train.device_step import (
+        make_device_map_pass,
+        make_device_train_step,
+    )
+    from pytorch_scalablefhvae_tpu.train.loop import (
+        _replace_mu2_table,
+        estimate_split_mu2,
+    )
     from pytorch_scalablefhvae_tpu.train.step import (
         create_train_state,
         make_encode_step,
@@ -349,19 +361,72 @@ def bench_hier_round(hier_k: int = 2000, frames: int = 60,
     model = SimpleFHVAE(input_size=SEG_LEN * N_MELS, num_seqs=hier_k)
     optimizer = make_optimizer(1e-3, 0.95, 0.999)
     state = create_train_state(model, optimizer, seed=0)
+    pz2_var = 0.25
+    n_total = len(ds)
+
+    # ---- device-resident round (the production path at this scale)
+    src = DeviceDataSource(store)
+    order = np.arange(n_total)
+    plan, plan_dev = src.stage_epoch(ds, order, BATCH)
+    map_pass = make_device_map_pass(
+        model, SEG_LEN, BATCH, plan.n_batches, hier_k, pz2_var)
+    dstep = make_device_train_step(
+        model, optimizer, ALPHA, SEG_LEN, BATCH, k_dispatch, donate=False)
+    n_real = np.int32(plan.n_real)
+
+    def dev_round_init(state):
+        # re-stage the plan (per-round subsets re-plan in the real loop; the
+        # features themselves stay staged) + one MAP dispatch + table swap
+        _, (seq_dev, starts_dev, nsegs_dev) = src.stage_epoch(ds, order, BATCH)
+        table = map_pass(state.params, src.data, seq_dev, starts_dev, n_real)
+        state = _replace_mu2_table(state, table)
+        # sync: MAP tables are consumed by the round's first train dispatch;
+        # fetching one element bounds the init cost honestly on the tunnel
+        float(np.asarray(state.params["mu2_table"][0, 0]))
+        return state, (seq_dev, starts_dev, nsegs_dev)
+
+    def dev_epoch(state, args):
+        seq_dev, starts_dev, nsegs_dev = args
+        m = None
+        groups = plan.n_batches // k_dispatch
+        for g in range(groups):
+            state, m = dstep(state, src.data, seq_dev, starts_dev, nsegs_dev,
+                             np.int32(g * k_dispatch * BATCH), n_real)
+        assert m is not None
+        float(np.asarray(m["loss"]).ravel()[-1])
+        return state, groups * k_dispatch * BATCH
+
+    state, args = dev_round_init(state)  # compile
+    state, _ = dev_epoch(state, args)  # compile
+    t0 = time.perf_counter()
+    state, args = dev_round_init(state)
+    dev_init_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    state, n_trained = dev_epoch(state, args)
+    dev_train_s = time.perf_counter() - t0
+    init_ps = dev_init_s / n_total
+    train_ps = dev_train_s / max(n_trained, 1)
+    out = {
+        "hier_round_init_s": round(dev_init_s, 3),
+        "hier_round_train_s": round(
+            dev_train_s * n_total / max(n_trained, 1), 3),
+        "hier_round_overhead_pct": round(
+            100.0 * init_ps / (init_ps + train_ps), 1),
+    }
+
+    # ---- host-loader fallback (the pre-r04 primary measurement)
+    state = create_train_state(model, optimizer, seed=0)
     encode_step = make_encode_step(model)
     mstep = make_multi_train_step(model, optimizer, ALPHA, donate=False)
-
     est_loader = SegmentLoader(ds, BATCH, shuffle=False, seed=0)
-    pz2_var = 0.25
 
     def map_init():
         return estimate_split_mu2(encode_step, state.params, est_loader,
                                   hier_k, pz2_var, z2_dim=16)
 
-    table = map_init()  # compile
+    map_init()  # compile
     t0 = time.perf_counter()
-    table = map_init()
+    map_init()
     init_s = time.perf_counter() - t0
 
     train_loader = SegmentLoader(ds, BATCH, shuffle=True, seed=0)
@@ -385,17 +450,16 @@ def bench_hier_round(hier_k: int = 2000, frames: int = 60,
     t0 = time.perf_counter()
     state, n_trained = epoch(state)
     train_s = time.perf_counter() - t0
-    # the init pass covers the FULL subset while the epoch covers only the
-    # K-stacked groups, so the overhead ratio compares PER-SEGMENT costs
-    n_total = len(ds)
     init_ps = init_s / n_total
     train_ps = train_s / max(n_trained, 1)
-    return {
-        "hier_round_init_s": round(init_s, 3),
-        "hier_round_train_s": round(train_s * n_total / max(n_trained, 1), 3),
-        "hier_round_overhead_pct": round(
+    out.update({
+        "hier_round_host_init_s": round(init_s, 3),
+        "hier_round_host_train_s": round(
+            train_s * n_total / max(n_trained, 1), 3),
+        "hier_round_host_overhead_pct": round(
             100.0 * init_ps / (init_ps + train_ps), 1),
-    }
+    })
+    return out
 
 
 def bench_input_link_MBps(mbytes: int = 32) -> float:

@@ -118,6 +118,11 @@ def add_train_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--lstm-pallas", type=str, default="auto",
                    choices=["auto", "never", "always"],
                    help="Fused Pallas LSTM recurrence (fhvae); never = lax.scan")
+    p.add_argument("--lstm-mm-dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"],
+                   help="Matmul operand dtype inside the Pallas LSTM "
+                        "recurrence (carries/accumulation stay fp32); "
+                        "float32 restores bit-parity with the scan path")
     p.add_argument("--scan-unroll", type=int, default=20,
                    help="lax.scan unroll for the scan-path LSTM recurrences")
     p.add_argument("--device", type=str, default="tpu",
@@ -230,6 +235,7 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
             mu2_init_std=getattr(args, "mu2_init_std", 1.0),
             use_pallas=getattr(args, "use_pallas", "auto"),
             lstm_pallas=getattr(args, "lstm_pallas", "auto"),
+            lstm_mm_dtype=getattr(args, "lstm_mm_dtype", "bfloat16"),
             scan_unroll=getattr(args, "scan_unroll", 20),
         ),
         optim=OptimConfig(

@@ -118,6 +118,10 @@ class ModelConfig:
     # fused Pallas LSTM recurrence (ops/lstm_pallas.py), fhvae only;
     # "never" falls back to the lax.scan path
     lstm_pallas: str = "auto"
+    # matmul operand dtype inside the Pallas recurrence (weights + hidden
+    # states; gates/carries/accumulation stay fp32). bfloat16 runs the MXU
+    # single-pass; "float32" restores bit-parity with the scan path
+    lstm_mm_dtype: str = "bfloat16"
     # lax.scan unroll for the scan-path LSTM recurrences (fhvae only);
     # the default fully unrolls the reference's 20-frame segments
     scan_unroll: int = 20

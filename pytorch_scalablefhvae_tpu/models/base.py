@@ -119,6 +119,7 @@ def assemble_elbo(
     nsegs: jnp.ndarray,
     *,
     pz2_logvar: float,
+    frame_axes: tuple[int, int] = (1, 2),
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Per-segment ELBO terms (simple_fhvae.py:106-116, detaches removed).
 
@@ -126,11 +127,16 @@ def assemble_elbo(
                     + log p(mu2) / nsegs``
     where the mu2 prior term is amortized over the owning sequence's segment
     count (the "scalable" per-segment bound of arXiv 1804.03201 eq. 5).
+
+    ``frame_axes``: the (time, feature) axes of ``x``/``x_mu``/``x_logvar``
+    to reduce for the reconstruction term — ``(1, 2)`` for batch-major
+    ``[B, T, F]``, ``(0, 2)`` for the recurrent model's time-major
+    ``[T, B, F]`` fused path (models/fhvae.py).
     """
     log_pmu2 = jnp.sum(log_gauss(mu2, 0.0, 0.0), axis=-1)
     neg_kld_z2 = -jnp.sum(kld(z2_mu, z2_logvar, mu2, pz2_logvar), axis=-1)
     neg_kld_z1 = -jnp.sum(kld(z1_mu, z1_logvar, 0.0, 0.0), axis=-1)
-    log_px_z = jnp.sum(log_gauss(x, x_mu, x_logvar), axis=(1, 2))
+    log_px_z = jnp.sum(log_gauss(x, x_mu, x_logvar), axis=frame_axes)
     lower_bound = log_px_z + neg_kld_z1 + neg_kld_z2 + log_pmu2 / nsegs
     return lower_bound, log_px_z, neg_kld_z1, neg_kld_z2, log_pmu2
 

@@ -127,9 +127,21 @@ def run_lstm_wavefront2(p: dict, xs: jnp.ndarray, cdt=None,
     return seq, h2
 
 
+def _two_layer_ok(p: dict, T: int) -> bool:
+    """Whether a stack qualifies for the fused Pallas recurrence: two
+    equal-width layers and at least two steps."""
+    return (
+        len(p["cells"]) == 2
+        and p["cells"][0]["w"].shape[1] == p["cells"][1]["w"].shape[1]
+        and p["cells"][1]["w"].shape[0]
+        == 2 * (p["cells"][1]["w"].shape[1] // 4)
+        and T >= 2
+    )
+
+
 def run_lstm(
     p: dict, xs: jnp.ndarray, cdt=None, unroll: int | bool = 1,
-    use_pallas: str = "never",
+    use_pallas: str = "never", mm_dtype=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Run a stacked LSTM over ``xs [B, T, D]``.
 
@@ -152,13 +164,7 @@ def run_lstm(
     and the recurrent matmul is tiny, so the scan's per-step loop overhead is
     a real cost; unrolling lets XLA software-pipeline consecutive steps.
     """
-    two_layer = (
-        len(p["cells"]) == 2
-        and p["cells"][0]["w"].shape[1] == p["cells"][1]["w"].shape[1]
-        and p["cells"][1]["w"].shape[0]
-        == 2 * (p["cells"][1]["w"].shape[1] // 4)
-        and xs.shape[1] >= 2
-    )
+    two_layer = _two_layer_ok(p, xs.shape[1])
     if two_layer and (
         use_pallas == "always"
         or (use_pallas == "auto" and jax.default_backend() == "tpu")
@@ -181,7 +187,8 @@ def run_lstm(
                     "magnitude slower than the scan path); use 'auto' to "
                     "gate on the backend.", RuntimeWarning, stacklevel=2)
             return lstm2_pallas(p, xs, cdt,
-                                interpret=jax.default_backend() != "tpu")
+                                interpret=jax.default_backend() != "tpu",
+                                mm_dtype=mm_dtype)
         # "auto" + wide stack: the backward kernel's VMEM-resident weight
         # grads would blow the budget and fail to compile — scan instead
     if two_layer:
@@ -243,6 +250,12 @@ class FHVAE:
     # (ops/lstm_pallas.py); independent of use_pallas (the discriminative
     # softmax kernel) because the two win in different regimes
     lstm_pallas: str = "auto"
+    # matmul operand dtype INSIDE the Pallas recurrence (weights + hidden
+    # states; gates/carries/accumulation stay fp32). bfloat16 runs the MXU
+    # single-pass (~3x the fp32 multi-pass rate) and is the TPU default;
+    # "float32" restores bit-exact parity with the scan path. Only affects
+    # the Pallas path.
+    lstm_mm_dtype: str = "bfloat16"
     feat_dim: int = 80  # frames arrive as [B, T, feat_dim]
     # lax.scan unroll factor for the LSTM recurrences (see run_lstm); the
     # default fully unrolls the reference's 20-frame segments
@@ -272,6 +285,7 @@ class FHVAE:
             compute_dtype=cfg.compute_dtype,
             use_pallas=getattr(cfg, "use_pallas", "auto"),
             lstm_pallas=getattr(cfg, "lstm_pallas", "auto"),
+            lstm_mm_dtype=getattr(cfg, "lstm_mm_dtype", "bfloat16"),
             scan_unroll=getattr(cfg, "scan_unroll", 20),
             feat_dim=feat_dim,
         )
@@ -283,6 +297,11 @@ class FHVAE:
     @property
     def _cdt(self):
         return jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
+
+    @property
+    def _mm(self):
+        return None if self.lstm_mm_dtype == "float32" else jnp.dtype(
+            self.lstm_mm_dtype)
 
     def init(self, key: jax.Array) -> dict:
         ks = jax.random.split(key, 7)
@@ -301,13 +320,13 @@ class FHVAE:
         k2, k1 = jax.random.split(key)
 
         _, h2 = run_lstm(params["z2_lstm"], x, cdt, self.scan_unroll,
-                         self.lstm_pallas)
+                         self.lstm_pallas, self._mm)
         z2_mu, z2_logvar, z2 = layers.gauss_head(params["z2_gauss"], h2, k2, cdt, sample)
 
         T = x.shape[1]
         z2_tiled = jnp.broadcast_to(z2[:, None, :], (x.shape[0], T, z2.shape[-1]))
         _, h1 = run_lstm(params["z1_lstm"], jnp.concatenate([x, z2_tiled], axis=-1),
-                         cdt, self.scan_unroll, self.lstm_pallas)
+                         cdt, self.scan_unroll, self.lstm_pallas, self._mm)
         z1_mu, z1_logvar, z1 = layers.gauss_head(params["z1_gauss"], h1, k1, cdt, sample)
         return {
             "z1_mu": z1_mu, "z1_logvar": z1_logvar, "z1": z1,
@@ -332,13 +351,131 @@ class FHVAE:
         z = jnp.concatenate([z1, z2], axis=-1)
         z_seq = jnp.broadcast_to(z[:, None, :], (B, num_frames, z.shape[-1]))
         tops, _ = run_lstm(params["dec_lstm"], z_seq, cdt, self.scan_unroll,
-                           self.lstm_pallas)
+                           self.lstm_pallas, self._mm)
         flat = tops.reshape(B * num_frames, -1)
         if key is None:
             key = jax.random.PRNGKey(0)
         x_mu, x_logvar, x_sample = layers.gauss_head(params["dec_gauss"], flat, key, cdt, sample)
         shape = (B, num_frames, self.feat_dim)
         return x_mu.reshape(shape), x_logvar.reshape(shape), x_sample.reshape(shape)
+
+    def _fused_ready(self, params: dict, B: int, T: int) -> bool:
+        """Whether the whole-model time-major fused path applies: Pallas
+        recurrence selected and all three stacks kernel-eligible within the
+        VMEM budget."""
+        if not (self.lstm_pallas == "always" or (
+                self.lstm_pallas == "auto"
+                and jax.default_backend() == "tpu")):
+            return False
+        from pytorch_scalablefhvae_tpu.ops.lstm_pallas import (
+            LSTM2_VMEM_BUDGET,
+            lstm2_vmem_bytes,
+        )
+
+        for name in ("z2_lstm", "z1_lstm", "dec_lstm"):
+            p = params[name]
+            if not _two_layer_ok(p, T):
+                return False
+            hid = p["cells"][0]["w"].shape[1] // 4
+            if (self.lstm_pallas == "auto"
+                    and lstm2_vmem_bytes(hid, B) > LSTM2_VMEM_BUDGET):
+                return False
+        return True
+
+    def _apply_fused(
+        self, params, x, seq_idx, nsegs, key, sample, mu2_table,
+    ) -> FHVAEOutputs:
+        """Time-major fused forward: the hot TPU path.
+
+        Differences from the generic path (same math, fewer bytes moved):
+        - all three recurrences run through the time-major Pallas kernel
+          (ops/lstm_pallas.py) — ``[T, B, .]`` arrays collapse to its row
+          blocks for free, where the batch-major interface forced real
+          tiled-layout reshapes around every kernel call;
+        - the z1 encoder's input projection is HOISTED AND SPLIT: the
+          ``concat([x, z2_tiled])`` of the generic path never materializes —
+          ``xg1 = x @ Wx[:D] + (z2 @ Wx[D:] + b)`` with the z2 part computed
+          once per segment, not per frame;
+        - the decoder's per-step input is the constant ``[z1, z2]``, so its
+          projected gates are computed ONCE per segment and the kernel
+          revisits the ``[B, 4H]`` block across all T steps — no
+          ``[T*B, 4H]`` broadcast in HBM;
+        - the ELBO reduces the time-major reconstruction directly
+          (``frame_axes=(0, 2)``); ``x_mu`` is transposed back only for the
+          output struct (dead code under the training loss, DCE'd by XLA).
+        """
+        from pytorch_scalablefhvae_tpu.ops.lstm_pallas import lstm2_pallas_tm
+
+        cdt, mm = self._cdt, self._mm
+        interp = jax.default_backend() != "tpu"
+        B, T, D = x.shape
+        k_enc, k_dec = jax.random.split(key)
+        k2, k1 = jax.random.split(k_enc)
+
+        def proj(a, w):
+            if cdt is not None:
+                a, w = a.astype(cdt), w.astype(cdt)
+            return jnp.dot(a, w, preferred_element_type=jnp.float32)
+
+        xt = jnp.swapaxes(x, 0, 1)  # [T, B, D], transposed ONCE
+        xt_flat = xt.reshape(T * B, D)
+
+        # ---- z2 encoder
+        c1 = params["z2_lstm"]["cells"][0]
+        xg = (proj(xt_flat, c1["w"][:D]) + c1["b"]).reshape(T, B, -1)
+        _, h2 = lstm2_pallas_tm(params["z2_lstm"], xg, T=T,
+                                interpret=interp, mm_dtype=mm)
+        z2_mu, z2_logvar, z2 = layers.gauss_head(
+            params["z2_gauss"], h2, k2, cdt, sample)
+
+        # ---- z1 encoder (split projection; no concat materialized)
+        c1 = params["z1_lstm"]["cells"][0]
+        xg_x = proj(xt_flat, c1["w"][:D]).reshape(T, B, -1)
+        xg_z = proj(z2, c1["w"][D : D + z2.shape[-1]]) + c1["b"]  # [B, 4H]
+        _, h1 = lstm2_pallas_tm(params["z1_lstm"], xg_x + xg_z[None], T=T,
+                                interpret=interp, mm_dtype=mm)
+        z1_mu, z1_logvar, z1 = layers.gauss_head(
+            params["z1_gauss"], h1, k1, cdt, sample)
+
+        # ---- decoder (constant per-step input: one [B, 4H] gate block)
+        c1 = params["dec_lstm"]["cells"][0]
+        z = jnp.concatenate([z1, z2], axis=-1)
+        xg_c = proj(z, c1["w"][: z.shape[-1]]) + c1["b"]  # [B, 4H]
+        tops_tm, _ = lstm2_pallas_tm(params["dec_lstm"], xg_c, T=T,
+                                     interpret=interp, mm_dtype=mm)
+        x_mu_f, x_logvar_f, _ = layers.gauss_head(
+            params["dec_gauss"], tops_tm.reshape(T * B, -1), k_dec, cdt,
+            sample=False)
+        x_mu_tm = x_mu_f.reshape(T, B, self.feat_dim)
+        x_logvar_tm = x_logvar_f.reshape(T, B, self.feat_dim)
+
+        if mu2_table is None:
+            mu2_table = params["mu2_table"]
+            num_real, mesh = self.num_seqs, self.shard_mesh
+        else:
+            num_real, mesh = mu2_table.shape[0], None
+        mu2 = mu2_table[seq_idx]
+        lower_bound, log_px_z, neg_kld_z1, neg_kld_z2, log_pmu2 = assemble_elbo(
+            xt, mu2, z1_mu, z1_logvar, z2_mu, z2_logvar,
+            x_mu_tm, x_logvar_tm, nsegs,
+            pz2_logvar=self.pz2_logvar, frame_axes=(0, 2),
+        )
+        log_qy = discriminative_log_qy(
+            z2_mu, mu2_table, seq_idx, self.pz2_logvar, self.use_pallas,
+            num_real=num_real, mesh=mesh,
+        )
+        return FHVAEOutputs(
+            lower_bound=lower_bound,
+            log_qy=log_qy,
+            log_px_z=log_px_z,
+            neg_kld_z1=neg_kld_z1,
+            neg_kld_z2=neg_kld_z2,
+            log_pmu2=log_pmu2,
+            z1_mu=z1_mu,
+            z2_mu=z2_mu,
+            x_mu=jnp.swapaxes(x_mu_tm, 0, 1),
+            x_logvar=jnp.swapaxes(x_logvar_tm, 0, 1),
+        )
 
     def apply(
         self,
@@ -351,6 +488,9 @@ class FHVAE:
         mu2_table: jnp.ndarray | None = None,
     ) -> FHVAEOutputs:
         x = x.astype(jnp.float32)
+        if self._fused_ready(params, x.shape[0], x.shape[1]):
+            return self._apply_fused(params, x, seq_idx, nsegs, key, sample,
+                                     mu2_table)
         k_enc, k_dec = jax.random.split(key)
         enc = self.encode(params, x, k_enc, sample)
         x_mu, x_logvar, _ = self.decode(

@@ -14,16 +14,38 @@ z1_hus/z2_hus/x_hus = (H, H), fhvae.py:5-13) inside one ``pallas_call``:
   dispatch gaps; gate nonlinearities run on the VPU in-register.
 
 The input projection ``xg1 = xs @ w1x + b1`` stays OUTSIDE the kernel as one
-large ``[B*T, D] x [D, 4H]`` XLA matmul (it is embarrassingly parallel over
+large ``[T*B, D] x [D, 4H]`` XLA matmul (it is embarrassingly parallel over
 time; only the recurrence benefits from fusion).
+
+Layout: the kernel streams TIME-MAJOR row blocks — ``xg1``/``tops``/``resid``
+are ``[T*B, .]`` with time outermost, so time step t is rows
+``[t*B, (t+1)*B)``. The model's ``[T, B, 4H]`` projection output collapses to
+this for free (leading-dim collapse preserves the (8,128) tiling when B is a
+sublane multiple), whereas the previous batch-major column-blocked
+``[B, T*4H]`` interface forced XLA to materialize real tiled-layout reshapes
+around every kernel invocation (~18% of the b1024 train step on v5e).
+
+``mm_dtype`` (optional, e.g. bfloat16) casts the *matmul operands* — weights
+and hidden states — inside the kernel while keeping gates, carries, residuals
+and all accumulation in fp32. On the MXU an fp32 matmul runs as a multi-pass
+bf16 decomposition, so single-pass bf16 operands roughly triple matmul
+throughput; fp32 carries keep the recurrence numerically stable (standard
+mixed-precision recurrent practice).
+
+``const_x`` mode serves the FHVAE decoder, whose per-step input is the SAME
+``[z1, z2]`` vector at every frame (models/fhvae.py decode): the projected
+``[B, 4H]`` block is fetched once per batch tile and revisited across all T
+grid steps — no ``[T*B, 4H]`` broadcast is ever materialized in HBM, and the
+backward pass accumulates ``dxg1`` across time in VMEM.
 
 Backward is a second Pallas kernel running the reverse-time recurrence with
 the standard LSTM adjoint, recomputing gate activations from the saved h/c
-sequences (cheaper than streaming ``[BT, 4H]`` gate tensors to HBM and back),
-and accumulating weight gradients in VMEM scratch across the entire grid.
+sequences (cheaper than streaming ``[T*B, 4H]`` gate tensors to HBM and
+back), and accumulating weight gradients in VMEM scratch across the grid.
 
-Numerics match run_lstm exactly (same order of operations per step);
-asserted by tests/test_lstm_pallas.py against the lax.scan path, fwd + grad.
+Numerics match run_lstm exactly at the default fp32 (same order of
+operations per step); asserted by tests/test_lstm_pallas.py against the
+lax.scan path, fwd + grad.
 """
 
 from __future__ import annotations
@@ -99,7 +121,7 @@ def _cell_bwd(gates, c_prev, c_new, dh, dc, hid):
 
 def _fwd_kernel(xg1_ref, w1h_ref, w2x_ref, w2h_ref, b2_ref,
                 tops_ref, resid_ref, h2last_ref,
-                h1, c1, h2, c2, *, hid):
+                h1, c1, h2, c2, *, hid, mm):
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -107,14 +129,15 @@ def _fwd_kernel(xg1_ref, w1h_ref, w2x_ref, w2h_ref, b2_ref,
         for buf in (h1, c1, h2, c2):
             buf[:] = jnp.zeros_like(buf)
 
-    g1 = xg1_ref[:] + jnp.dot(h1[:], w1h_ref[:],
-                              preferred_element_type=jnp.float32)
+    def dot(a, w_ref):
+        w = w_ref[:]
+        if mm is not None:
+            a, w = a.astype(mm), w.astype(mm)
+        return jnp.dot(a, w, preferred_element_type=jnp.float32)
+
+    g1 = xg1_ref[:] + dot(h1[:], w1h_ref)
     h1n, c1n = _cell_fwd(g1, c1[:], hid)
-    g2 = (
-        jnp.dot(h1n, w2x_ref[:], preferred_element_type=jnp.float32)
-        + jnp.dot(h2[:], w2h_ref[:], preferred_element_type=jnp.float32)
-        + b2_ref[:]
-    )
+    g2 = dot(h1n, w2x_ref) + dot(h2[:], w2h_ref) + b2_ref[:]
     h2n, c2n = _cell_fwd(g2, c2[:], hid)
     h1[:], c1[:], h2[:], c2[:] = h1n, c1n, h2n, c2n
     tops_ref[:] = h2n
@@ -122,37 +145,36 @@ def _fwd_kernel(xg1_ref, w1h_ref, w2x_ref, w2h_ref, b2_ref,
     h2last_ref[:] = h2n  # revisited block: the t = T-1 write is flushed
 
 
-def _fwd_call(xg1, w1h, w2x, w2h, b2, bt, interpret):
-    """xg1 [B, T*4H] batch-major -> (tops [B,T*H], resid [B,T*3H], h2 [B,H]).
+def _fwd_call(xg1, w1h, w2x, w2h, b2, bt, interpret, mm, const_x, T):
+    """Time-major fwd dispatch.
 
-    Batch-major column-blocked layout throughout: time step t is the column
-    block [:, t*4H : (t+1)*4H]. The model's natural [B, T, 4H] arrays reshape
-    to this for free (row-major bitcast) — time-major blocks would instead
-    make XLA materialize [T, B, 4H] transpose copies around every kernel
-    invocation (measured ~18% of the fhvae train step). The backward's
+    ``xg1``: ``[T*B, 4H]`` (time-major rows), or ``[B, 4H]`` when
+    ``const_x`` (the same projected input at every step — decoder mode;
+    Pallas keeps the revisited block in VMEM, one DMA per batch tile).
+    Returns ``(tops [T*B, H], resid [T*B, 3H], h2 [B, H])``. The backward's
     per-step activations (h1 | c1 | c2) travel as ONE fused residual stream
     so each grid step issues one wide DMA instead of three narrow ones.
     """
-    B, TH4 = xg1.shape
     hid = w1h.shape[0]
     H4 = 4 * hid
-    T = TH4 // H4
+    B = xg1.shape[0] if const_x else xg1.shape[0] // T
     n_bt = B // bt
     const = lambda i, t: (0, 0)  # noqa: E731
-    step = lambda i, t: (i, t)  # noqa: E731
+    step = lambda i, t: (t * n_bt + i, 0)  # noqa: E731
+    xg_map = (lambda i, t: (i, 0)) if const_x else step
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, hid=hid),
+        functools.partial(_fwd_kernel, hid=hid, mm=mm),
         grid=(n_bt, T),
         in_specs=[
-            pl.BlockSpec((bt, H4), step, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, H4), xg_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((hid, H4), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((hid, H4), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((hid, H4), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, H4), const, memory_space=pltpu.VMEM),
         ],
         out_shape=(
-            jax.ShapeDtypeStruct((B, T * hid), jnp.float32),
-            jax.ShapeDtypeStruct((B, T * 3 * hid), jnp.float32),
+            jax.ShapeDtypeStruct((T * B, hid), jnp.float32),
+            jax.ShapeDtypeStruct((T * B, 3 * hid), jnp.float32),
             jax.ShapeDtypeStruct((B, hid), jnp.float32),
         ),
         out_specs=(
@@ -176,7 +198,8 @@ def _fwd_call(xg1, w1h, w2x, w2h, b2, bt, interpret):
 def _bwd_kernel(xg1_ref, resid_ref, residp_ref, topsp_ref,
                 w1h_ref, w2x_ref, w2h_ref, b2_ref, gtops_ref, gh2_ref,
                 dxg1_ref, dw1h_ref, dw2x_ref, dw2h_ref, db2_ref,
-                dh1, dc1, dh2, dc2, aw1h, aw2x, aw2h, ab2, *, hid, T):
+                dh1, dc1, dh2, dc2, aw1h, aw2x, aw2h, ab2,
+                *, hid, T, mm, const_x):
     i_bt = pl.program_id(0)
     i = pl.program_id(1)  # reversed step: time t = T-1-i
     first_t = i == 0
@@ -197,6 +220,12 @@ def _bwd_kernel(xg1_ref, resid_ref, residp_ref, topsp_ref,
         aw2h[:] = jnp.zeros_like(aw2h)
         ab2[:] = jnp.zeros_like(ab2)
 
+    def cast(a):
+        return a if mm is None else a.astype(mm)
+
+    def w(ref):
+        return cast(ref[:])
+
     # fused residual stream: (h1 | c1 | c2) at t and t-1
     h1_t = resid_ref[:, :hid]
     c1_t = resid_ref[:, hid : 2 * hid]
@@ -206,20 +235,21 @@ def _bwd_kernel(xg1_ref, resid_ref, residp_ref, topsp_ref,
     c2_prev = jnp.where(t_is_zero, 0.0, residp_ref[:, 2 * hid :])
     h2_prev = jnp.where(t_is_zero, 0.0, topsp_ref[:])
 
+    def dot(a, b):
+        return jnp.dot(cast(a), b, preferred_element_type=jnp.float32)
+
     # ---- layer 2 (recompute gates, then adjoint)
-    g2 = (
-        jnp.dot(h1_t, w2x_ref[:], preferred_element_type=jnp.float32)
-        + jnp.dot(h2_prev, w2h_ref[:], preferred_element_type=jnp.float32)
-        + b2_ref[:]
-    )
+    g2 = dot(h1_t, w(w2x_ref)) + dot(h2_prev, w(w2h_ref)) + b2_ref[:]
     dh2_tot = dh2[:] + gtops_ref[:]
     dgates2, dc2_prev = _cell_bwd(g2, c2_prev, c2_t, dh2_tot, dc2[:], hid)
     # contracted-dim dot_generals express A @ W.T / A.T @ B without explicit
     # transposes (Mosaic handles transposed contraction natively on the MXU)
     nt = lambda a, b: jax.lax.dot_general(  # noqa: E731  — [M,K] x [N,K] -> [M,N]
-        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        cast(a), cast(b), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
     tn = lambda a, b: jax.lax.dot_general(  # noqa: E731  — [K,M] x [K,N] -> [M,N]
-        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        cast(a), cast(b), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
     dh2[:] = nt(dgates2, w2h_ref[:])
     dc2[:] = dc2_prev
     aw2x[:] += tn(h1_t, dgates2)
@@ -227,14 +257,24 @@ def _bwd_kernel(xg1_ref, resid_ref, residp_ref, topsp_ref,
     ab2[:] += jnp.sum(dgates2, axis=0, keepdims=True)
 
     # ---- layer 1
-    g1 = xg1_ref[:] + jnp.dot(h1_prev, w1h_ref[:],
-                              preferred_element_type=jnp.float32)
+    g1 = xg1_ref[:] + dot(h1_prev, w(w1h_ref))
     dh1_tot = dh1[:] + nt(dgates2, w2x_ref[:])
     dgates1, dc1_prev = _cell_bwd(g1, c1_prev, c1_t, dh1_tot, dc1[:], hid)
     dh1[:] = nt(dgates1, w1h_ref[:])
     dc1[:] = dc1_prev
     aw1h[:] += tn(h1_prev, dgates1)
-    dxg1_ref[:] = dgates1
+    if const_x:
+        # the same input fed every step: accumulate dxg1 over time in the
+        # revisited [bt, 4H] output block (flushed once per batch tile)
+        @pl.when(first_t)
+        def _():
+            dxg1_ref[:] = dgates1
+
+        @pl.when(jnp.logical_not(first_t))
+        def _():
+            dxg1_ref[:] += dgates1
+    else:
+        dxg1_ref[:] = dgates1
 
     # boundary guard: at t=0 the "previous h" is zero, so the recurrent
     # gradient must not flow further back (next bt tile re-inits anyway)
@@ -252,23 +292,23 @@ def _bwd_kernel(xg1_ref, resid_ref, residp_ref, topsp_ref,
 
 
 def _bwd_call(xg1, resid, tops, w1h, w2x, w2h, b2,
-              g_tops, g_h2, bt, interpret):
-    B, TH4 = xg1.shape
+              g_tops, g_h2, bt, interpret, mm, const_x, T):
     hid = w1h.shape[0]
     H4 = 4 * hid
-    T = TH4 // H4
+    B = xg1.shape[0] if const_x else xg1.shape[0] // T
     n_bt = B // bt
     const = lambda i, t: (0, 0)  # noqa: E731
-    rev = lambda i, t: (i, T - 1 - t)  # noqa: E731
-    # "previous step" views: column block T-2-t, clamped at t = T-1
+    rev = lambda i, t: ((T - 1 - t) * n_bt + i, 0)  # noqa: E731
+    # "previous step" views: row block at time T-2-t, clamped at t = T-1
     # (masked in-kernel)
-    prev = lambda i, t: (i, jnp.maximum(T - 2 - t, 0))  # noqa: E731
+    prev = lambda i, t: (jnp.maximum(T - 2 - t, 0) * n_bt + i, 0)  # noqa: E731
+    xg_map = (lambda i, t: (i, 0)) if const_x else rev
     w_spec = pl.BlockSpec((hid, H4), const, memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, hid=hid, T=T),
+        functools.partial(_bwd_kernel, hid=hid, T=T, mm=mm, const_x=const_x),
         grid=(n_bt, T),
         in_specs=[
-            pl.BlockSpec((bt, H4), rev, memory_space=pltpu.VMEM),   # xg1
+            pl.BlockSpec((bt, H4), xg_map, memory_space=pltpu.VMEM),  # xg1
             pl.BlockSpec((bt, 3 * hid), rev, memory_space=pltpu.VMEM),   # resid t
             pl.BlockSpec((bt, 3 * hid), prev, memory_space=pltpu.VMEM),  # resid t-1
             pl.BlockSpec((bt, hid), prev, memory_space=pltpu.VMEM),  # tops t-1
@@ -279,14 +319,14 @@ def _bwd_call(xg1, resid, tops, w1h, w2x, w2h, b2,
                          memory_space=pltpu.VMEM),  # g_h2
         ],
         out_shape=(
-            jax.ShapeDtypeStruct((B, T * H4), jnp.float32),
+            jax.ShapeDtypeStruct(xg1.shape, jnp.float32),
             jax.ShapeDtypeStruct((hid, H4), jnp.float32),
             jax.ShapeDtypeStruct((hid, H4), jnp.float32),
             jax.ShapeDtypeStruct((hid, H4), jnp.float32),
             jax.ShapeDtypeStruct((1, H4), jnp.float32),
         ),
         out_specs=(
-            pl.BlockSpec((bt, H4), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, H4), xg_map, memory_space=pltpu.VMEM),
             w_spec, w_spec, w_spec,
             pl.BlockSpec((1, H4), const, memory_space=pltpu.VMEM),
         ),
@@ -310,27 +350,91 @@ def _bwd_call(xg1, resid, tops, w1h, w2x, w2h, b2,
 # ------------------------------------------------------------- public op
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _lstm2(xg1, w1h, w2x, w2h, b2, bt, interpret):
-    tops, _, h2 = _fwd_call(xg1, w1h, w2x, w2h, b2, bt, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _lstm2(xg1, w1h, w2x, w2h, b2, bt, interpret, mm, const_x, T):
+    tops, _, h2 = _fwd_call(xg1, w1h, w2x, w2h, b2, bt, interpret, mm,
+                            const_x, T)
     return tops, h2
 
 
-def _lstm2_fwd(xg1, w1h, w2x, w2h, b2, bt, interpret):
-    tops, resid, h2 = _fwd_call(xg1, w1h, w2x, w2h, b2, bt, interpret)
+def _lstm2_fwd(xg1, w1h, w2x, w2h, b2, bt, interpret, mm, const_x, T):
+    tops, resid, h2 = _fwd_call(xg1, w1h, w2x, w2h, b2, bt, interpret, mm,
+                                const_x, T)
     return (tops, h2), (xg1, resid, tops, w1h, w2x, w2h, b2)
 
 
-def _lstm2_bwd(bt, interpret, res, grads):
+def _lstm2_bwd(bt, interpret, mm, const_x, T, res, grads):
     xg1, resid, tops, w1h, w2x, w2h, b2 = res
     g_tops, g_h2 = grads
     dxg1, dw1h, dw2x, dw2h, db2 = _bwd_call(
         xg1, resid, tops, w1h, w2x, w2h, b2, g_tops, g_h2, bt, interpret,
+        mm, const_x, T,
     )
     return dxg1, dw1h, dw2x, dw2h, db2.reshape(b2.shape)
 
 
 _lstm2.defvjp(_lstm2_fwd, _lstm2_bwd)
+
+
+def _resolve_mm(mm_dtype):
+    if mm_dtype is None or mm_dtype == "float32":
+        return None
+    return jnp.dtype(mm_dtype)
+
+
+def _split_stack(p):
+    c1p, c2p = p["cells"]
+    hid = c1p["w"].shape[1] // 4
+    d_in = c1p["w"].shape[0] - hid
+    return c1p, c2p, hid, d_in
+
+
+def lstm2_pallas_tm(
+    p: dict,
+    xg1: jnp.ndarray,
+    *,
+    T: int,
+    block_batch: int = 256,
+    interpret: bool = False,
+    mm_dtype=None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Time-major entry: the caller supplies the layer-1 pre-activations.
+
+    Args:
+        p: two-layer stack params (see :func:`lstm2_pallas`).
+        xg1: ``[T, B, 4H]`` layer-1 gate pre-activations (input projection
+            + bias already applied, time-major), or ``[B, 4H]`` when the
+            per-step input is constant over time (decoder mode — the
+            broadcast over T never materializes).
+        T: number of time steps.
+        mm_dtype: optional matmul operand dtype (e.g. ``jnp.bfloat16``);
+            carries/gates/accumulation stay fp32.
+
+    Returns ``(tops [T, B, H] time-major, last_h [B, H])``.
+
+    Why this entry exists: the model hoists the input projections itself
+    (fusing the z2/z-conditioned parts, models/fhvae.py), and time-major
+    ``[T, B, .]`` arrays collapse to the kernel's ``[T*B, .]`` row blocks
+    for free — the batch-major interface cost real tiled-layout reshapes
+    around every invocation.
+    """
+    c1p, c2p, hid, _ = _split_stack(p)
+    const_x = xg1.ndim == 2
+    B = xg1.shape[0] if const_x else xg1.shape[1]
+    w2x, w2h = c2p["w"][:hid], c2p["w"][hid:]
+    w1h = c1p["w"][-hid:]
+    mm = _resolve_mm(mm_dtype)
+
+    bt = min(block_batch, _round_up(B, 8))
+    b_pad = _round_up(B, bt)
+    if b_pad != B:
+        pad = ((0, b_pad - B), (0, 0)) if const_x else \
+            ((0, 0), (0, b_pad - B), (0, 0))
+        xg1 = jnp.pad(xg1, pad)
+    flat = xg1 if const_x else xg1.reshape(T * b_pad, 4 * hid)
+    tops, h2 = _lstm2(flat, w1h, w2x, w2h, c2p["b"], bt, bool(interpret),
+                      mm, const_x, T)
+    return tops.reshape(T, b_pad, hid)[:, :B], h2[:B]
 
 
 def lstm2_pallas(
@@ -340,6 +444,7 @@ def lstm2_pallas(
     *,
     block_batch: int = 256,
     interpret: bool = False,
+    mm_dtype=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in for models.fhvae.run_lstm on two-layer equal-width stacks.
 
@@ -347,31 +452,26 @@ def lstm2_pallas(
         p: ``{"cells": [{"w": [D+H, 4H], "b": [4H]}, {"w": [2H, 4H], "b"}]}``.
         xs: ``[B, T, D]`` inputs (batch-major, like run_lstm).
         cdt: optional compute dtype for the hoisted input projection.
+        mm_dtype: optional in-kernel matmul operand dtype (see
+            :func:`lstm2_pallas_tm`).
 
     Returns ``(seq [B, T, H], last_h [B, H])``, matching run_lstm.
     """
-    B, T, _ = xs.shape
-    c1p, c2p = p["cells"]
-    hid = c1p["w"].shape[1] // 4
-    d_in = c1p["w"].shape[0] - hid
-    w1x, w1h = c1p["w"][:d_in], c1p["w"][d_in:]
-    w2x, w2h = c2p["w"][:hid], c2p["w"][hid:]
+    B, T, d_in = xs.shape
+    c1p, _, hid, _ = _split_stack(p)
+    w1x = c1p["w"][:d_in]
 
-    # input projection: one [B*T, D] x [D, 4H] MXU matmul, outside the kernel
+    # input projection: one [T*B, D] x [D, 4H] MXU matmul, outside the
+    # kernel, on the time-major transpose (D is small — far cheaper to move
+    # than the [., 4H] gate tensors the old batch-major layout reshaped)
+    xt = jnp.swapaxes(xs, 0, 1).reshape(T * B, d_in)
     if cdt is not None:
-        xg1 = jnp.dot(xs.reshape(B * T, d_in).astype(cdt), w1x.astype(cdt),
+        xg1 = jnp.dot(xt.astype(cdt), w1x.astype(cdt),
                       preferred_element_type=jnp.float32)
     else:
-        xg1 = jnp.dot(xs.reshape(B * T, d_in), w1x,
-                      preferred_element_type=jnp.float32)
-    # batch-major column-blocked [B, T*4H]: a free row-major bitcast of
-    # [B, T, 4H] (no transpose copies around the kernel)
-    xg1 = (xg1 + c1p["b"]).reshape(B, T * 4 * hid)
+        xg1 = jnp.dot(xt, w1x, preferred_element_type=jnp.float32)
+    xg1 = (xg1 + c1p["b"]).reshape(T, B, 4 * hid)
 
-    bt = min(block_batch, _round_up(B, 8))
-    b_pad = _round_up(B, bt)
-    if b_pad != B:
-        xg1 = jnp.pad(xg1, ((0, b_pad - B), (0, 0)))
-
-    tops, h2 = _lstm2(xg1, w1h, w2x, w2h, c2p["b"], bt, bool(interpret))
-    return tops.reshape(b_pad, T, hid)[:B], h2[:B]
+    tops, h2 = lstm2_pallas_tm(p, xg1, T=T, block_batch=block_batch,
+                               interpret=interpret, mm_dtype=mm_dtype)
+    return jnp.swapaxes(tops, 0, 1), h2

@@ -239,32 +239,70 @@ def make_device_eval_pass(model, alpha: float, seg_len: int, batch_size: int,
                             n_tail=5)
 
 
-def make_device_encode_pass(model, seg_len: int, batch_size: int,
-                            n_batches: int, mesh=None,
-                            shard_store: bool = False):
-    """Whole-split encoder pass (z2 posterior means) as one dispatch.
+def make_device_map_pass(model, seg_len: int, batch_size: int,
+                         n_batches: int, num_rows: int, pz2_var: float,
+                         mesh=None, shard_store: bool = False,
+                         pmu2_var: float = 1.0, shard_table: bool = True):
+    """Whole-subset MAP mu2 table as ONE device program.
 
-    Returns ``z2_mu`` stacked ``[n_batches, B, z2_dim]``; the host runs the
-    same fp64 MAP accumulation as the host-loader path (estimate_split_mu2),
-    so the resulting tables are bit-identical.
+    Fuses the hierarchical round's entire turnover — encode every segment of
+    the round subset, accumulate per-sequence z2-mean sums/counts, and apply
+    the closed-form MAP posterior mean ``sum / (count + pz2_var/pmu2_var)``
+    (train/loop.py:_map_table, utils.py:58-59 intent) — into one dispatch
+    that returns the ``[num_rows, z2_dim]`` replacement table directly in
+    HBM. Nothing round-trips the host: the prior encode-pass formulation
+    fetched ``[n_seg, z2_dim]`` means, ran the scatter-add on the host, and
+    re-uploaded the table, leaving the device idle for the whole host leg
+    (31% round overhead at LibriSpeech scale, BENCH_r03).
+
+    Rows in ``[num_seqs, num_rows)`` (mesh padding) accumulate zero counts
+    and finish as exact zeros — identical to the host path's zero-padding.
+    Accumulation is fp32 on device (the host path used fp64); with <= a few
+    thousand segments per sequence the difference is ~1e-6 relative, covered
+    by tests/test_device_data.py.
     """
     gather = _make_gather(seg_len, mesh, shard_store)
     B = batch_size
     data_sh = (NamedSharding(mesh, P("data")) if mesh is not None else None)
+    r = pz2_var / pmu2_var
 
-    def pass_fn(params, store, starts_all):
+    def pass_fn(params, store, seq_idx_all, starts_all, n_real):
+        z2_dim = params["mu2_table"].shape[-1]
+
         def body(carry, b_i):
-            starts = jax.lax.dynamic_slice_in_dim(starts_all, b_i * B, B)
+            sums, counts = carry
+            off = b_i * B
+            seq_idx = jax.lax.dynamic_slice_in_dim(seq_idx_all, off, B)
+            starts = jax.lax.dynamic_slice_in_dim(starts_all, off, B)
+            valid = ((off + jnp.arange(B, dtype=jnp.int32)) < n_real).astype(
+                jnp.float32)
             if data_sh is not None:
+                seq_idx = jax.lax.with_sharding_constraint(seq_idx, data_sh)
                 starts = jax.lax.with_sharding_constraint(starts, data_sh)
+                valid = jax.lax.with_sharding_constraint(valid, data_sh)
             feats = gather(store, starts).astype(jnp.float32)
             enc = model.encode(params, feats, jax.random.PRNGKey(0),
                                sample=False)
-            return carry, enc["z2_mu"]
+            sums = sums + jax.ops.segment_sum(
+                enc["z2_mu"] * valid[:, None], seq_idx,
+                num_segments=num_rows)
+            counts = counts + jax.ops.segment_sum(
+                valid, seq_idx, num_segments=num_rows)
+            return (sums, counts), None
 
-        _, z2 = jax.lax.scan(body, None,
-                             jnp.arange(n_batches, dtype=jnp.int32))
-        return z2
+        init = (jnp.zeros((num_rows, z2_dim), jnp.float32),
+                jnp.zeros((num_rows,), jnp.float32))
+        (sums, counts), _ = jax.lax.scan(
+            body, init, jnp.arange(n_batches, dtype=jnp.int32))
+        table = sums / (counts + r)[:, None]
+        if mesh is not None:
+            # shard_table: the table replaces state.params["mu2_table"],
+            # which the train step expects row-sharded over "model";
+            # otherwise (dev-eval override tables) replicate
+            spec = P("model", None) if shard_table else P()
+            table = jax.lax.with_sharding_constraint(
+                table, NamedSharding(mesh, spec))
+        return table
 
     if mesh is None:
         return jax.jit(pass_fn)
@@ -273,4 +311,4 @@ def make_device_encode_pass(model, seg_len: int, batch_size: int,
 
     return _compile_on_mesh(mesh, pass_fn, shard_store,
                             lambda params: params_shardings(mesh, params),
-                            n_tail=1)
+                            n_tail=3)

@@ -141,21 +141,10 @@ def _map_table(sums: np.ndarray, counts: np.ndarray, pz2_var: float,
                pmu2_var: float = 1.0) -> np.ndarray:
     """Closed-form MAP posterior mean from fp64 accumulators:
     ``mu2[y] = sum / (count + pz2_var/pmu2_var)`` (utils.py:58-59 intent).
-    The ONE place this formula lives — both the host-loader and the
-    device-resident MAP passes finish through it."""
+    The host-loader path finishes through it; the device-resident passes
+    apply the same formula in HBM (device_step.make_device_map_pass)."""
     r = pz2_var / pmu2_var
     return (sums / (counts + r)[:, None]).astype(np.float32)
-
-
-def _map_table_from_z2(z2: np.ndarray, seq_idx: np.ndarray, num_seqs: int,
-                       pz2_var: float) -> np.ndarray:
-    """fp64 per-sequence accumulation of (real) z2 means -> MAP table; the
-    shared finishing step of the device-resident MAP passes."""
-    sums = np.zeros((num_seqs, z2.shape[1]), dtype=np.float64)
-    counts = np.zeros(num_seqs, dtype=np.float64)
-    np.add.at(sums, seq_idx, z2.astype(np.float64))
-    np.add.at(counts, seq_idx, 1.0)
-    return _map_table(sums, counts, pz2_var)
 
 
 def estimate_split_mu2(
@@ -432,8 +421,8 @@ def run_training(
     ) and (mesh is None
            or dev_loader.batch_size % mesh.shape["data"] == 0):
         from pytorch_scalablefhvae_tpu.train.device_step import (
-            make_device_encode_pass,
             make_device_eval_pass,
+            make_device_map_pass,
         )
 
         _dev_ds = dev_loader.dataset
@@ -445,10 +434,11 @@ def run_training(
             _dev_ds, np.arange(len(_dev_ds)), dev_loader.batch_size,
         )
         dev_device = {
-            "encode": make_device_encode_pass(
+            "map": make_device_map_pass(
                 model, _dev_ds.seg_len, dev_loader.batch_size,
-                _dev_plan.n_batches, mesh,
-                shard_store=config.data.shard_device_store),
+                _dev_plan.n_batches, _dev_ds.num_seqs, pz2_var, mesh,
+                shard_store=config.data.shard_device_store,
+                shard_table=False),
             "eval": make_device_eval_pass(
                 model, config.optim.alpha_dis, _dev_ds.seg_len,
                 dev_loader.batch_size, _dev_plan.n_batches, mesh,
@@ -465,16 +455,14 @@ def run_training(
         dd = dev_device
         plan, (dseq, dstarts, dnsegs) = dd["plan"], dd["args"]
         n_real = np.int32(plan.n_real)
-        # MAP pass: one dispatch; host fp64 accumulation (bit-identical
-        # tables to estimate_split_mu2's host-loader path)
-        z2 = np.asarray(dd["encode"](params, dd["src"].data, dstarts))
-        z2 = z2.reshape(-1, z2.shape[-1])[: plan.n_real]
-        table = _map_table_from_z2(z2, plan.seq_idx[: plan.n_real],
-                                   dev_loader.dataset.num_seqs, pz2_var)
+        # MAP pass: one dispatch that leaves the table in HBM (fp32
+        # accumulation; ~1e-6 of the host path's fp64 tables)
+        table = dd["map"](params, dd["src"].data, dseq, dstarts, n_real)
         # scoring pass: one dispatch; host f64 reduction of per-batch sums
-        # (evaluate_split's accumulation semantics)
+        # (evaluate_split's accumulation semantics). The table never
+        # round-trips the host between the two dispatches.
         stacked = dd["eval"](params, dd["src"].data, dseq, dstarts, dnsegs,
-                             n_real, jax.device_put(table))
+                             n_real, table)
         stacked = {k: np.asarray(v, dtype=np.float64)
                    for k, v in stacked.items()}
         count = float(stacked.pop("count").sum())
@@ -524,15 +512,16 @@ def run_training(
     if hier and use_device_data:
         from pytorch_scalablefhvae_tpu.data.device_store import build_epoch_plan
         from pytorch_scalablefhvae_tpu.train.device_step import (
-            make_device_encode_pass,
+            make_device_map_pass,
         )
 
         _B_tr = train_loader.batch_size
         _top = np.sort(np.asarray(train_loader.dataset.nsegs))[-hier_k:]
         _ceil_batches = max(int(-(-int(_top.sum()) // _B_tr)), 1)
         hier_device = {
-            "pass": make_device_encode_pass(
-                model, seg_len, _B_tr, _ceil_batches, mesh,
+            "pass": make_device_map_pass(
+                model, seg_len, _B_tr, _ceil_batches, model.table_rows,
+                pz2_var, mesh,
                 shard_store=config.data.shard_device_store),
             "rows": _ceil_batches * _B_tr,
             "plan": build_epoch_plan,
@@ -556,18 +545,24 @@ def run_training(
                 transfer_dtype=config.data.transfer_dtype,
             )
             if hier_device is not None:
-                # one dispatch over the staged pack (subset views keep
-                # absolute offsets); same unshuffled segment order and fp64
-                # accumulation as the host path below
+                # the whole round turnover is ONE device program over the
+                # staged pack (subset views keep absolute offsets): encode,
+                # per-sequence accumulation, and the MAP formula all run in
+                # HBM and the replacement table never touches the host
+                # (device_step.make_device_map_pass). Padding rows beyond
+                # num_seqs finish as exact zeros — masked out of the
+                # softmax, never gathered.
                 plan = hier_device["plan"](
                     sub_ds, np.arange(len(sub_ds)), train_loader.batch_size)
-                starts = np.zeros(hier_device["rows"], plan.abs_starts.dtype)
+                rows = hier_device["rows"]
+                starts = np.zeros(rows, plan.abs_starts.dtype)
                 starts[: len(plan.abs_starts)] = plan.abs_starts
-                z2 = np.asarray(hier_device["pass"](
-                    state.params, device_source.data, jax.device_put(starts)))
-                z2 = z2.reshape(-1, z2.shape[-1])[: plan.n_real]
-                table_np = _map_table_from_z2(
-                    z2, plan.seq_idx[: plan.n_real], hier_k, pz2_var)
+                seq_rows = np.zeros(rows, plan.seq_idx.dtype)
+                seq_rows[: len(plan.seq_idx)] = plan.seq_idx
+                table = hier_device["pass"](
+                    state.params, device_source.data,
+                    jax.device_put(seq_rows), jax.device_put(starts),
+                    np.int32(plan.n_real))
             else:
                 est_loader = SegmentLoader(
                     sub_ds, train_loader.batch_size, shuffle=False, seed=0,
@@ -576,22 +571,22 @@ def run_training(
                     encode_step, state.params, est_loader, hier_k, pz2_var,
                     z2_dim=config.model.z2_dim,
                 )
-            pad = model.table_rows - table_np.shape[0]
-            if pad:
-                # zero rows beyond num_seqs: masked out of the softmax,
-                # never gathered
-                table_np = np.pad(table_np, ((0, pad), (0, 0)))
-            if mesh is not None:
-                # keep the replacement table on the mesh with the step's
-                # expected row sharding (a plain device_put would commit it
-                # to one device and fight the compiled in_shardings)
-                from jax.sharding import NamedSharding, PartitionSpec as P
+                pad = model.table_rows - table_np.shape[0]
+                if pad:
+                    # zero rows beyond num_seqs: masked out of the softmax,
+                    # never gathered
+                    table_np = np.pad(table_np, ((0, pad), (0, 0)))
+                if mesh is not None:
+                    # keep the replacement table on the mesh with the step's
+                    # expected row sharding (a plain device_put would commit
+                    # it to one device and fight the compiled in_shardings)
+                    from jax.sharding import NamedSharding, PartitionSpec as P
 
-                table = jax.device_put(
-                    table_np, NamedSharding(mesh, P("model", None))
-                )
-            else:
-                table = jax.device_put(table_np)
+                    table = jax.device_put(
+                        table_np, NamedSharding(mesh, P("model", None))
+                    )
+                else:
+                    table = jax.device_put(table_np)
             state = _replace_mu2_table(state, table)
         else:
             epoch_loader = train_loader

@@ -186,6 +186,8 @@ class TestConfigFlagCompleteness:
             ("train", "tensorboard"): (["--tensorboard"], True),
             ("train", "plot_curves"): (["--visdom"], True),
             ("model", "lstm_pallas"): (["--lstm-pallas", "never"], "never"),
+            ("model", "lstm_mm_dtype"): (
+                ["--lstm-mm-dtype", "float32"], "float32"),
             ("model", "scan_unroll"): (["--scan-unroll", "4"], 4),
             ("train", "tb_log_dir"): (["--tb-log-dir", "/tb"], "/tb"),
             ("train", "log_params"): (["--log-params"], True),

@@ -237,3 +237,79 @@ class TestMesh:
         assert np.isfinite(
             list(res.history.values["train_loss_results"].values())
         ).all()
+
+
+class TestDeviceMapPass:
+    """make_device_map_pass: the single-dispatch MAP table vs the host path."""
+
+    def _setup(self, rng, mesh=None, shard_store=False, shard_table=True):
+        from pytorch_scalablefhvae_tpu.models import SimpleFHVAE
+        from pytorch_scalablefhvae_tpu.train.device_step import (
+            make_device_map_pass,
+        )
+        from pytorch_scalablefhvae_tpu.train.loop import estimate_split_mu2
+        from pytorch_scalablefhvae_tpu.train.step import make_encode_step
+
+        store = make_store(rng, n_seqs=5, frames=60, dim=8)
+        ds = SegmentDataset(store, seg_len=20, seg_shift=8)
+        # on a mesh the params table is padded to the model-axis multiple,
+        # exactly as run_training sizes it
+        padded = 6 if mesh is not None else None
+        model = SimpleFHVAE(input_size=20 * 8, num_seqs=5,
+                            z1_hus=(16, 16), z2_hus=(16, 16), x_hus=(16, 16),
+                            z1_dim=4, z2_dim=4, num_seqs_padded=padded,
+                            shard_mesh=mesh)
+        params = model.init(jax.random.PRNGKey(0))
+        src = DeviceDataSource(store, mesh, shard_store=shard_store)
+        B = 8
+        plan, (seq_dev, starts_dev, _) = src.stage_epoch(
+            ds, np.arange(len(ds)), B)
+        pz2_var = float(np.exp(model.pz2_logvar))
+        map_pass = make_device_map_pass(
+            model, 20, B, plan.n_batches, 5, pz2_var, mesh,
+            shard_store=shard_store, shard_table=shard_table)
+        table = np.asarray(map_pass(params, src.data, seq_dev, starts_dev,
+                                    np.int32(plan.n_real)))
+
+        from pytorch_scalablefhvae_tpu.data.loader import SegmentLoader
+
+        loader = SegmentLoader(ds, B, shuffle=False, seed=0)
+        ref = estimate_split_mu2(make_encode_step(model), params, loader,
+                                 5, pz2_var, z2_dim=4)
+        return table, ref
+
+    def test_matches_host_estimate(self, rng):
+        table, ref = self._setup(rng)
+        np.testing.assert_allclose(table, ref, rtol=1e-5, atol=1e-6)
+
+    def test_padded_rows_are_zero(self, rng):
+        """num_rows beyond num_seqs (mesh padding) must finish exactly 0."""
+        from pytorch_scalablefhvae_tpu.models import SimpleFHVAE
+        from pytorch_scalablefhvae_tpu.train.device_step import (
+            make_device_map_pass,
+        )
+
+        store = make_store(rng, n_seqs=3, frames=40, dim=8)
+        ds = SegmentDataset(store, seg_len=20, seg_shift=8)
+        model = SimpleFHVAE(input_size=20 * 8, num_seqs=3,
+                            z1_hus=(16, 16), z2_hus=(16, 16), x_hus=(16, 16),
+                            z1_dim=4, z2_dim=4, num_seqs_padded=8)
+        params = model.init(jax.random.PRNGKey(0))
+        src = DeviceDataSource(store)
+        plan, (seq_dev, starts_dev, _) = src.stage_epoch(
+            ds, np.arange(len(ds)), 8)
+        map_pass = make_device_map_pass(model, 20, 8, plan.n_batches,
+                                        8, 0.25)
+        table = np.asarray(map_pass(params, src.data, seq_dev, starts_dev,
+                                    np.int32(plan.n_real)))
+        assert table.shape == (8, 4)
+        np.testing.assert_array_equal(table[3:], 0.0)
+        assert np.abs(table[:3]).min() > 0
+
+    def test_on_mesh_sharded_store(self, rng):
+        from pytorch_scalablefhvae_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh((4, 2))
+        table, ref = self._setup(rng, mesh=mesh, shard_store=False,
+                                 shard_table=False)
+        np.testing.assert_allclose(table, ref, rtol=1e-5, atol=1e-6)

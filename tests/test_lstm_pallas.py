@@ -102,6 +102,7 @@ def test_mesh_sharded_step_equivalence():
         model = FHVAE(input_size=6 * 12, num_seqs=12, feat_dim=12,
                       z1_hus=(8, 8), z2_hus=(8, 8), x_hus=(8, 8),
                       z1_dim=4, z2_dim=4, lstm_pallas=lp,
+                      lstm_mm_dtype="float32",
                       num_seqs_padded=12, shard_mesh=mesh)
         opt = make_optimizer(1e-3, 0.95, 0.999)
         state = create_train_state(model, opt, seed=0)
@@ -114,6 +115,95 @@ def test_mesh_sharded_step_equivalence():
     for a, b in zip(jax.tree.leaves(params[0]), jax.tree.leaves(params[1])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_tm_const_x_matches_broadcast():
+    """Decoder mode: a [B, 4H] constant per-step input must equal feeding
+    the broadcast [T, B, 4H] explicitly — fwd and grads (the backward
+    accumulates dxg1 across time in the revisited output block)."""
+    from pytorch_scalablefhvae_tpu.ops.lstm_pallas import lstm2_pallas_tm
+
+    p = _params(9, d_in=16, hid=16)
+    B, T = 8, 6
+    xg = jax.random.normal(jax.random.PRNGKey(10), (B, 64), jnp.float32)
+
+    def loss(xg_in, const):
+        a = xg_in if const else jnp.broadcast_to(xg_in[None], (T, B, 64))
+        tops, h = lstm2_pallas_tm(p, a, T=T, block_batch=8, interpret=True)
+        return jnp.sum(tops**2) + jnp.sum(jnp.tanh(h)), (tops, h)
+
+    (l_c, (tops_c, h_c)), g_c = jax.value_and_grad(
+        loss, has_aux=True)(xg, True)
+    (l_b, (tops_b, h_b)), g_b = jax.value_and_grad(
+        loss, has_aux=True)(xg, False)
+    np.testing.assert_allclose(np.asarray(tops_c), np.asarray(tops_b),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_c), np.asarray(h_b),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(float(l_c), float(l_b), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_c), np.asarray(g_b),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_mm_dtype_bf16_close():
+    """bfloat16 matmul operands (fp32 carries) track the fp32 path to bf16
+    tolerance, fwd + grad — the numerics contract of the TPU-default mode."""
+    p = _params(11)
+    B, T = 8, 5
+    xs = jax.random.normal(jax.random.PRNGKey(12), (B, T, 12), jnp.float32)
+
+    def loss(x, mm):
+        seq, h = lstm2_pallas(p, x, block_batch=8, interpret=True,
+                              mm_dtype=mm)
+        return jnp.sum(seq**2) + jnp.sum(h**2)
+
+    l32, g32 = jax.value_and_grad(loss)(xs, None)
+    l16, g16 = jax.value_and_grad(loss)(xs, jnp.bfloat16)
+    np.testing.assert_allclose(float(l16), float(l32), rtol=0.03)
+    np.testing.assert_allclose(np.asarray(g16), np.asarray(g32),
+                               atol=0.05, rtol=0.05)
+
+
+def test_fused_apply_matches_generic():
+    """FHVAE._apply_fused (time-major whole-model path) == the generic
+    encode/decode path: same outputs and same gradients at fp32."""
+    from pytorch_scalablefhvae_tpu.models import FHVAE
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((8, 6, 12)), jnp.float32)
+    seq = jnp.asarray(rng.integers(0, 5, (8,)), jnp.int32)
+    ns = jnp.full((8,), 4.0, jnp.float32)
+    key = jax.random.PRNGKey(42)
+
+    outs, grads = [], []
+    for lp in ["always", "never"]:
+        model = FHVAE(input_size=6 * 12, num_seqs=5, feat_dim=12,
+                      z1_hus=(8, 8), z2_hus=(8, 8), x_hus=(8, 8),
+                      z1_dim=4, z2_dim=4, lstm_pallas=lp,
+                      lstm_mm_dtype="float32")
+        params = model.init(jax.random.PRNGKey(0))
+        if lp == "always":
+            assert model._fused_ready(params, 8, 6)
+
+        def loss(p):
+            o = model.apply(p, x, seq, ns, key, sample=True)
+            return -jnp.mean(o.lower_bound + 10.0 * o.log_qy), o
+
+        (l, o), g = jax.value_and_grad(loss, has_aux=True)(params)
+        outs.append((l, o))
+        grads.append(g)
+    for field in ("lower_bound", "log_qy", "log_px_z", "neg_kld_z1",
+                  "neg_kld_z2", "log_pmu2", "z1_mu", "z2_mu", "x_mu",
+                  "x_logvar"):
+        a = np.asarray(getattr(outs[0][1], field))
+        b = np.asarray(getattr(outs[1][1], field))
+        np.testing.assert_allclose(a, b, atol=2e-5, rtol=2e-5,
+                                   err_msg=field)
+    np.testing.assert_allclose(float(outs[0][0]), float(outs[1][0]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(grads[0]), jax.tree.leaves(grads[1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-5, rtol=3e-5)
 
 
 def test_compute_dtype_projection():
