@@ -51,6 +51,12 @@ def add_common_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--num-workers", type=int, default=0,
                    help=">1 fans per-utterance feature extraction over a "
                         "process pool (outputs identical to sequential)")
+    p.add_argument("--synthetic-speakers", type=int, default=4,
+                   help="Synthetic corpus: number of generated speakers "
+                        "(probe chance = 1/N; the quality harness uses 64)")
+    p.add_argument("--synthetic-utts", type=int, default=3,
+                   help="Synthetic corpus: utterances per speaker "
+                        "(>=3 reserves one dev + one test utt per speaker)")
     p.add_argument("--train-list", type=str, nargs="+", default=None,
                    help="LibriSpeech training subsets (default: train-clean-100)")
     p.add_argument("--dev-list", type=str, nargs="+", default=None,
@@ -98,7 +104,12 @@ def add_train_flags(p: argparse.ArgumentParser) -> None:
                         "floor(seq_len/seg_shift) segments are extracted per sequence")
     p.add_argument("--rand-seg", type=lambda s: s.lower() in ("true", "1"), default=False,
                    help="If true, segments are randomly extracted")
-    p.add_argument("--training-batch-size", type=int, default=256, help="Training batch size")
+    p.add_argument("--training-batch-size", type=int, default=None,
+                   help="Training batch size (default: 256 for simple_fhvae "
+                        "— reference parity, train_model.py:133-138 — and "
+                        "1024 for the recurrent fhvae, whose Pallas "
+                        "recurrence is dependent-op latency-bound at small "
+                        "batches: b1024 measures ~40%% higher MFU on v5e)")
     p.add_argument("--dev-batch-size", type=int, default=2048, help="Dev-eval batch size")
     p.add_argument("--z1-hus", type=int, default=[128, 128], nargs=2,
                    help="Hidden units for the two z1 encoder layers")
@@ -160,6 +171,11 @@ def add_train_flags(p: argparse.ArgumentParser) -> None:
                    help="Use hierarchical sampling over sequence subsets")
     p.add_argument("--num-hierarchical-sequences", type=int, default=5000,
                    help="Number of sequences per hierarchical sampling round")
+    p.add_argument("--hierarchical-round-epochs", type=int, default=1,
+                   help="Epochs trained per sampled subset before "
+                        "resampling + MAP re-init (the reference trains ONE "
+                        "subset for the whole run; >1 amortizes the round "
+                        "turnover)")
     p.add_argument("--legacy", action="store_true",
                    help="Emulate original-paper behavior (step-based epochs)")
     p.add_argument("--steps-per-epoch", type=int, default=5000,
@@ -180,6 +196,19 @@ def add_train_flags(p: argparse.ArgumentParser) -> None:
                    help="Initialize jax.distributed for multi-host pods")
     p.add_argument("--mesh", type=str, default=None,
                    help="Device mesh as 'data,model' (e.g. '8,1'); default: all devices data-parallel")
+
+
+def _default_batch(args: argparse.Namespace) -> int:
+    """Model-aware training-batch default: 256 for simple_fhvae (reference
+    parity, train_model.py:133-138); 1024 for the recurrent fhvae — a stub
+    in the reference (fhvae.py:14), so its default is ours to set, and the
+    Pallas recurrence is dependent-op latency-bound below ~b1024 on TPU
+    (BENCH r04: b1024 runs ~40% higher MFU than b256)."""
+    explicit = getattr(args, "training_batch_size", None)
+    if explicit is not None:
+        return explicit
+    model_type = getattr(args, "model_type", "simple_fhvae")
+    return 1024 if model_type == "fhvae" else 256
 
 
 def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
@@ -214,13 +243,15 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
             seg_len=getattr(args, "seg_len", 20),
             seg_shift=getattr(args, "seg_shift", 8),
             rand_seg=getattr(args, "rand_seg", False),
-            training_batch_size=getattr(args, "training_batch_size", 256),
+            training_batch_size=_default_batch(args),
             pack_cache_dir=getattr(args, "pack_cache_dir", None),
             dev_batch_size=getattr(args, "dev_batch_size", 2048),
             transfer_dtype=getattr(args, "transfer_dtype", "float32"),
             data_placement=getattr(args, "data_placement", "auto"),
             device_store_max_bytes=getattr(args, "device_store_max_bytes", 4 << 30),
             shard_device_store=getattr(args, "shard_device_store", False),
+            synthetic_speakers=getattr(args, "synthetic_speakers", 4),
+            synthetic_utts=getattr(args, "synthetic_utts", 3),
             **subset_kw,
         ),
         model=ModelConfig(
@@ -258,6 +289,8 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
             ckpt_backend=getattr(args, "ckpt_backend", "npz"),
             steps_per_dispatch=getattr(args, "steps_per_dispatch", 1),
             num_hierarchical_sequences=getattr(args, "num_hierarchical_sequences", 5000),
+            hierarchical_round_epochs=getattr(
+                args, "hierarchical_round_epochs", 1),
             tensorboard=getattr(args, "tensorboard", False),
             tb_log_dir=getattr(args, "tb_log_dir", "./visualize/tensorboard"),
             log_params=getattr(args, "log_params", False),

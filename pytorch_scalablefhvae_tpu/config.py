@@ -88,6 +88,11 @@ class DataConfig:
     # row-shard the staged store over the mesh's "model" axis (m-fold
     # capacity; segments rebuilt with a psum over ICI per step)
     shard_device_store: bool = False
+    # synthetic-corpus shape (corpus/synthetic.py): speaker count drives the
+    # difficulty of the discriminative task and the probes (chance = 1/N);
+    # the quality harness (misc/repro_quality.sh) runs 64 x 5
+    synthetic_speakers: int = 4
+    synthetic_utts: int = 3
     # librispeech subset lists (preprocess_librispeech.py:98-103; B17 fixed:
     # test list is test-clean + test-other)
     train_list: tuple[str, ...] = ("train-clean-100",)
@@ -151,6 +156,11 @@ class TrainConfig:
     # hierarchical sampling (train_model.py:203-214,424-436)
     sample_hierarchical: bool = False
     num_hierarchical_sequences: int = 5000
+    # epochs trained per sampled subset before resampling + MAP re-init.
+    # The reference keeps ONE subset for the whole run
+    # (train_model.py:424-436); 1 resamples every epoch (freshest), larger
+    # values amortize the round turnover (bench.py hier_round_*)
+    hierarchical_round_epochs: int = 1
     # observability
     profile_dir: str | None = None  # capture a jax.profiler trace here
     profile_epoch: int = 1  # epoch at which to capture the trace

@@ -34,16 +34,29 @@ def make_synthetic_corpus(
     # Factorized generation so the two latents have distinct ground truth:
     # - "content": a shared inventory of phone-like formant pairs; each
     #   utterance is a random sequence of them (varies within an utterance);
-    # - "speaker": fundamental frequency + spectral tilt, constant per
-    #   speaker (the sequence-level factor z2 should capture).
+    # - "speaker": a voice drawn ONCE per speaker from a seeded per-speaker
+    #   stream — fundamental frequency, spectral tilt, and a vocal-tract
+    #   length warp on the formants — constant across the speaker's
+    #   utterances (the sequence-level factor z2 should capture). Drawing
+    #   the three dimensions independently keeps voices separable at large
+    #   speaker counts (the quality harness runs 64 speakers, chance 1/64)
+    #   without the old linear f0 ramp marching past Nyquist.
     n_phones = 10
     phone_formants = [
         (rng.uniform(300, 900), rng.uniform(1200, 2600)) for _ in range(n_phones)
     ]
 
+    def voice(speaker: int) -> tuple[float, float, float]:
+        vr = np.random.default_rng(100003 * seed + 17 * speaker + 1)
+        return (
+            float(vr.uniform(85.0, 255.0)),  # f0
+            float(vr.uniform(0.5, 0.85)),    # per-harmonic amplitude decay
+            float(vr.uniform(0.85, 1.2)),    # vocal-tract length warp
+        )
+
     def render(speaker: int, dur: float) -> np.ndarray:
-        f0 = 90.0 + 14.0 * speaker + rng.uniform(-3, 3)
-        tilt = 0.6 + 0.05 * speaker  # per-harmonic amplitude decay
+        f0_s, tilt, warp = voice(speaker)
+        f0 = f0_s + rng.uniform(-2, 2)
         n = int(sr * dur)
         t = np.arange(n) / sr
         y = np.zeros(n)
@@ -58,10 +71,11 @@ def make_synthetic_corpus(
                 fh = f0 * h
                 if fh > sr / 2 - 200:
                     break
-                # source-filter: harmonic source shaped by two formant peaks
+                # source-filter: harmonic source shaped by two formant
+                # peaks, warped by the speaker's vocal-tract length factor
                 gain = tilt**h * (
-                    1.0 / (1.0 + ((fh - f1) / 180.0) ** 2)
-                    + 0.6 / (1.0 + ((fh - f2) / 260.0) ** 2)
+                    1.0 / (1.0 + ((fh - f1 * warp) / 180.0) ** 2)
+                    + 0.6 / (1.0 + ((fh - f2 * warp) / 260.0) ** 2)
                 )
                 seg += gain * np.sin(2 * np.pi * fh * ts + rng.uniform(0, np.pi))
             env = np.hanning(len(seg)) ** 0.3  # soften segment boundaries

@@ -38,6 +38,13 @@ import numpy as np
 
 from pytorch_scalablefhvae_tpu.data.segments import SegmentDataset
 
+# zero rows appended to every staged pack: the chunked-DMA window gather
+# (ops/window_gather_pallas.py) reads whole ``(spb-1)*shift + seg_len``
+# regions whose tail may extend past the last sequence's frames; the slack
+# keeps those region DMAs in-bounds (the overhanging windows carry weight 0
+# and are never consumed). 256 rows cover spb=16 at any seg_len <= 136.
+STORE_TAIL_SLACK = 256
+
 
 @dataclass
 class EpochPlan:
@@ -108,6 +115,10 @@ class DeviceDataSource:
             import ml_dtypes
 
             data = np.asarray(data, dtype=ml_dtypes.bfloat16)
+        # tail slack for chunked region DMAs (see STORE_TAIL_SLACK)
+        data = np.concatenate(
+            [data, np.zeros((STORE_TAIL_SLACK, data.shape[1]), data.dtype)]
+        )
         if self.shard_store:
             from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -47,7 +47,11 @@ def preprocess_data(
             dcfg.train_list, dcfg.dev_list, dcfg.test_list,
         )
     elif dcfg.dataset == "synthetic":
-        make_synthetic_corpus(out_dir)
+        make_synthetic_corpus(
+            out_dir,
+            num_speakers=dcfg.synthetic_speakers,
+            utts_per_speaker=dcfg.synthetic_utts,
+        )
     else:
         raise ValueError(f"Unknown dataset {dcfg.dataset!r}")
 

@@ -359,6 +359,52 @@ class FHVAE:
         shape = (B, num_frames, self.feat_dim)
         return x_mu.reshape(shape), x_logvar.reshape(shape), x_sample.reshape(shape)
 
+    def encode_z2(self, params: dict, x: jnp.ndarray) -> jnp.ndarray:
+        """Posterior MEAN of the sequence latent only: ``[B, z2_dim]``.
+
+        The MAP mu2 passes (device_step.make_device_map_pass,
+        loop.estimate_split_mu2) need only ``z2_mu``: running the z2 trunk
+        alone is ~3x less compute than the full encoder (no z1 stack, no
+        decoder, no logvar/sampling heads). Identical numerics to
+        ``encode(...)["z2_mu"]``; uses the time-major Pallas recurrence
+        when the stack is kernel-eligible.
+        """
+        x = x.astype(jnp.float32)
+        cdt = self._cdt
+        B, T, D = x.shape
+        use_kernel = (
+            self.lstm_pallas == "always"
+            or (self.lstm_pallas == "auto" and jax.default_backend() == "tpu")
+        ) and _two_layer_ok(params["z2_lstm"], T)
+        if use_kernel and self.lstm_pallas == "auto":
+            from pytorch_scalablefhvae_tpu.ops.lstm_pallas import (
+                LSTM2_VMEM_BUDGET,
+                lstm2_vmem_bytes,
+            )
+
+            hid = params["z2_lstm"]["cells"][0]["w"].shape[1] // 4
+            use_kernel = lstm2_vmem_bytes(hid, B) <= LSTM2_VMEM_BUDGET
+        if use_kernel:
+            from pytorch_scalablefhvae_tpu.ops.lstm_pallas import (
+                lstm2_pallas_tm,
+            )
+
+            c1 = params["z2_lstm"]["cells"][0]
+            xt = jnp.swapaxes(x, 0, 1).reshape(T * B, D)
+            if cdt is not None:
+                xg = jnp.dot(xt.astype(cdt), c1["w"][:D].astype(cdt),
+                             preferred_element_type=jnp.float32)
+            else:
+                xg = jnp.dot(xt, c1["w"][:D],
+                             preferred_element_type=jnp.float32)
+            _, h2 = lstm2_pallas_tm(
+                params["z2_lstm"], (xg + c1["b"]).reshape(T, B, -1), T=T,
+                interpret=jax.default_backend() != "tpu", mm_dtype=self._mm)
+        else:
+            _, h2 = run_lstm(params["z2_lstm"], x, cdt, self.scan_unroll,
+                             "never")
+        return layers.dense(params["z2_gauss"]["mu"], h2, cdt)
+
     def _fused_ready(self, params: dict, B: int, T: int) -> bool:
         """Whether the whole-model time-major fused path applies: Pallas
         recurrence selected and all three stacks kernel-eligible within the

@@ -112,6 +112,19 @@ class SimpleFHVAE:
             "z2_mu": z2_mu, "z2_logvar": z2_logvar, "z2": z2,
         }
 
+    def encode_z2(self, params: dict, x: jnp.ndarray) -> jnp.ndarray:
+        """Posterior MEAN of the sequence latent only: ``[B, z2_dim]``.
+
+        The MAP mu2 passes (device_step.make_device_map_pass,
+        loop.estimate_split_mu2) need only ``z2_mu``; skipping the z1
+        encoder, the decoder, and the logvar/sampling heads cuts the pass
+        to the z2 trunk alone. Identical numerics to
+        ``encode(...)[\"z2_mu\"]``.
+        """
+        flat = x.reshape(x.shape[0], -1)
+        z2_pre = layers.mlp(params["z2_pre"], flat, self._cdt)
+        return layers.dense(params["z2_gauss"]["mu"], z2_pre, self._cdt)
+
     def decode(
         self,
         params: dict,

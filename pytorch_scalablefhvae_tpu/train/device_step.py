@@ -260,49 +260,19 @@ def make_device_map_pass(model, seg_len: int, batch_size: int,
     Accumulation is fp32 on device (the host path used fp64); with <= a few
     thousand segments per sequence the difference is ~1e-6 relative, covered
     by tests/test_device_data.py.
+
+    The encoder leg runs ``model.encode_z2`` — the z2 trunk alone, ~3x less
+    compute than the full encoder (no z1 stack / decoder / sampling heads)
+    — and ``batch_size`` is independent of the training batch: the round
+    loop passes a larger one (fewer, fatter scan iterations; the pass is
+    embarrassingly parallel over segments).
     """
-    gather = _make_gather(seg_len, mesh, shard_store)
-    B = batch_size
-    data_sh = (NamedSharding(mesh, P("data")) if mesh is not None else None)
-    r = pz2_var / pmu2_var
+    scan_fn = _make_map_scan(model, seg_len, batch_size, n_batches, num_rows,
+                             pz2_var / pmu2_var, mesh, shard_store,
+                             shard_table)
 
     def pass_fn(params, store, seq_idx_all, starts_all, n_real):
-        z2_dim = params["mu2_table"].shape[-1]
-
-        def body(carry, b_i):
-            sums, counts = carry
-            off = b_i * B
-            seq_idx = jax.lax.dynamic_slice_in_dim(seq_idx_all, off, B)
-            starts = jax.lax.dynamic_slice_in_dim(starts_all, off, B)
-            valid = ((off + jnp.arange(B, dtype=jnp.int32)) < n_real).astype(
-                jnp.float32)
-            if data_sh is not None:
-                seq_idx = jax.lax.with_sharding_constraint(seq_idx, data_sh)
-                starts = jax.lax.with_sharding_constraint(starts, data_sh)
-                valid = jax.lax.with_sharding_constraint(valid, data_sh)
-            feats = gather(store, starts).astype(jnp.float32)
-            enc = model.encode(params, feats, jax.random.PRNGKey(0),
-                               sample=False)
-            sums = sums + jax.ops.segment_sum(
-                enc["z2_mu"] * valid[:, None], seq_idx,
-                num_segments=num_rows)
-            counts = counts + jax.ops.segment_sum(
-                valid, seq_idx, num_segments=num_rows)
-            return (sums, counts), None
-
-        init = (jnp.zeros((num_rows, z2_dim), jnp.float32),
-                jnp.zeros((num_rows,), jnp.float32))
-        (sums, counts), _ = jax.lax.scan(
-            body, init, jnp.arange(n_batches, dtype=jnp.int32))
-        table = sums / (counts + r)[:, None]
-        if mesh is not None:
-            # shard_table: the table replaces state.params["mu2_table"],
-            # which the train step expects row-sharded over "model";
-            # otherwise (dev-eval override tables) replicate
-            spec = P("model", None) if shard_table else P()
-            table = jax.lax.with_sharding_constraint(
-                table, NamedSharding(mesh, spec))
-        return table
+        return scan_fn(params, store, seq_idx_all, starts_all, n_real)
 
     if mesh is None:
         return jax.jit(pass_fn)
@@ -312,3 +282,199 @@ def make_device_map_pass(model, seg_len: int, batch_size: int,
     return _compile_on_mesh(mesh, pass_fn, shard_store,
                             lambda params: params_shardings(mesh, params),
                             n_tail=3)
+
+
+def make_device_map_pass_rows(model, seg_len: int, seg_shift: int,
+                              batch_size: int, n_batches: int,
+                              num_rows: int, pz2_var: float,
+                              mesh=None, shard_store: bool = False,
+                              pmu2_var: float = 1.0,
+                              shard_table: bool = True):
+    """MAP mu2 table from per-SEQUENCE metadata only: O(K) upload per round.
+
+    Same program as :func:`make_device_map_pass`, but the per-segment plan
+    (owning row + absolute start of every segment) is derived IN-GRAPH from
+    the round subset's ``sel_starts [K]`` (absolute frame offset of each
+    selected sequence in the staged pack) and ``sel_nsegs [K]`` (its
+    deterministic-windowing segment count): segment r of the flat schedule
+    belongs to sequence ``k = searchsorted(cumsum(sel_nsegs), r, 'right')``
+    at within-sequence index ``j = r - cum[k-1]``, frame
+    ``sel_starts[k] + j * seg_shift`` (data/segments.py:make_segments,
+    deterministic mode). The hierarchical round loop uploads two [K] int32
+    vectors per round instead of three [n_segments] arrays — at
+    LibriSpeech-960 round sizes, ~40 KB instead of ~8 MB, and zero host
+    plan-building work. Deterministic windowing only (``rand_seg`` rounds
+    fall back to the array-plan pass).
+    """
+    scan_fn = _make_map_scan(model, seg_len, batch_size, n_batches, num_rows,
+                             pz2_var / pmu2_var, mesh, shard_store,
+                             shard_table)
+    rows = n_batches * batch_size
+
+    def pass_fn(params, store, sel_starts, sel_nsegs):
+        cum = jnp.cumsum(sel_nsegs.astype(jnp.int32))
+        n_real = cum[-1]
+        r = jnp.arange(rows, dtype=jnp.int32)
+        k = jnp.searchsorted(cum, r, side="right").astype(jnp.int32)
+        k = jnp.minimum(k, sel_nsegs.shape[0] - 1)  # padding rows -> last
+        prev = jnp.where(k > 0, jnp.take(cum, jnp.maximum(k - 1, 0)), 0)
+        j = r - prev
+        starts_all = (jnp.take(sel_starts.astype(jnp.int32), k)
+                      + j * jnp.int32(seg_shift))
+        # padding rows (r >= n_real) would index past the pack; jnp.take's
+        # out-of-bounds fill is NaN and NaN * 0-weight still poisons the
+        # accumulators — pin them to frame 0 (weight 0 discards the content)
+        starts_all = jnp.where(r < n_real, starts_all, 0)
+        return scan_fn(params, store, k, starts_all, n_real)
+
+    if mesh is None:
+        return jax.jit(pass_fn)
+
+    from pytorch_scalablefhvae_tpu.parallel.mesh import params_shardings
+
+    return _compile_on_mesh(mesh, pass_fn, shard_store,
+                            lambda params: params_shardings(mesh, params),
+                            n_tail=2)
+
+
+def make_device_map_pass_chunked(model, seg_len: int, seg_shift: int,
+                                 batch_size: int, n_batches: int,
+                                 num_rows: int, pz2_var: float,
+                                 spb: int = 16, pmu2_var: float = 1.0,
+                                 interpret: bool = False):
+    """MAP mu2 table with the Pallas chunked-DMA window gather.
+
+    Same O(K)-upload contract as :func:`make_device_map_pass_rows`
+    (``pass_fn(params, store, sel_starts [K], sel_nsegs [K])``), but the
+    schedule is laid out in CHUNKS of ``spb`` consecutive windows of one
+    sequence, each fetched as a single contiguous region DMA
+    (ops/window_gather_pallas.py) instead of per-row XLA gathers — the
+    gather leg runs at HBM bandwidth rather than the gather unit's
+    ~5 G elem/s. Each sequence's window count is padded up to a multiple of
+    ``spb`` (the pad windows carry weight 0 and read frames past the
+    sequence's span — garbage or the staged pack's zero slack, never
+    consumed); ``batch_size`` must be a multiple of ``spb``; the staged
+    store must keep ``(spb - 1) * seg_shift + seg_len`` rows of tail slack
+    (data/device_store.py:STORE_TAIL_SLACK). Single-device only — the
+    pallas_call does not partition under GSPMD; mesh runs use the
+    array-plan/rows passes.
+    """
+    from pytorch_scalablefhvae_tpu.ops.window_gather_pallas import (
+        windowed_chunk_gather,
+    )
+
+    B = batch_size
+    assert B % spb == 0, "batch_size must be a multiple of spb"
+    cpb = B // spb  # chunks per batch
+    rows = n_batches * B
+
+    def batch_fn(store, plan, b_i):
+        seq_all, valid_all, chunk_starts_all = plan
+        off = b_i * B
+        seq_idx = jax.lax.dynamic_slice_in_dim(seq_all, off, B)
+        valid = jax.lax.dynamic_slice_in_dim(valid_all, off, B)
+        chunk_starts = jax.lax.dynamic_slice_in_dim(
+            chunk_starts_all, b_i * cpb, cpb)
+        feats = windowed_chunk_gather(
+            store, chunk_starts, spb=spb, seg_len=seg_len, stride=seg_shift,
+            interpret=interpret)
+        return feats, seq_idx, valid
+
+    scan_fn = _map_scan_core(model, n_batches, num_rows,
+                             pz2_var / pmu2_var, None, True, batch_fn)
+
+    def pass_fn(params, store, sel_starts, sel_nsegs):
+        # per-sequence chunk layout: sequence k owns chunks
+        # [cumc[k-1], cumc[k]) with cps[k] = ceil(nseg/spb); its rows are
+        # the chunks' spb windows, the tail ones weight-0 padding
+        nseg = sel_nsegs.astype(jnp.int32)
+        cps = -(-nseg // spb)
+        cumc = jnp.cumsum(cps)
+        n_chunks_real = cumc[-1]
+        q = jnp.arange(rows // spb, dtype=jnp.int32)
+        k_q = jnp.searchsorted(cumc, q, side="right").astype(jnp.int32)
+        k_q = jnp.minimum(k_q, nseg.shape[0] - 1)
+        prev = jnp.where(k_q > 0, jnp.take(cumc, jnp.maximum(k_q - 1, 0)), 0)
+        qj = q - prev  # chunk index within its sequence
+        chunk_starts = (jnp.take(sel_starts.astype(jnp.int32), k_q)
+                        + qj * jnp.int32(spb * seg_shift))
+        # padding chunks (q >= n_chunks_real) would address past the pack
+        chunk_starts = jnp.where(q < n_chunks_real, chunk_starts, 0)
+        # per-window row metadata
+        seq_all = jnp.repeat(k_q, spb, total_repeat_length=rows)
+        j_in_seq = (jnp.repeat(qj, spb, total_repeat_length=rows)
+                    * jnp.int32(spb)
+                    + jnp.tile(jnp.arange(spb, dtype=jnp.int32),
+                               rows // spb))
+        valid = ((j_in_seq < jnp.take(nseg, seq_all))
+                 & (jnp.repeat(q, spb, total_repeat_length=rows)
+                    < n_chunks_real)).astype(jnp.float32)
+        return scan_fn(params, store, seq_all, valid, chunk_starts)
+
+    return jax.jit(pass_fn)
+
+
+def _map_scan_core(model, n_batches: int, num_rows: int, r_ratio: float,
+                   mesh, shard_table: bool, batch_fn):
+    """Shared scan body of the MAP passes: batched z2-trunk encode +
+    per-sequence (sums, counts) accumulation + the closed-form MAP finish,
+    all in HBM. ``batch_fn(store, plan, b_i) -> (feats, seq_idx, valid)``
+    supplies each batch — the array-plan, in-graph-plan, and chunked-DMA
+    factories differ only there."""
+
+    def scan_fn(params, store, *plan):
+        z2_dim = params["mu2_table"].shape[-1]
+
+        def body(carry, b_i):
+            sums, counts = carry
+            feats, seq_idx, valid = batch_fn(store, plan, b_i)
+            z2_mu = model.encode_z2(params, feats.astype(jnp.float32))
+            sums = sums + jax.ops.segment_sum(
+                z2_mu * valid[:, None], seq_idx,
+                num_segments=num_rows)
+            counts = counts + jax.ops.segment_sum(
+                valid, seq_idx, num_segments=num_rows)
+            return (sums, counts), None
+
+        init = (jnp.zeros((num_rows, z2_dim), jnp.float32),
+                jnp.zeros((num_rows,), jnp.float32))
+        (sums, counts), _ = jax.lax.scan(
+            body, init, jnp.arange(n_batches, dtype=jnp.int32))
+        table = sums / (counts + r_ratio)[:, None]
+        if mesh is not None:
+            # shard_table: the table replaces state.params["mu2_table"],
+            # which the train step expects row-sharded over "model";
+            # otherwise (dev-eval override tables) replicate
+            spec = P("model", None) if shard_table else P()
+            table = jax.lax.with_sharding_constraint(
+                table, NamedSharding(mesh, spec))
+        return table
+
+    return scan_fn
+
+
+def _make_map_scan(model, seg_len: int, batch_size: int, n_batches: int,
+                   num_rows: int, r_ratio: float, mesh, shard_store: bool,
+                   shard_table: bool):
+    """Array-plan batches: slice (seq_idx_all, starts_all), validity from
+    ``n_real``, XLA-take gather."""
+    gather = _make_gather(seg_len, mesh, shard_store)
+    B = batch_size
+    data_sh = (NamedSharding(mesh, P("data")) if mesh is not None else None)
+
+    def batch_fn(store, plan, b_i):
+        seq_idx_all, starts_all, n_real = plan
+        off = b_i * B
+        seq_idx = jax.lax.dynamic_slice_in_dim(seq_idx_all, off, B)
+        starts = jax.lax.dynamic_slice_in_dim(starts_all, off, B)
+        valid = ((off + jnp.arange(B, dtype=jnp.int32)) < n_real).astype(
+            jnp.float32)
+        if data_sh is not None:
+            seq_idx = jax.lax.with_sharding_constraint(seq_idx, data_sh)
+            starts = jax.lax.with_sharding_constraint(starts, data_sh)
+            valid = jax.lax.with_sharding_constraint(valid, data_sh)
+        feats = gather(store, starts)
+        return feats, seq_idx, valid
+
+    return _map_scan_core(model, n_batches, num_rows, r_ratio, mesh,
+                          shard_table, batch_fn)

@@ -423,6 +423,7 @@ def run_training(
         from pytorch_scalablefhvae_tpu.train.device_step import (
             make_device_eval_pass,
             make_device_map_pass,
+            make_device_map_pass_chunked,
         )
 
         _dev_ds = dev_loader.dataset
@@ -433,12 +434,33 @@ def run_training(
         _dev_plan, (_dseq, _dstarts, _dnsegs) = _dev_src.stage_epoch(
             _dev_ds, np.arange(len(_dev_ds)), dev_loader.batch_size,
         )
-        dev_device = {
-            "map": make_device_map_pass(
+        _spb = 16
+        if (not _dev_ds.rand_seg and mesh is None
+                and dev_loader.batch_size % _spb == 0
+                and (_spb - 1) * _dev_ds.seg_shift + _dev_ds.seg_len <= 256):
+            # the dev MAP pass runs EVERY epoch — use the Pallas
+            # chunked-DMA gather (HBM-bandwidth, not the gather unit)
+            _dev_padded = int((-(-_dev_ds.nsegs // _spb) * _spb).sum())
+            _map = make_device_map_pass_chunked(
+                model, _dev_ds.seg_len, _dev_ds.seg_shift,
+                dev_loader.batch_size,
+                max(-(-_dev_padded // dev_loader.batch_size), 1),
+                _dev_ds.num_seqs, pz2_var, spb=_spb,
+                interpret=jax.default_backend() not in ("tpu",))
+            _map_args = (
+                jax.device_put(_dev_ds.store.seq_starts.astype(np.int32)),
+                jax.device_put(_dev_ds.nsegs.astype(np.int32)),
+            )
+        else:
+            _map = make_device_map_pass(
                 model, _dev_ds.seg_len, dev_loader.batch_size,
                 _dev_plan.n_batches, _dev_ds.num_seqs, pz2_var, mesh,
                 shard_store=config.data.shard_device_store,
-                shard_table=False),
+                shard_table=False)
+            _map_args = None  # array plan; filled per-call below
+        dev_device = {
+            "map": _map,
+            "map_args": _map_args,
             "eval": make_device_eval_pass(
                 model, config.optim.alpha_dis, _dev_ds.seg_len,
                 dev_loader.batch_size, _dev_plan.n_batches, mesh,
@@ -457,7 +479,10 @@ def run_training(
         n_real = np.int32(plan.n_real)
         # MAP pass: one dispatch that leaves the table in HBM (fp32
         # accumulation; ~1e-6 of the host path's fp64 tables)
-        table = dd["map"](params, dd["src"].data, dseq, dstarts, n_real)
+        if dd["map_args"] is not None:  # chunked: O(K) per-seq metadata
+            table = dd["map"](params, dd["src"].data, *dd["map_args"])
+        else:
+            table = dd["map"](params, dd["src"].data, dseq, dstarts, n_real)
         # scoring pass: one dispatch; host f64 reduction of per-batch sums
         # (evaluate_split's accumulation semantics). The table never
         # round-trips the host between the two dispatches.
@@ -513,25 +538,69 @@ def run_training(
         from pytorch_scalablefhvae_tpu.data.device_store import build_epoch_plan
         from pytorch_scalablefhvae_tpu.train.device_step import (
             make_device_map_pass,
+            make_device_map_pass_chunked,
+            make_device_map_pass_rows,
         )
 
+        # the MAP pass is embarrassingly parallel over segments, so it runs
+        # at a LARGER batch than training (fewer, fatter scan iterations —
+        # a multiple of the train batch keeps mesh data-axis divisibility)
         _B_tr = train_loader.batch_size
+        _B_map = _B_tr * max(1, 2048 // _B_tr)
+        _shift = train_loader.dataset.seg_shift
+        _spb = 16
         _top = np.sort(np.asarray(train_loader.dataset.nsegs))[-hier_k:]
-        _ceil_batches = max(int(-(-int(_top.sum()) // _B_tr)), 1)
-        hier_device = {
-            "pass": make_device_map_pass(
-                model, seg_len, _B_tr, _ceil_batches, model.table_rows,
+        _rand = train_loader.dataset.rand_seg
+        _chunked = (not _rand and mesh is None and _B_map % _spb == 0
+                    and (_spb - 1) * _shift + seg_len <= 256)
+        if _chunked:
+            # chunk layout pads each sequence's windows to an spb multiple
+            _padded = int((-(-_top // _spb) * _spb).sum())
+            _ceil_batches = max(-(-_padded // _B_map), 1)
+        else:
+            _ceil_batches = max(int(-(-int(_top.sum()) // _B_map)), 1)
+        if _rand:
+            # random windowing: starts are drawn on the host, so the
+            # per-segment plan must be uploaded (array-plan pass)
+            _pass = make_device_map_pass(
+                model, seg_len, _B_map, _ceil_batches, model.table_rows,
                 pz2_var, mesh,
-                shard_store=config.data.shard_device_store),
-            "rows": _ceil_batches * _B_tr,
+                shard_store=config.data.shard_device_store)
+        elif _chunked:
+            # deterministic windowing off-mesh: O(K) upload AND the
+            # Pallas chunked-DMA gather (HBM-bandwidth, not gather-unit)
+            _pass = make_device_map_pass_chunked(
+                model, seg_len, _shift, _B_map, _ceil_batches,
+                model.table_rows, pz2_var, spb=_spb,
+                interpret=jax.default_backend() not in ("tpu",))
+        else:
+            # deterministic windowing on a mesh: the plan derives in-graph
+            # from two [K] vectors — per-round upload is O(K)
+            _pass = make_device_map_pass_rows(
+                model, seg_len, _shift, _B_map,
+                _ceil_batches, model.table_rows, pz2_var, mesh,
+                shard_store=config.data.shard_device_store)
+        hier_device = {
+            "pass": _pass,
+            "rand": _rand,
+            "batch": _B_map,
+            "rows": _ceil_batches * _B_map,
             "plan": build_epoch_plan,
         }
 
+    hier_round_epochs = max(
+        getattr(config.train, "hierarchical_round_epochs", 1), 1)
+    epoch_loader = None
     for epoch in range(start_epoch, config.train.epochs):
-        if hier:
+        if hier and (epoch_loader is None
+                     or (epoch - start_epoch) % hier_round_epochs == 0):
             # sample this round's sequence subset and MAP-initialize its
             # mu2 rows from the current encoder; the table (and its Adam
-            # moments) are per-round fast weights
+            # moments) are per-round fast weights. With
+            # --hierarchical-round-epochs N > 1 the subset and its MAP init
+            # are reused for N epochs — the reference keeps ONE subset for
+            # the whole run (train_model.py:424-436), so any finite cadence
+            # is fresher than its semantics while amortizing the turnover.
             full_ds = train_loader.dataset
             keys = list(hier_rng.choice(full_ds.store.seq_keys, size=hier_k, replace=False))
             from pytorch_scalablefhvae_tpu.data.segments import SegmentDataset as _SD
@@ -549,20 +618,29 @@ def run_training(
                 # staged pack (subset views keep absolute offsets): encode,
                 # per-sequence accumulation, and the MAP formula all run in
                 # HBM and the replacement table never touches the host
-                # (device_step.make_device_map_pass). Padding rows beyond
+                # (device_step.make_device_map_pass*). Padding rows beyond
                 # num_seqs finish as exact zeros — masked out of the
                 # softmax, never gathered.
-                plan = hier_device["plan"](
-                    sub_ds, np.arange(len(sub_ds)), train_loader.batch_size)
-                rows = hier_device["rows"]
-                starts = np.zeros(rows, plan.abs_starts.dtype)
-                starts[: len(plan.abs_starts)] = plan.abs_starts
-                seq_rows = np.zeros(rows, plan.seq_idx.dtype)
-                seq_rows[: len(plan.seq_idx)] = plan.seq_idx
-                table = hier_device["pass"](
-                    state.params, device_source.data,
-                    jax.device_put(seq_rows), jax.device_put(starts),
-                    np.int32(plan.n_real))
+                if hier_device["rand"]:
+                    plan = hier_device["plan"](
+                        sub_ds, np.arange(len(sub_ds)), hier_device["batch"])
+                    rows = hier_device["rows"]
+                    starts = np.zeros(rows, plan.abs_starts.dtype)
+                    starts[: len(plan.abs_starts)] = plan.abs_starts
+                    seq_rows = np.zeros(rows, plan.seq_idx.dtype)
+                    seq_rows[: len(plan.seq_idx)] = plan.seq_idx
+                    table = hier_device["pass"](
+                        state.params, device_source.data,
+                        jax.device_put(seq_rows), jax.device_put(starts),
+                        np.int32(plan.n_real))
+                else:
+                    # O(K) upload: the pass derives the segment plan
+                    # in-graph from per-sequence (abs offset, nseg)
+                    table = hier_device["pass"](
+                        state.params, device_source.data,
+                        jax.device_put(
+                            sub_ds.store.seq_starts.astype(np.int32)),
+                        jax.device_put(sub_ds.nsegs.astype(np.int32)))
             else:
                 est_loader = SegmentLoader(
                     sub_ds, train_loader.batch_size, shuffle=False, seed=0,
@@ -588,7 +666,7 @@ def run_training(
                 else:
                     table = jax.device_put(table_np)
             state = _replace_mu2_table(state, table)
-        else:
+        elif not hier:
             epoch_loader = train_loader
         epoch_loader.set_epoch(epoch)
         profiling = (

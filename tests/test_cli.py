@@ -34,7 +34,11 @@ class TestFlagSurface:
         assert cfg.features.n_mels == 80
         assert cfg.data.seg_len == 20
         assert cfg.data.seg_shift == 8
-        assert cfg.data.training_batch_size == 256
+        # model-aware default: the recurrent fhvae (a stub in the
+        # reference, so the default is ours) trains at the TPU-efficient
+        # b1024; simple_fhvae keeps the reference's 256 (args.py:
+        # _default_batch)
+        assert cfg.data.training_batch_size == 1024
         assert cfg.data.dev_batch_size == 2048
         assert cfg.model.z1_hus == (128, 128)
         assert cfg.model.z1_dim == 16
@@ -181,6 +185,8 @@ class TestConfigFlagCompleteness:
             ("train", "sample_hierarchical"): (["--hierarchical"], True),
             ("train", "num_hierarchical_sequences"): (
                 ["--num-hierarchical-sequences", "99"], 99),
+            ("train", "hierarchical_round_epochs"): (
+                ["--hierarchical-round-epochs", "3"], 3),
             ("train", "profile_dir"): (["--profile-dir", "/prof"], "/prof"),
             ("train", "profile_epoch"): (["--profile-epoch", "0"], 0),
             ("train", "tensorboard"): (["--tensorboard"], True),
@@ -195,6 +201,8 @@ class TestConfigFlagCompleteness:
             ("train", "ckpt_backend"): (["--ckpt-backend", "orbax"], "orbax"),
             ("train", "mesh_shape"): (["--mesh", "2,4"], (2, 4)),
             ("train", "donate_state"): (["--donate-state", "false"], False),
+            ("data", "synthetic_speakers"): (["--synthetic-speakers", "64"], 64),
+            ("data", "synthetic_utts"): (["--synthetic-utts", "5"], 5),
         }
         missing = []
         for section_field in dataclasses.fields(ExperimentConfig):

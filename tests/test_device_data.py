@@ -313,3 +313,128 @@ class TestDeviceMapPass:
         table, ref = self._setup(rng, mesh=mesh, shard_store=False,
                                  shard_table=False)
         np.testing.assert_allclose(table, ref, rtol=1e-5, atol=1e-6)
+
+    def test_rows_variant_matches_array_plan(self, rng):
+        """make_device_map_pass_rows (O(K)-upload, in-graph plan) must
+        produce the same table as the array-plan pass and the host path."""
+        from pytorch_scalablefhvae_tpu.models import SimpleFHVAE
+        from pytorch_scalablefhvae_tpu.train.device_step import (
+            make_device_map_pass_rows,
+        )
+
+        store = make_store(rng, n_seqs=5, frames=60, dim=8)
+        ds = SegmentDataset(store, seg_len=20, seg_shift=8)
+        model = SimpleFHVAE(input_size=20 * 8, num_seqs=5,
+                            z1_hus=(16, 16), z2_hus=(16, 16), x_hus=(16, 16),
+                            z1_dim=4, z2_dim=4)
+        params = model.init(jax.random.PRNGKey(0))
+        src = DeviceDataSource(store)
+        B = 8
+        n_batches = -(-len(ds) // B)
+        pz2_var = float(np.exp(model.pz2_logvar))
+        rows_pass = make_device_map_pass_rows(
+            model, 20, 8, B, n_batches, 5, pz2_var)
+        table = np.asarray(rows_pass(
+            params, src.data,
+            jax.device_put(store.seq_starts.astype(np.int32)),
+            jax.device_put(ds.nsegs.astype(np.int32))))
+
+        from pytorch_scalablefhvae_tpu.data.loader import SegmentLoader
+        from pytorch_scalablefhvae_tpu.train.loop import estimate_split_mu2
+        from pytorch_scalablefhvae_tpu.train.step import make_encode_step
+
+        loader = SegmentLoader(ds, B, shuffle=False, seed=0)
+        want = estimate_split_mu2(make_encode_step(model), params, loader,
+                                  5, pz2_var, z2_dim=4)
+        np.testing.assert_allclose(table, want, rtol=1e-5, atol=1e-6)
+
+    def test_rows_variant_subset_view(self, rng):
+        """Round-subset semantics: a subset view's (abs offsets, nsegs) give
+        the same table as host estimation over the subset dataset."""
+        from pytorch_scalablefhvae_tpu.data.loader import SegmentLoader
+        from pytorch_scalablefhvae_tpu.models import SimpleFHVAE
+        from pytorch_scalablefhvae_tpu.train.device_step import (
+            make_device_map_pass_rows,
+        )
+        from pytorch_scalablefhvae_tpu.train.loop import estimate_split_mu2
+        from pytorch_scalablefhvae_tpu.train.step import make_encode_step
+
+        store = make_store(rng, n_seqs=6, frames=60, dim=8)
+        sub = store.subset([store.seq_keys[i] for i in (4, 1, 3)])
+        sub_ds = SegmentDataset(sub, seg_len=20, seg_shift=8)
+        model = SimpleFHVAE(input_size=20 * 8, num_seqs=3,
+                            z1_hus=(16, 16), z2_hus=(16, 16), x_hus=(16, 16),
+                            z1_dim=4, z2_dim=4)
+        params = model.init(jax.random.PRNGKey(0))
+        src = DeviceDataSource(store)  # FULL pack staged
+        B = 8
+        n_batches = -(-len(sub_ds) // B) + 1  # ceiling w/ slack, as the loop
+        pz2_var = float(np.exp(model.pz2_logvar))
+        rows_pass = make_device_map_pass_rows(
+            model, 20, 8, B, n_batches, 3, pz2_var)
+        table = np.asarray(rows_pass(
+            params, src.data,
+            jax.device_put(sub.seq_starts.astype(np.int32)),
+            jax.device_put(sub_ds.nsegs.astype(np.int32))))
+        loader = SegmentLoader(sub_ds, B, shuffle=False, seed=0)
+        want = estimate_split_mu2(make_encode_step(model), params, loader,
+                                  3, pz2_var, z2_dim=4)
+        np.testing.assert_allclose(table, want, rtol=1e-5, atol=1e-6)
+
+    def test_chunked_variant_matches_host(self, rng):
+        """make_device_map_pass_chunked (Pallas region-DMA gather,
+        per-sequence spb padding) == host estimate, including a subset view
+        whose last chunk overhangs into the next sequence / tail slack."""
+        from pytorch_scalablefhvae_tpu.data.loader import SegmentLoader
+        from pytorch_scalablefhvae_tpu.models import SimpleFHVAE
+        from pytorch_scalablefhvae_tpu.train.device_step import (
+            make_device_map_pass_chunked,
+        )
+        from pytorch_scalablefhvae_tpu.train.loop import estimate_split_mu2
+        from pytorch_scalablefhvae_tpu.train.step import make_encode_step
+
+        # ragged lengths -> nsegs not multiples of spb
+        store = make_store(rng, n_seqs=5, frames=61, dim=8)
+        ds = SegmentDataset(store, seg_len=20, seg_shift=8)
+        model = SimpleFHVAE(input_size=20 * 8, num_seqs=5,
+                            z1_hus=(16, 16), z2_hus=(16, 16), x_hus=(16, 16),
+                            z1_dim=4, z2_dim=4)
+        params = model.init(jax.random.PRNGKey(0))
+        src = DeviceDataSource(store)
+        spb, B = 4, 8
+        padded = int((-(-ds.nsegs // spb) * spb).sum())
+        n_batches = max(-(-padded // B), 1)
+        pz2_var = float(np.exp(model.pz2_logvar))
+        cpass = make_device_map_pass_chunked(
+            model, 20, 8, B, n_batches, 5, pz2_var, spb=spb,
+            interpret=jax.default_backend() != "tpu")
+        table = np.asarray(cpass(
+            params, src.data,
+            jax.device_put(store.seq_starts.astype(np.int32)),
+            jax.device_put(ds.nsegs.astype(np.int32))))
+        loader = SegmentLoader(ds, B, shuffle=False, seed=0)
+        want = estimate_split_mu2(make_encode_step(model), params, loader,
+                                  5, pz2_var, z2_dim=4)
+        np.testing.assert_allclose(table, want, rtol=1e-5, atol=1e-6)
+
+
+class TestWindowedChunkGather:
+    def test_matches_take(self, rng):
+        """The Pallas region-DMA gather == per-window jnp.take."""
+        import jax.numpy as jnp
+
+        from pytorch_scalablefhvae_tpu.ops.window_gather_pallas import (
+            windowed_chunk_gather,
+        )
+
+        N, D, spb, seg, stride = 512, 16, 4, 20, 8
+        store = jnp.asarray(
+            rng.standard_normal((N, D)).astype(np.float32))
+        chunk_starts = np.asarray([0, 8, 96, 200, 333, 400], np.int32)
+        got = windowed_chunk_gather(
+            store, jnp.asarray(chunk_starts), spb=spb, seg_len=seg,
+            stride=stride, interpret=jax.default_backend() != "tpu")
+        starts = (chunk_starts[:, None]
+                  + stride * np.arange(spb)[None, :]).reshape(-1)
+        want = np.stack([np.asarray(store[s : s + seg]) for s in starts])
+        np.testing.assert_array_equal(np.asarray(got), want)

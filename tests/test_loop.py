@@ -89,6 +89,33 @@ class TestEndToEnd:
         # table is sized by the sampled subset
         assert res.state.params["mu2_table"].shape[0] == 3
 
+    def test_hierarchical_round_epochs_reuses_subset(self, corpus, tmp_path,
+                                                     monkeypatch):
+        """--hierarchical-round-epochs N: the subset is sampled (and MAP
+        re-initialized) once per N epochs, not every epoch."""
+        import pytorch_scalablefhvae_tpu.data.feature_store as FS
+
+        calls = []
+        orig = FS.FeatureStore.subset
+
+        def counting(self, keys):
+            calls.append(tuple(keys))
+            return orig(self, keys)
+
+        monkeypatch.setattr(FS.FeatureStore, "subset", counting)
+        cfg = small_config(tmp_path, sample_hierarchical=True,
+                           num_hierarchical_sequences=3,
+                           hierarchical_round_epochs=2)
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, epochs=4))
+        res = train_from_config(
+            cfg, data_root=corpus, exp_root=tmp_path / "exp_rre",
+            is_preprocessed=True, verbose=False,
+        )
+        assert not res.diverged
+        # 4 epochs at cadence 2 -> exactly 2 rounds sampled
+        assert len(calls) == 2
+
     def test_resume_uses_saved_config(self, corpus, tmp_path):
         cfg = small_config(tmp_path)
         res = train_from_config(cfg, data_root=corpus, exp_root=tmp_path / "exp",

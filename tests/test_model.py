@@ -267,3 +267,29 @@ class TestWavefrontLSTM:
                                    rtol=2e-5, atol=1e-6)
         np.testing.assert_allclose(np.asarray(got_h), np.asarray(want_h),
                                    rtol=2e-5, atol=1e-6)
+
+
+class TestEncodeZ2:
+    """encode_z2 (the MAP passes' cheap trunk) == encode()["z2_mu"]."""
+
+    def test_simple_fhvae(self, rng):
+        m = SimpleFHVAE(input_size=20 * 8, num_seqs=3,
+                        z1_hus=(16, 16), z2_hus=(16, 16), x_hus=(16, 16),
+                        z1_dim=4, z2_dim=4)
+        p = m.init(jax.random.PRNGKey(0))
+        x = jnp.asarray(rng.standard_normal((5, 20, 8)).astype(np.float32))
+        want = m.encode(p, x, jax.random.PRNGKey(1), sample=False)["z2_mu"]
+        np.testing.assert_allclose(np.asarray(m.encode_z2(p, x)),
+                                   np.asarray(want), rtol=1e-6, atol=1e-7)
+
+    @pytest.mark.parametrize("lp", ["never", "always"])
+    def test_fhvae(self, rng, lp):
+        m = FHVAE(input_size=6 * 12, num_seqs=3, feat_dim=12,
+                  z1_hus=(8, 8), z2_hus=(8, 8), x_hus=(8, 8),
+                  z1_dim=4, z2_dim=4, lstm_pallas=lp,
+                  lstm_mm_dtype="float32")
+        p = m.init(jax.random.PRNGKey(0))
+        x = jnp.asarray(rng.standard_normal((4, 6, 12)).astype(np.float32))
+        want = m.encode(p, x, jax.random.PRNGKey(1), sample=False)["z2_mu"]
+        np.testing.assert_allclose(np.asarray(m.encode_z2(p, x)),
+                                   np.asarray(want), rtol=2e-5, atol=1e-6)
