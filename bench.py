@@ -384,11 +384,14 @@ def bench_hier_round(hier_k: int = 2000, frames: int = 1044,
     order = np.arange(n_total)
     plan, plan_dev = src.stage_epoch(ds, order, train_batch)
     _spb = 16
-    _padded = int((-(-ds.nsegs // _spb) * _spb).sum())
+    _skip = 4  # the loop's default --map-init-chunk-skip (config.py)
+    _chunks = -(-ds.nsegs // _spb)      # ceil(nseg / spb)
+    _sel_chunks = -(-_chunks // _skip)  # ceil(chunks / skip)
+    _padded = int((_sel_chunks * _spb).sum())
     map_batches = -(-_padded // map_batch)
     map_pass = make_device_map_pass_chunked(
         model, SEG_LEN, 8, map_batch, map_batches, hier_k, pz2_var,
-        spb=_spb)
+        spb=_spb, chunk_skip=_skip)
     dstep = make_device_train_step(
         model, optimizer, ALPHA, SEG_LEN, train_batch, k_dispatch,
         donate=False)

@@ -161,6 +161,13 @@ class TrainConfig:
     # (train_model.py:424-436); 1 resamples every epoch (freshest), larger
     # values amortize the round turnover (bench.py hier_round_*)
     hierarchical_round_epochs: int = 1
+    # MAP-init subsampling for round turnover: encode every Nth chunk of
+    # 16 consecutive windows (device_step.make_device_map_pass_chunked).
+    # The init is immediately refined by the round's Adam steps and z2 is
+    # a sequence-level factor carried by every segment, so a 4x burst
+    # subsample changes the starting table negligibly while cutting the
+    # turnover encode 4x. Dev-eval MAP tables always use every window.
+    map_init_chunk_skip: int = 4
     # observability
     profile_dir: str | None = None  # capture a jax.profiler trace here
     profile_epoch: int = 1  # epoch at which to capture the trace

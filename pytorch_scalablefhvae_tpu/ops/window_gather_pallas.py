@@ -28,6 +28,16 @@ frames (the extra windows are weight-masked downstream) — the STORE must
 provide ``(spb - 1) * stride + seg_len`` rows of tail slack past the last
 addressable chunk start (data/device_store.py pads the staged pack; zero
 frames are never consumed by a real window).
+
+Lane alignment: Mosaic tiles HBM memrefs to 128 lanes and requires DMA
+region slices to be lane-aligned — a ``[reg_rows, 80]`` slice of an 80-mel
+store fails to compile on real TPUs ("Slice shape along dimension 1 must
+be aligned to tiling (128)"; interpret mode does not enforce this). The
+wrapper therefore pads the feature dim to the 128 multiple the HBM layout
+already occupies physically, runs the kernel at the padded width, and
+slices the output back — XLA fuses that slice into the consumer's operand
+read, and the region DMAs stream the padding lanes the tiled layout would
+have transferred anyway.
 """
 
 from __future__ import annotations
@@ -99,6 +109,11 @@ def windowed_chunk_gather(
     """
     C = chunk_starts.shape[0]
     D = store.shape[1]
+    # Mosaic requires 128-lane-aligned DMA slices of the HBM store (see
+    # module docstring); run the kernel at the tiled width.
+    D_pad = -(-D // 128) * 128
+    if D_pad != D:
+        store = jnp.pad(store, ((0, 0), (0, D_pad - D)))
     reg_rows = (spb - 1) * stride + seg_len
     out = pl.pallas_call(
         functools.partial(_kernel, spb=spb, seg_len=seg_len, stride=stride,
@@ -108,13 +123,14 @@ def windowed_chunk_gather(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # chunk_starts
             pl.BlockSpec(memory_space=pl.ANY),      # store stays in HBM
         ],
-        out_shape=jax.ShapeDtypeStruct((C * spb * seg_len, D), store.dtype),
-        out_specs=pl.BlockSpec((spb * seg_len, D), lambda c: (c, 0),
+        out_shape=jax.ShapeDtypeStruct((C * spb * seg_len, D_pad),
+                                       store.dtype),
+        out_specs=pl.BlockSpec((spb * seg_len, D_pad), lambda c: (c, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, reg_rows, D), store.dtype),
+            pltpu.VMEM((2, reg_rows, D_pad), store.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(chunk_starts.astype(jnp.int32), store)
-    return out.reshape(C * spb, seg_len, D)
+    return out[:, :D].reshape(C * spb, seg_len, D)

@@ -341,6 +341,7 @@ def make_device_map_pass_chunked(model, seg_len: int, seg_shift: int,
                                  batch_size: int, n_batches: int,
                                  num_rows: int, pz2_var: float,
                                  spb: int = 16, pmu2_var: float = 1.0,
+                                 chunk_skip: int = 1,
                                  interpret: bool = False):
     """MAP mu2 table with the Pallas chunked-DMA window gather.
 
@@ -358,6 +359,18 @@ def make_device_map_pass_chunked(model, seg_len: int, seg_shift: int,
     (data/device_store.py:STORE_TAIL_SLACK). Single-device only — the
     pallas_call does not partition under GSPMD; mesh runs use the
     array-plan/rows passes.
+
+    ``chunk_skip > 1`` subsamples the MAP estimate: only every
+    ``chunk_skip``-th chunk of ``spb`` consecutive windows is encoded
+    (bursts spread evenly across each sequence's span). The table this
+    pass produces is an INITIALIZATION the round's Adam steps immediately
+    refine, z2 is by construction a sequence-level factor present in every
+    segment, and adjacent windows overlap ``(seg_len - seg_shift)`` frames
+    anyway — so a stride-``chunk_skip`` burst sample changes the MAP mean
+    negligibly while cutting the encode compute by that factor (the
+    reference's estimate likewise used whatever segments its loader
+    happened to produce, utils.py:45-60). Use ``chunk_skip=1`` where the
+    estimate itself is the product (dev-eval MAP tables).
     """
     from pytorch_scalablefhvae_tpu.ops.window_gather_pallas import (
         windowed_chunk_gather,
@@ -367,6 +380,11 @@ def make_device_map_pass_chunked(model, seg_len: int, seg_shift: int,
     assert B % spb == 0, "batch_size must be a multiple of spb"
     cpb = B // spb  # chunks per batch
     rows = n_batches * B
+    # trace-time cell: pass_fn records the UNPADDED feature width before
+    # lane-padding the store, so batch_fn can slice the gathered windows
+    # back to what the encoder expects (set during pass_fn's trace, read
+    # during scan_fn's trace of the body — same jit trace)
+    d_cell: dict = {}
 
     def batch_fn(store, plan, b_i):
         seq_all, valid_all, chunk_starts_all = plan
@@ -378,24 +396,38 @@ def make_device_map_pass_chunked(model, seg_len: int, seg_shift: int,
         feats = windowed_chunk_gather(
             store, chunk_starts, spb=spb, seg_len=seg_len, stride=seg_shift,
             interpret=interpret)
-        return feats, seq_idx, valid
+        d = d_cell.get("d", store.shape[1])
+        return feats[..., :d], seq_idx, valid
 
     scan_fn = _map_scan_core(model, n_batches, num_rows,
                              pz2_var / pmu2_var, None, True, batch_fn)
 
     def pass_fn(params, store, sel_starts, sel_nsegs):
+        # Lane-pad the store ONCE, outside the batch scan: the gather
+        # kernel needs a 128-multiple feature dim for its HBM region DMAs
+        # (ops/window_gather_pallas.py docstring) and pads internally, but
+        # XLA does not hoist that full-store pad out of the while loop —
+        # measured 3.3 ms/iteration (117 ms of a 210 ms pass) re-padding
+        # 2M rows per batch on v5e before this was lifted here.
+        d_cell["d"] = store.shape[1]
+        if store.shape[1] % 128:
+            store = jnp.pad(
+                store, ((0, 0), (0, -store.shape[1] % 128)))
         # per-sequence chunk layout: sequence k owns chunks
-        # [cumc[k-1], cumc[k]) with cps[k] = ceil(nseg/spb); its rows are
-        # the chunks' spb windows, the tail ones weight-0 padding
+        # [cumc[k-1], cumc[k]) with cps[k] = ceil(ceil(nseg/spb)/skip);
+        # its rows are the chunks' spb windows, the tail ones weight-0
+        # padding. Selected chunk j of sequence k is ORIGINAL chunk
+        # j*skip (window j*skip*spb of the sequence).
+        skip = jnp.int32(chunk_skip)
         nseg = sel_nsegs.astype(jnp.int32)
-        cps = -(-nseg // spb)
+        cps = -(-(-(-nseg // spb)) // skip)
         cumc = jnp.cumsum(cps)
         n_chunks_real = cumc[-1]
         q = jnp.arange(rows // spb, dtype=jnp.int32)
         k_q = jnp.searchsorted(cumc, q, side="right").astype(jnp.int32)
         k_q = jnp.minimum(k_q, nseg.shape[0] - 1)
         prev = jnp.where(k_q > 0, jnp.take(cumc, jnp.maximum(k_q - 1, 0)), 0)
-        qj = q - prev  # chunk index within its sequence
+        qj = (q - prev) * skip  # original chunk index within its sequence
         chunk_starts = (jnp.take(sel_starts.astype(jnp.int32), k_q)
                         + qj * jnp.int32(spb * seg_shift))
         # padding chunks (q >= n_chunks_real) would address past the pack

@@ -553,9 +553,13 @@ def run_training(
         _rand = train_loader.dataset.rand_seg
         _chunked = (not _rand and mesh is None and _B_map % _spb == 0
                     and (_spb - 1) * _shift + seg_len <= 256)
+        _skip = max(getattr(config.train, "map_init_chunk_skip", 4), 1)
         if _chunked:
-            # chunk layout pads each sequence's windows to an spb multiple
-            _padded = int((-(-_top // _spb) * _spb).sum())
+            # chunk layout: every _skip-th chunk of _spb windows, each
+            # sequence padded to a whole number of selected chunks
+            _chunks = -(-_top // _spb)          # ceil(nseg / spb)
+            _sel = -(-_chunks // _skip)         # ceil(chunks / skip)
+            _padded = int((_sel * _spb).sum())
             _ceil_batches = max(-(-_padded // _B_map), 1)
         else:
             _ceil_batches = max(int(-(-int(_top.sum()) // _B_map)), 1)
@@ -571,7 +575,7 @@ def run_training(
             # Pallas chunked-DMA gather (HBM-bandwidth, not gather-unit)
             _pass = make_device_map_pass_chunked(
                 model, seg_len, _shift, _B_map, _ceil_batches,
-                model.table_rows, pz2_var, spb=_spb,
+                model.table_rows, pz2_var, spb=_spb, chunk_skip=_skip,
                 interpret=jax.default_backend() not in ("tpu",))
         else:
             # deterministic windowing on a mesh: the plan derives in-graph

@@ -187,6 +187,8 @@ class TestConfigFlagCompleteness:
                 ["--num-hierarchical-sequences", "99"], 99),
             ("train", "hierarchical_round_epochs"): (
                 ["--hierarchical-round-epochs", "3"], 3),
+            ("train", "map_init_chunk_skip"): (
+                ["--map-init-chunk-skip", "2"], 2),
             ("train", "profile_dir"): (["--profile-dir", "/prof"], "/prof"),
             ("train", "profile_epoch"): (["--profile-epoch", "0"], 0),
             ("train", "tensorboard"): (["--tensorboard"], True),

@@ -417,6 +417,54 @@ class TestDeviceMapPass:
                                   5, pz2_var, z2_dim=4)
         np.testing.assert_allclose(table, want, rtol=1e-5, atol=1e-6)
 
+    def test_chunked_variant_chunk_skip(self, rng):
+        """chunk_skip=N encodes exactly every Nth chunk's windows: the
+        table equals the MAP formula applied to that subsampled window set
+        (counts included — the shrinkage denominator uses the subsampled
+        count)."""
+        import jax.numpy as jnp
+
+        from pytorch_scalablefhvae_tpu.models import SimpleFHVAE
+        from pytorch_scalablefhvae_tpu.train.device_step import (
+            make_device_map_pass_chunked,
+        )
+
+        store = make_store(rng, n_seqs=5, frames=137, dim=8)
+        ds = SegmentDataset(store, seg_len=20, seg_shift=8)
+        model = SimpleFHVAE(input_size=20 * 8, num_seqs=5,
+                            z1_hus=(16, 16), z2_hus=(16, 16), x_hus=(16, 16),
+                            z1_dim=4, z2_dim=4)
+        params = model.init(jax.random.PRNGKey(0))
+        src = DeviceDataSource(store)
+        spb, B, skip = 4, 8, 2
+        chunks = -(-ds.nsegs // spb)       # ceil(nseg / spb)
+        sel_chunks = -(-chunks // skip)    # ceil(chunks / skip)
+        padded = int((sel_chunks * spb).sum())
+        n_batches = max(-(-padded // B), 1)
+        pz2_var = float(np.exp(model.pz2_logvar))
+        cpass = make_device_map_pass_chunked(
+            model, 20, 8, B, n_batches, 5, pz2_var, spb=spb,
+            chunk_skip=skip, interpret=jax.default_backend() != "tpu")
+        table = np.asarray(cpass(
+            params, src.data,
+            jax.device_put(store.seq_starts.astype(np.int32)),
+            jax.device_put(ds.nsegs.astype(np.int32))))
+
+        # expected: per sequence, windows of chunks 0, skip, 2*skip, ...
+        ratio = pz2_var  # pmu2_var = 1.0
+        want = np.zeros((5, 4), np.float32)
+        for k in range(store.num_seqs):
+            feats = store.sequence(k)
+            n = int(ds.nsegs[k])
+            wins = [c * spb + i
+                    for c in range(0, -(-n // spb), skip)
+                    for i in range(spb) if c * spb + i < n]
+            x = np.stack([feats[w * 8 : w * 8 + 20] for w in wins])
+            z2_mu = np.asarray(model.encode_z2(
+                params, jnp.asarray(x, jnp.float32)))
+            want[k] = z2_mu.sum(0) / (len(wins) + ratio)
+        np.testing.assert_allclose(table, want, rtol=1e-5, atol=1e-6)
+
 
 class TestWindowedChunkGather:
     def test_matches_take(self, rng):
