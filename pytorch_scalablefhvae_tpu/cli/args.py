@@ -40,7 +40,8 @@ def add_common_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--fbank-pallas", type=str, default="auto",
                    choices=["never", "always", "auto"],
                    help="Fused Pallas log-mel kernel in the jax extractor "
-                        "(auto = on TPU backends)")
+                        "(auto = jnp chain: the kernel wins on the device "
+                        "plane but not end-to-end wall; 'always' opts in)")
     p.add_argument("--fbank-conf", type=str, default="./misc/fbank.conf",
                    help="Path to the fbank.conf used by the kaldi-semantics extractor")
     p.add_argument("--kaldi-root", type=str, default="./kaldi/",

@@ -39,7 +39,9 @@ class FeatureConfig:
     log_floor_spec: float = -50.0
     log_floor_mel: float = -20.0
     # fused Pallas log-mel kernel in the jax extractor (ops/fbank_pallas.py):
-    # "never" | "always" | "auto" (= on TPU backends)
+    # "never" | "always" | "auto". "auto" resolves to the jnp chain on every
+    # backend — the kernel wins on its device plane (~1.4x) but not on
+    # end-to-end wall (misc/fbank_xplane_evidence.json); "always" opts in
     fbank_pallas: str = "auto"
     # kaldi-semantics path (native backend; misc/fbank.conf parity)
     dither: float = 1.0

@@ -91,15 +91,20 @@ def batched_features(
 
     ``use_pallas``: "never" | "always" | "auto" — whether the fused Pallas
     log-mel kernel (ops/fbank_pallas.py) replaces the jnp DFT+mel chain.
-    Same gating convention as models.base.discriminative_log_qy: "auto"
-    selects it on TPU backends; "always" runs it in interpret mode elsewhere
-    (tests). It applies to the fbank+log non-FFT configuration only.
+    It applies to the fbank+log non-FFT configuration only. Unlike the
+    discriminative-softmax gate (models.base), "auto" here resolves to the
+    jnp chain on every backend: on the kernel's own device plane the fused
+    kernel is 1.33x faster (105 vs 79 Mframes/s), but XLA already keeps
+    the whole chain inside one fusion family and the end-to-end WALL rate
+    is within measurement noise either way (0.91x-1.04x across bench
+    days; committed capture: misc/fbank_xplane_evidence.json) — feature
+    extraction is < 1% of preprocess wall time, so the jnp path is the
+    safe default. "always" opts in explicitly (interpret mode off-TPU,
+    for tests).
     """
     win = int(sr * win_t)
     fused = bool(
-        feat_type == "fbank" and log and not use_fft
-        and (use_pallas == "always"
-             or (use_pallas == "auto" and jax.default_backend() == "tpu"))
+        feat_type == "fbank" and log and not use_fft and use_pallas == "always"
     )
     if fused and use_pallas == "always" and jax.default_backend() != "tpu":
         import warnings
