@@ -729,16 +729,10 @@ def main() -> None:
             extras["single_dispatch_sps"] = round(bench_jax(steps=50, k_dispatch=1), 1)
         except Exception as e:
             print(f"# single-dispatch bench failed: {e}")
-        # corpus-scale mu2 table: XLA materialized-logits vs streaming Pallas
-        try:
-            extras["large_table_sps_xla"] = round(
-                bench_jax(num_seqs=LARGE_N, use_pallas="never", steps=32, k_dispatch=16), 1
-            )
-            extras["large_table_sps_pallas"] = round(
-                bench_jax(num_seqs=LARGE_N, use_pallas="always", steps=32, k_dispatch=16), 1
-            )
-        except Exception as e:
-            print(f"# large-table bench failed: {e}")
+        # FLAGSHIP fhvae numbers run FIRST among the heavy benches: the
+        # 281k-row large-table section leaves the BFC allocator pools
+        # grown/fragmented, which measurably suppresses the recurrence
+        # benches run after it (~10% on b1024_k64 in back-to-back A/B)
         try:
             extras["fhvae_lstm_sps"] = round(
                 bench_jax(steps=64, model_type="fhvae", k_dispatch=32), 1
@@ -757,13 +751,25 @@ def main() -> None:
             # the CLI-default fhvae config (b1024, args._default_batch):
             # the Pallas recurrence is dependent-op latency-bound at small
             # batches, so b1024 does more work per chain step — the MFU
-            # headline is measured HERE, at the config the CLI runs
+            # headline is measured HERE, at the config the CLI runs. Two
+            # dispatch depths: on the tunneled rig each dispatch carries
+            # 20-30 ms of link tax on top of ~82 ms device time, so k128
+            # halves the per-step tax (device-plane profile: 803k seg/s at
+            # this config; wall converges toward it as K grows). Larger
+            # BATCH does not help: b2048 crosses an XLA layout boundary
+            # and the elementwise/copy ops grow 4-5x (profiled), so the
+            # per-seg device cost RISES 25%.
             extras["fhvae_lstm_b1024_k64_sps"] = round(
                 bench_jax(steps=128, model_type="fhvae", k_dispatch=64,
                           batch=1024), 1
             )
+            extras["fhvae_lstm_b1024_k128_sps"] = round(
+                bench_jax(steps=256, model_type="fhvae", k_dispatch=128,
+                          batch=1024), 1
+            )
             extras.update(roofline_fields(
                 max(extras["fhvae_lstm_b1024_k64_sps"],
+                    extras["fhvae_lstm_b1024_k128_sps"],
                     extras["fhvae_lstm_k64_sps"]),
                 fhvae_flops_per_seg(), device_kind, "fhvae"))
             extras["fhvae_b256_mfu"] = roofline_fields(
@@ -771,6 +777,16 @@ def main() -> None:
                 fhvae_flops_per_seg(), device_kind, "fhvae")["fhvae_mfu"]
         except Exception as e:
             print(f"# fhvae bench failed: {e}")
+        # corpus-scale mu2 table: XLA materialized-logits vs streaming Pallas
+        try:
+            extras["large_table_sps_xla"] = round(
+                bench_jax(num_seqs=LARGE_N, use_pallas="never", steps=32, k_dispatch=16), 1
+            )
+            extras["large_table_sps_pallas"] = round(
+                bench_jax(num_seqs=LARGE_N, use_pallas="always", steps=32, k_dispatch=16), 1
+            )
+        except Exception as e:
+            print(f"# large-table bench failed: {e}")
         # end-to-end loop throughput: loader -> host stacking -> step; the
         # honest number that includes the 1-core host input pipeline
         try:
