@@ -386,19 +386,11 @@ class FHVAE:
             use_kernel = lstm2_vmem_bytes(hid, B) <= LSTM2_VMEM_BUDGET
         if use_kernel:
             from pytorch_scalablefhvae_tpu.ops.lstm_pallas import (
-                lstm2_pallas_tm,
+                lstm2_pallas_tm_proj,
             )
 
-            c1 = params["z2_lstm"]["cells"][0]
-            xt = jnp.swapaxes(x, 0, 1).reshape(T * B, D)
-            if cdt is not None:
-                xg = jnp.dot(xt.astype(cdt), c1["w"][:D].astype(cdt),
-                             preferred_element_type=jnp.float32)
-            else:
-                xg = jnp.dot(xt, c1["w"][:D],
-                             preferred_element_type=jnp.float32)
-            _, h2 = lstm2_pallas_tm(
-                params["z2_lstm"], (xg + c1["b"]).reshape(T, B, -1), T=T,
+            _, h2 = lstm2_pallas_tm_proj(
+                params["z2_lstm"], jnp.swapaxes(x, 0, 1), T=T,
                 interpret=jax.default_backend() != "tpu", mm_dtype=self._mm)
         else:
             _, h2 = run_lstm(params["z2_lstm"], x, cdt, self.scan_unroll,
@@ -450,7 +442,10 @@ class FHVAE:
           (``frame_axes=(0, 2)``); ``x_mu`` is transposed back only for the
           output struct (dead code under the training loss, DCE'd by XLA).
         """
-        from pytorch_scalablefhvae_tpu.ops.lstm_pallas import lstm2_pallas_tm
+        from pytorch_scalablefhvae_tpu.ops.lstm_pallas import (
+            lstm2_pallas_tm,
+            lstm2_pallas_tm_proj,
+        )
 
         cdt, mm = self._cdt, self._mm
         interp = jax.default_backend() != "tpu"
@@ -464,22 +459,20 @@ class FHVAE:
             return jnp.dot(a, w, preferred_element_type=jnp.float32)
 
         xt = jnp.swapaxes(x, 0, 1)  # [T, B, D], transposed ONCE
-        xt_flat = xt.reshape(T * B, D)
 
-        # ---- z2 encoder
-        c1 = params["z2_lstm"]["cells"][0]
-        xg = (proj(xt_flat, c1["w"][:D]) + c1["b"]).reshape(T, B, -1)
-        _, h2 = lstm2_pallas_tm(params["z2_lstm"], xg, T=T,
-                                interpret=interp, mm_dtype=mm)
+        # ---- z2 encoder (projection fused into the kernel: the
+        # [T*B, 4H] gate tensor never exists in HBM)
+        _, h2 = lstm2_pallas_tm_proj(params["z2_lstm"], xt, T=T,
+                                     interpret=interp, mm_dtype=mm)
         z2_mu, z2_logvar, z2 = layers.gauss_head(
             params["z2_gauss"], h2, k2, cdt, sample)
 
-        # ---- z1 encoder (split projection; no concat materialized)
+        # ---- z1 encoder (x projected in-kernel; the z2-conditioned gate
+        # block rides the xgc operand — no concat, no [T*B, 4H] staging)
         c1 = params["z1_lstm"]["cells"][0]
-        xg_x = proj(xt_flat, c1["w"][:D]).reshape(T, B, -1)
         xg_z = proj(z2, c1["w"][D : D + z2.shape[-1]]) + c1["b"]  # [B, 4H]
-        _, h1 = lstm2_pallas_tm(params["z1_lstm"], xg_x + xg_z[None], T=T,
-                                interpret=interp, mm_dtype=mm)
+        _, h1 = lstm2_pallas_tm_proj(params["z1_lstm"], xt, xg_z, T=T,
+                                     interpret=interp, mm_dtype=mm)
         z1_mu, z1_logvar, z1 = layers.gauss_head(
             params["z1_gauss"], h1, k1, cdt, sample)
 

@@ -376,6 +376,337 @@ def _lstm2_bwd(bt, interpret, mm, const_x, T, res, grads):
 _lstm2.defvjp(_lstm2_fwd, _lstm2_bwd)
 
 
+# ------------------------------------------- projection-fused variant
+#
+# The z1/z2 encoder stacks are HBM-bound, and most of their traffic is the
+# layer-1 gate tensor: the hoisted XLA projection writes ``[T*B, 4H]`` to
+# HBM, the fwd kernel reads it back, the bwd kernel writes ``dxg1`` of the
+# same size, and XLA reads THAT twice more (dx and dW matmuls) — ~170 MB
+# per encoder per b1024 step against ~6.5 MB of raw input. This variant
+# streams raw ``x`` instead and runs the input projection on the MXU
+# inside the kernel (fwd: one extra [bt, D] x [D, 4H] per grid step; bwd:
+# recompute + dx/dW1x/db1 accumulated in VMEM), eliminating the gate
+# tensor from HBM entirely. The optional ``xgc`` operand carries the
+# z-conditioned additive gate block of the z1 encoder ([B, 4H], revisited
+# per batch tile) or collapses to the b1 bias row.
+
+
+def _fwd_kernel_p(x_ref, w1x_ref, xgc_ref, w1h_ref, w2x_ref, w2h_ref,
+                  b2_ref, tops_ref, resid_ref, h2last_ref,
+                  h1, c1, h2, c2, *, hid, mm):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        for buf in (h1, c1, h2, c2):
+            buf[:] = jnp.zeros_like(buf)
+
+    def dot(a, w_ref):
+        w = w_ref[:]
+        if mm is not None:
+            a, w = a.astype(mm), w.astype(mm)
+        return jnp.dot(a, w, preferred_element_type=jnp.float32)
+
+    g1 = dot(x_ref[:], w1x_ref) + xgc_ref[:] + dot(h1[:], w1h_ref)
+    h1n, c1n = _cell_fwd(g1, c1[:], hid)
+    g2 = dot(h1n, w2x_ref) + dot(h2[:], w2h_ref) + b2_ref[:]
+    h2n, c2n = _cell_fwd(g2, c2[:], hid)
+    h1[:], c1[:], h2[:], c2[:] = h1n, c1n, h2n, c2n
+    tops_ref[:] = h2n
+    resid_ref[:] = jnp.concatenate([h1n, c1n, c2n], axis=1)
+    h2last_ref[:] = h2n
+
+
+def _fwd_call_p(x, w1x, xgc, w1h, w2x, w2h, b2, bt, interpret, mm, T):
+    hid = w1h.shape[0]
+    H4 = 4 * hid
+    d_in = x.shape[1]
+    B = x.shape[0] // T
+    n_bt = B // bt
+    xgc_tile = xgc.shape[0] != 1
+    const = lambda i, t: (0, 0)  # noqa: E731
+    step = lambda i, t: (t * n_bt + i, 0)  # noqa: E731
+    tile = lambda i, t: (i, 0)  # noqa: E731
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_p, hid=hid, mm=mm),
+        grid=(n_bt, T),
+        in_specs=[
+            pl.BlockSpec((bt, d_in), step, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_in, H4), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt if xgc_tile else 1, H4),
+                         tile if xgc_tile else const,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hid, H4), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hid, H4), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hid, H4), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H4), const, memory_space=pltpu.VMEM),
+        ],
+        out_shape=(
+            jax.ShapeDtypeStruct((T * B, hid), jnp.float32),
+            jax.ShapeDtypeStruct((T * B, 3 * hid), jnp.float32),
+            jax.ShapeDtypeStruct((B, hid), jnp.float32),
+        ),
+        out_specs=(
+            pl.BlockSpec((bt, hid), step, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 3 * hid), step, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, hid), tile, memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((bt, hid), jnp.float32) for _ in range(4)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * B * hid * H4 * 3 + 2 * T * B * d_in * H4,
+            bytes_accessed=4 * T * B * (d_in + 4 * hid),
+            transcendentals=8 * T * B * hid,
+        ),
+        interpret=interpret,
+    )(x, w1x, xgc, w1h, w2x, w2h, b2.reshape(1, H4))
+
+
+def _bwd_kernel_p(x_ref, xgc_ref, resid_ref, residp_ref, topsp_ref,
+                  w1x_ref, w1h_ref, w2x_ref, w2h_ref, b2_ref,
+                  gtops_ref, gh2_ref,
+                  dx_ref, dxgc_ref, dw1x_ref, dw1h_ref, dw2x_ref, dw2h_ref,
+                  db2_ref,
+                  dh1, dc1, dh2, dc2, aw1x, aw1h, aw2x, aw2h, ab2, axgc,
+                  *, hid, T, mm, xgc_tile):
+    i_bt = pl.program_id(0)
+    i = pl.program_id(1)  # reversed step: time t = T-1-i
+    first_t = i == 0
+    t_is_zero = i == T - 1
+    zeros_bh = jnp.zeros_like(dh1[:])
+
+    @pl.when(first_t)
+    def _():
+        dh1[:] = jnp.zeros_like(dh1)
+        dc1[:] = jnp.zeros_like(dc1)
+        dh2[:] = gh2_ref[:]
+        dc2[:] = jnp.zeros_like(dc2)
+
+    @pl.when(jnp.logical_and(first_t, i_bt == 0))
+    def _():
+        aw1x[:] = jnp.zeros_like(aw1x)
+        aw1h[:] = jnp.zeros_like(aw1h)
+        aw2x[:] = jnp.zeros_like(aw2x)
+        aw2h[:] = jnp.zeros_like(aw2h)
+        ab2[:] = jnp.zeros_like(ab2)
+        axgc[:] = jnp.zeros_like(axgc)
+
+    def cast(a):
+        return a if mm is None else a.astype(mm)
+
+    def w(ref):
+        return cast(ref[:])
+
+    h1_t = resid_ref[:, :hid]
+    c1_t = resid_ref[:, hid : 2 * hid]
+    c2_t = resid_ref[:, 2 * hid :]
+    h1_prev = jnp.where(t_is_zero, 0.0, residp_ref[:, :hid])
+    c1_prev = jnp.where(t_is_zero, 0.0, residp_ref[:, hid : 2 * hid])
+    c2_prev = jnp.where(t_is_zero, 0.0, residp_ref[:, 2 * hid :])
+    h2_prev = jnp.where(t_is_zero, 0.0, topsp_ref[:])
+
+    def dot(a, b):
+        return jnp.dot(cast(a), b, preferred_element_type=jnp.float32)
+
+    # ---- layer 2 (recompute gates, then adjoint)
+    g2 = dot(h1_t, w(w2x_ref)) + dot(h2_prev, w(w2h_ref)) + b2_ref[:]
+    dh2_tot = dh2[:] + gtops_ref[:]
+    dgates2, dc2_prev = _cell_bwd(g2, c2_prev, c2_t, dh2_tot, dc2[:], hid)
+    nt = lambda a, b: jax.lax.dot_general(  # noqa: E731  — [M,K] x [N,K] -> [M,N]
+        cast(a), cast(b), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    tn = lambda a, b: jax.lax.dot_general(  # noqa: E731  — [K,M] x [K,N] -> [M,N]
+        cast(a), cast(b), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dh2[:] = nt(dgates2, w2h_ref[:])
+    dc2[:] = dc2_prev
+    aw2x[:] += tn(h1_t, dgates2)
+    aw2h[:] += tn(h2_prev, dgates2)
+    ab2[:] += jnp.sum(dgates2, axis=0, keepdims=True)
+
+    # ---- layer 1 (recompute projected gates from raw x)
+    g1 = dot(x_ref[:], w(w1x_ref)) + xgc_ref[:] + dot(h1_prev, w(w1h_ref))
+    dh1_tot = dh1[:] + nt(dgates2, w2x_ref[:])
+    dgates1, dc1_prev = _cell_bwd(g1, c1_prev, c1_t, dh1_tot, dc1[:], hid)
+    dh1[:] = nt(dgates1, w1h_ref[:])
+    dc1[:] = dc1_prev
+    aw1x[:] += tn(x_ref[:], dgates1)
+    aw1h[:] += tn(h1_prev, dgates1)
+    dx_ref[:] = nt(dgates1, w1x_ref[:])
+    if xgc_tile:
+        # per-batch additive gate block: accumulate its grad over time in
+        # the revisited [bt, 4H] output block (flushed once per tile)
+        @pl.when(first_t)
+        def _():
+            dxgc_ref[:] = dgates1
+
+        @pl.when(jnp.logical_not(first_t))
+        def _():
+            dxgc_ref[:] += dgates1
+    else:
+        axgc[:] += jnp.sum(dgates1, axis=0, keepdims=True)
+
+    dh1[:] = jnp.where(t_is_zero, zeros_bh, dh1[:])
+    dh2[:] = jnp.where(t_is_zero, zeros_bh, dh2[:])
+
+    is_last = jnp.logical_and(i == T - 1, i_bt == pl.num_programs(0) - 1)
+
+    @pl.when(is_last)
+    def _():
+        dw1x_ref[:] = aw1x[:]
+        dw1h_ref[:] = aw1h[:]
+        dw2x_ref[:] = aw2x[:]
+        dw2h_ref[:] = aw2h[:]
+        db2_ref[:] = ab2[:]
+        if not xgc_tile:
+            dxgc_ref[:] = axgc[:]
+
+
+def _bwd_call_p(x, xgc, resid, tops, w1x, w1h, w2x, w2h, b2,
+                g_tops, g_h2, bt, interpret, mm, T):
+    hid = w1h.shape[0]
+    H4 = 4 * hid
+    d_in = x.shape[1]
+    B = x.shape[0] // T
+    n_bt = B // bt
+    xgc_tile = xgc.shape[0] != 1
+    const = lambda i, t: (0, 0)  # noqa: E731
+    rev = lambda i, t: ((T - 1 - t) * n_bt + i, 0)  # noqa: E731
+    prev = lambda i, t: (jnp.maximum(T - 2 - t, 0) * n_bt + i, 0)  # noqa: E731
+    tile = lambda i, t: (i, 0)  # noqa: E731
+    xgc_spec = pl.BlockSpec((bt if xgc_tile else 1, H4),
+                            tile if xgc_tile else const,
+                            memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((hid, H4), const, memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel_p, hid=hid, T=T, mm=mm,
+                          xgc_tile=xgc_tile),
+        grid=(n_bt, T),
+        in_specs=[
+            pl.BlockSpec((bt, d_in), rev, memory_space=pltpu.VMEM),  # x
+            xgc_spec,                                                # xgc
+            pl.BlockSpec((bt, 3 * hid), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 3 * hid), prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, hid), prev, memory_space=pltpu.VMEM),  # tops t-1
+            pl.BlockSpec((d_in, H4), const, memory_space=pltpu.VMEM),  # w1x
+            w_spec, w_spec, w_spec,     # w1h, w2x, w2h
+            pl.BlockSpec((1, H4), const, memory_space=pltpu.VMEM),  # b2
+            pl.BlockSpec((bt, hid), rev, memory_space=pltpu.VMEM),  # g_tops
+            pl.BlockSpec((bt, hid), tile, memory_space=pltpu.VMEM),  # g_h2
+        ],
+        out_shape=(
+            jax.ShapeDtypeStruct(x.shape, jnp.float32),
+            jax.ShapeDtypeStruct(xgc.shape, jnp.float32),
+            jax.ShapeDtypeStruct((d_in, H4), jnp.float32),
+            jax.ShapeDtypeStruct((hid, H4), jnp.float32),
+            jax.ShapeDtypeStruct((hid, H4), jnp.float32),
+            jax.ShapeDtypeStruct((hid, H4), jnp.float32),
+            jax.ShapeDtypeStruct((1, H4), jnp.float32),
+        ),
+        out_specs=(
+            pl.BlockSpec((bt, d_in), rev, memory_space=pltpu.VMEM),
+            xgc_spec,
+            pl.BlockSpec((d_in, H4), const, memory_space=pltpu.VMEM),
+            w_spec, w_spec, w_spec,
+            pl.BlockSpec((1, H4), const, memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((bt, hid), jnp.float32) for _ in range(4)]
+            + [pltpu.VMEM((d_in, H4), jnp.float32)]
+            + [pltpu.VMEM((hid, H4), jnp.float32) for _ in range(3)]
+            + [pltpu.VMEM((1, H4), jnp.float32)]
+            + [pltpu.VMEM((1, H4), jnp.float32)]
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * B * hid * H4 * 9 + 6 * T * B * d_in * H4,
+            bytes_accessed=4 * T * B * (2 * d_in + 9 * hid),
+            transcendentals=16 * T * B * hid,
+        ),
+        interpret=interpret,
+    )(
+        x, xgc, resid, resid, tops,
+        w1x, w1h, w2x, w2h, b2.reshape(1, H4), g_tops, g_h2,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def _lstm2p(x, w1x, xgc, w1h, w2x, w2h, b2, bt, interpret, mm, T):
+    tops, _, h2 = _fwd_call_p(x, w1x, xgc, w1h, w2x, w2h, b2, bt,
+                              interpret, mm, T)
+    return tops, h2
+
+
+def _lstm2p_fwd(x, w1x, xgc, w1h, w2x, w2h, b2, bt, interpret, mm, T):
+    tops, resid, h2 = _fwd_call_p(x, w1x, xgc, w1h, w2x, w2h, b2, bt,
+                                  interpret, mm, T)
+    return (tops, h2), (x, xgc, resid, tops, w1x, w1h, w2x, w2h, b2)
+
+
+def _lstm2p_bwd(bt, interpret, mm, T, res, grads):
+    x, xgc, resid, tops, w1x, w1h, w2x, w2h, b2 = res
+    g_tops, g_h2 = grads
+    dx, dxgc, dw1x, dw1h, dw2x, dw2h, db2 = _bwd_call_p(
+        x, xgc, resid, tops, w1x, w1h, w2x, w2h, b2, g_tops, g_h2, bt,
+        interpret, mm, T,
+    )
+    return dx, dw1x, dxgc, dw1h, dw2x, dw2h, db2.reshape(b2.shape)
+
+
+_lstm2p.defvjp(_lstm2p_fwd, _lstm2p_bwd)
+
+
+def lstm2_pallas_tm_proj(
+    p: dict,
+    x: jnp.ndarray,
+    xgc: jnp.ndarray | None = None,
+    *,
+    T: int,
+    block_batch: int = 256,
+    interpret: bool = False,
+    mm_dtype=None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Projection-fused time-major entry: the kernel streams raw ``x``.
+
+    Args:
+        p: two-layer stack params (see :func:`lstm2_pallas`). The layer-1
+            weight's first ``x.shape[-1]`` rows are the x-projection; any
+            remaining input rows (e.g. the z1 encoder's z2 block) must be
+            projected by the caller into ``xgc``.
+        x: ``[T, B, D]`` time-major raw inputs.
+        xgc: optional ``[B, 4H]`` additive gate block — the projection of
+            the input's non-x part PLUS the layer-1 bias. When ``None``,
+            the layer-1 bias row alone is used.
+        T: number of time steps.
+
+    Returns ``(tops [T, B, H], last_h [B, H])``.
+
+    Versus :func:`lstm2_pallas_tm`, the ``[T*B, 4H]`` layer-1 gate tensor
+    never exists in HBM: forward projects each ``[bt, D]`` block on the
+    MXU in VMEM, backward recomputes it and emits ``dx``/``dw1x``/``db1``
+    directly (dx via the transposed contraction, dw1x accumulated in VMEM
+    across the grid). At the flagship b1024/H=128 config this removes
+    ~340 MB of HBM traffic per encoder train step.
+    """
+    c1p, c2p, hid, _ = _split_stack(p)
+    T_, B, d_in = x.shape
+    assert T_ == T
+    w1x = c1p["w"][:d_in]
+    if xgc is None:
+        xgc = c1p["b"].reshape(1, -1)
+    w2x, w2h = c2p["w"][:hid], c2p["w"][hid:]
+    w1h = c1p["w"][-hid:]
+    mm = _resolve_mm(mm_dtype)
+
+    bt = min(block_batch, _round_up(B, 8))
+    b_pad = _round_up(B, bt)
+    if b_pad != B:
+        x = jnp.pad(x, ((0, 0), (0, b_pad - B), (0, 0)))
+        if xgc.shape[0] != 1:
+            xgc = jnp.pad(xgc, ((0, b_pad - B), (0, 0)))
+    tops, h2 = _lstm2p(x.reshape(T * b_pad, d_in), w1x, xgc, w1h, w2x, w2h,
+                       c2p["b"], bt, bool(interpret), mm, T)
+    return tops.reshape(T, b_pad, hid)[:, :B], h2[:B]
+
+
 def _resolve_mm(mm_dtype):
     if mm_dtype is None or mm_dtype == "float32":
         return None
@@ -456,22 +787,14 @@ def lstm2_pallas(
             :func:`lstm2_pallas_tm`).
 
     Returns ``(seq [B, T, H], last_h [B, H])``, matching run_lstm.
+
+    ``cdt`` is accepted for interface parity with run_lstm but unused: the
+    input projection runs INSIDE the kernel (lstm2_pallas_tm_proj), where
+    ``mm_dtype`` governs all matmul operand casting.
     """
+    del cdt
     B, T, d_in = xs.shape
-    c1p, _, hid, _ = _split_stack(p)
-    w1x = c1p["w"][:d_in]
-
-    # input projection: one [T*B, D] x [D, 4H] MXU matmul, outside the
-    # kernel, on the time-major transpose (D is small — far cheaper to move
-    # than the [., 4H] gate tensors the old batch-major layout reshaped)
-    xt = jnp.swapaxes(xs, 0, 1).reshape(T * B, d_in)
-    if cdt is not None:
-        xg1 = jnp.dot(xt.astype(cdt), w1x.astype(cdt),
-                      preferred_element_type=jnp.float32)
-    else:
-        xg1 = jnp.dot(xt, w1x, preferred_element_type=jnp.float32)
-    xg1 = (xg1 + c1p["b"]).reshape(T, B, 4 * hid)
-
-    tops, h2 = lstm2_pallas_tm(p, xg1, T=T, block_batch=block_batch,
-                               interpret=interpret, mm_dtype=mm_dtype)
+    tops, h2 = lstm2_pallas_tm_proj(
+        p, jnp.swapaxes(xs, 0, 1), None, T=T, block_batch=block_batch,
+        interpret=interpret, mm_dtype=mm_dtype)
     return jnp.swapaxes(tops, 0, 1), h2
