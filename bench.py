@@ -384,7 +384,7 @@ def bench_hier_round(hier_k: int = 2000, frames: int = 1044,
     order = np.arange(n_total)
     plan, plan_dev = src.stage_epoch(ds, order, train_batch)
     _spb = 16
-    _skip = 4  # the loop's default --map-init-chunk-skip (config.py)
+    _skip = 8  # the loop's default --map-init-chunk-skip (config.py)
     _chunks = -(-ds.nsegs // _spb)      # ceil(nseg / spb)
     _sel_chunks = -(-_chunks // _skip)  # ceil(chunks / skip)
     _padded = int((_sel_chunks * _spb).sum())

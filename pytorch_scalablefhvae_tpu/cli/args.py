@@ -177,7 +177,7 @@ def add_train_flags(p: argparse.ArgumentParser) -> None:
                         "resampling + MAP re-init (the reference trains ONE "
                         "subset for the whole run; >1 amortizes the round "
                         "turnover)")
-    p.add_argument("--map-init-chunk-skip", type=int, default=4,
+    p.add_argument("--map-init-chunk-skip", type=int, default=8,
                    help="Round-turnover MAP init encodes every Nth chunk of "
                         "16 consecutive windows (1 = every window). The init "
                         "is refined by the round's training immediately; "
@@ -297,7 +297,7 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
             num_hierarchical_sequences=getattr(args, "num_hierarchical_sequences", 5000),
             hierarchical_round_epochs=getattr(
                 args, "hierarchical_round_epochs", 1),
-            map_init_chunk_skip=getattr(args, "map_init_chunk_skip", 4),
+            map_init_chunk_skip=getattr(args, "map_init_chunk_skip", 8),
             tensorboard=getattr(args, "tensorboard", False),
             tb_log_dir=getattr(args, "tb_log_dir", "./visualize/tensorboard"),
             log_params=getattr(args, "log_params", False),

@@ -553,7 +553,7 @@ def run_training(
         _rand = train_loader.dataset.rand_seg
         _chunked = (not _rand and mesh is None and _B_map % _spb == 0
                     and (_spb - 1) * _shift + seg_len <= 256)
-        _skip = max(getattr(config.train, "map_init_chunk_skip", 4), 1)
+        _skip = max(getattr(config.train, "map_init_chunk_skip", 8), 1)
         if _chunked:
             # chunk layout: every _skip-th chunk of _spb windows, each
             # sequence padded to a whole number of selected chunks
