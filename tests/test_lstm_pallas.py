@@ -207,12 +207,57 @@ def test_fused_apply_matches_generic():
 
 
 def test_compute_dtype_projection():
-    """cdt=bfloat16 only affects the hoisted input projection; recurrence is
-    fp32 in the kernel (vs per-step casts in the scan path), so outputs agree
-    to bf16 tolerance."""
+    """cdt is accepted for run_lstm interface parity but ignored: the input
+    projection runs INSIDE the proj-fused kernel at fp32 (mm_dtype governs
+    casting), so even cdt=bfloat16 matches the fp32 scan path tightly."""
     p = _params(7)
     xs = jax.random.normal(jax.random.PRNGKey(8), (8, 5, 12), jnp.float32)
     seq_ref, _ = run_lstm(p, xs)
     seq, _ = lstm2_pallas(p, xs, cdt=jnp.bfloat16, block_batch=8, interpret=True)
     np.testing.assert_allclose(np.asarray(seq), np.asarray(seq_ref),
-                               atol=0.05, rtol=0.05)
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_proj_xgc_matches_composed():
+    """lstm2_pallas_tm_proj with an xgc block == projecting [x, z] through
+    the stack the composed way (run_lstm on the concat), fwd + grads —
+    the z1-encoder contract: w rows [:D] project x in-kernel, rows [D:D+Z]
+    project z into xgc, and dxgc carries the z-path gradient."""
+    from pytorch_scalablefhvae_tpu.ops.lstm_pallas import lstm2_pallas_tm_proj
+
+    D, Z, H, B, T = 10, 4, 16, 13, 6  # ragged B forces batch-tile padding
+    p = init_lstm_stack(jax.random.PRNGKey(9), D + Z, (H, H))
+    x = jax.random.normal(jax.random.PRNGKey(10), (T, B, D), jnp.float32)
+    z = jax.random.normal(jax.random.PRNGKey(11), (B, Z), jnp.float32)
+    wseq = jax.random.normal(jax.random.PRNGKey(12), (T, B, H), jnp.float32)
+
+    def composed(p, x, z):
+        xs = jnp.concatenate(
+            [jnp.swapaxes(x, 0, 1),
+             jnp.broadcast_to(z[:, None], (B, T, Z))], axis=-1)
+        seq, h = run_lstm(p, xs)
+        return jnp.swapaxes(seq, 0, 1), h
+
+    def fused(p, x, z):
+        c1 = p["cells"][0]
+        xgc = z @ c1["w"][D : D + Z] + c1["b"]
+        return lstm2_pallas_tm_proj(p, x, xgc, T=T, block_batch=8,
+                                    interpret=True)
+
+    for name, want, got in zip(
+        ("tops", "h"), composed(p, x, z), fused(p, x, z)
+    ):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5, err_msg=name)
+
+    def loss(fn, p, x, z):
+        tops, h = fn(p, x, z)
+        return jnp.sum(tops * wseq) + 2.0 * jnp.sum(jnp.tanh(h))
+
+    g_ref = jax.grad(lambda p, x, z: loss(composed, p, x, z),
+                     argnums=(0, 1, 2))(p, x, z)
+    g = jax.grad(lambda p, x, z: loss(fused, p, x, z),
+                 argnums=(0, 1, 2))(p, x, z)
+    for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=2e-5)
