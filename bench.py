@@ -379,10 +379,19 @@ def bench_hier_round(hier_k: int = 2000, frames: int = 1044,
 
     # ---- device-resident round (the production path at this scale): the
     # MAP pass plans at map_batch (z2-trunk-only encode, fat batches);
-    # training plans at train_batch — mirrors train/loop.py hier_device
+    # training plans derive IN-GRAPH (--epoch-plan device, the recommended
+    # config at corpus scale: the round's recurring host->device traffic is
+    # the O(K) per-sequence metadata the MAP pass needs anyway plus one PRNG
+    # key) — mirrors train/loop.py hier_device + make_device_epoch_plan
+    from pytorch_scalablefhvae_tpu.data.device_store import (
+        make_device_epoch_plan,
+    )
+
     src = DeviceDataSource(store)
     order = np.arange(n_total)
     plan, plan_dev = src.stage_epoch(ds, order, train_batch)
+    planner = make_device_epoch_plan(hier_k, len(plan.seq_idx), ds.seg_shift)
+    pkey = jax.random.PRNGKey(11)
     _spb = 16
     _skip = 8  # the loop's default --map-init-chunk-skip (config.py)
     _chunks = -(-ds.nsegs // _spb)      # ceil(nseg / spb)
@@ -397,18 +406,21 @@ def bench_hier_round(hier_k: int = 2000, frames: int = 1044,
         donate=False)
     n_real = np.int32(plan.n_real)
 
+    _round_ctr = [0]
+
     def dev_round_init(state):
-        # per-round work as in train/loop.py hier_device: the MAP pass takes
-        # two [K] vectors (O(K) upload, plan derived in-graph); the TRAIN
-        # epoch's shuffled plan is re-staged (O(segments), overlaps the MAP
-        # dispatch on the queue) + table swap. No sync — dispatches stream.
-        mstarts = jax.device_put(store.seq_starts.astype(np.int32))
-        mnsegs = jax.device_put(ds.nsegs.astype(np.int32))
+        # per-round work as in train/loop.py hier_device with --epoch-plan
+        # device: ONE O(K) metadata upload feeds both the MAP pass and the
+        # in-graph epoch planner; the shuffled train schedule never exists
+        # on the host. No sync — dispatches stream.
+        mstarts, mnsegs, nsegs_f = src.stage_meta(ds)
         table = map_pass(state.params, src.data, mstarts, mnsegs)
-        _, (seq_dev, starts_dev, nsegs_dev) = src.stage_epoch(
-            ds, order, train_batch)
+        _round_ctr[0] += 1
+        seq_dev, starts_dev = planner(
+            jax.random.fold_in(pkey, _round_ctr[0]), mstarts, mnsegs,
+            np.int32(n_total))
         state = _replace_mu2_table(state, table)
-        return state, (seq_dev, starts_dev, nsegs_dev)
+        return state, (seq_dev, starts_dev, nsegs_f)
 
     def dev_epoch(state, args):
         seq_dev, starts_dev, nsegs_dev = args
@@ -438,15 +450,21 @@ def bench_hier_round(hier_k: int = 2000, frames: int = 1044,
     state, m, _ = dev_epoch(state, args)  # compile
     float(np.asarray(m["loss"]).ravel()[-1])
 
-    best_with, best_without = float("inf"), float("inf")
-    for _ in range(3):
+    # PAIRED differentials: each trial times with-init and without-init
+    # back-to-back and the diff is taken within the pair, so common-mode
+    # drift (tunnel-link weather, allocator state) cancels; min over pairs
+    # rejects one-sided transients that independent mins cannot
+    best_diff, best_without = float("inf"), float("inf")
+    for _ in range(4):
         t0 = time.perf_counter()
         state, args, n_trained = run_rounds(state, True, args)
-        best_with = min(best_with, time.perf_counter() - t0)
+        t_with = time.perf_counter() - t0
         t0 = time.perf_counter()
         state, args, _ = run_rounds(state, False, args)
-        best_without = min(best_without, time.perf_counter() - t0)
-    dev_init_s = max(best_with - best_without, 0.0) / n_rounds
+        t_without = time.perf_counter() - t0
+        best_without = min(best_without, t_without)
+        best_diff = min(best_diff, max(t_with - t_without, 0.0))
+    dev_init_s = best_diff / n_rounds
     dev_train_s = best_without / n_rounds
     n_per_round = n_trained // n_rounds
     init_ps = dev_init_s / n_total

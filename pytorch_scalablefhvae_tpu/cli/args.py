@@ -94,6 +94,13 @@ def add_train_flags(p: argparse.ArgumentParser) -> None:
                         "or auto (device iff the store fits the budget)")
     p.add_argument("--device-store-max-bytes", type=int, default=4 << 30,
                    help="auto placement budget for the staged store, bytes")
+    p.add_argument("--epoch-plan", type=str, default="host",
+                   choices=["host", "device"],
+                   help="Device-resident epoch schedule: host uploads the "
+                        "shuffled index plan (O(segments)/epoch, matches the "
+                        "host loader's order exactly), device derives it "
+                        "in-graph from per-sequence metadata + a PRNG key "
+                        "(recurring upload is one key; fixed windowing only)")
     p.add_argument("--shard-device-store", action="store_true",
                    help="Row-shard the staged store over the mesh's model "
                         "axis (m-fold capacity; psum rebuilds segments)")
@@ -255,6 +262,7 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
             transfer_dtype=getattr(args, "transfer_dtype", "float32"),
             data_placement=getattr(args, "data_placement", "auto"),
             device_store_max_bytes=getattr(args, "device_store_max_bytes", 4 << 30),
+            epoch_plan=getattr(args, "epoch_plan", "host"),
             shard_device_store=getattr(args, "shard_device_store", False),
             synthetic_speakers=getattr(args, "synthetic_speakers", 4),
             synthetic_utts=getattr(args, "synthetic_utts", 3),

@@ -87,6 +87,14 @@ class DataConfig:
     # upload; legacy mode always uses the host loader.
     data_placement: str = "auto"
     device_store_max_bytes: int = 4 << 30
+    # how the per-epoch segment schedule is produced on the device-resident
+    # path: "host" uploads the shuffled index plan (O(segments) int32 per
+    # epoch/round; bit-identical to the host loader's order, which the
+    # host/device equivalence guarantee relies on) or "device" derives it
+    # in-graph from O(S) per-sequence metadata + a PRNG key
+    # (data/device_store.py:make_device_epoch_plan) — recurring upload drops
+    # to one key; requires deterministic windowing (not rand_seg)
+    epoch_plan: str = "host"
     # row-shard the staged store over the mesh's "model" axis (m-fold
     # capacity; segments rebuilt with a psum over ICI per step)
     shard_device_store: bool = False

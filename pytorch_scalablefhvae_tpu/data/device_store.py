@@ -53,16 +53,32 @@ class EpochPlan:
     ``seq_idx``/``abs_starts`` are padded to a whole number of batches; rows
     at positions >= ``n_real`` are padding (sequence 0, frame 0) and receive
     weight 0 inside the compiled step.
+
+    With device-side planning (:func:`make_device_epoch_plan`) the index
+    arrays never exist on the host; :meth:`meta` carries only the
+    bookkeeping (``n_real``/``n_rows``/``batch_size``) the loop needs.
     """
 
-    seq_idx: np.ndarray  # [Npad] int32 — mu2-table row per segment
-    abs_starts: np.ndarray  # [Npad] int32 — absolute frame offset in the pack
+    seq_idx: np.ndarray | None  # [Npad] int32 — mu2-table row per segment
+    abs_starts: np.ndarray | None  # [Npad] int32 — abs frame offset in pack
     n_real: int
     batch_size: int
+    n_rows: int | None = None  # defaults to len(seq_idx)
 
     @property
     def n_batches(self) -> int:
-        return len(self.seq_idx) // self.batch_size
+        rows = self.n_rows if self.n_rows is not None else len(self.seq_idx)
+        return rows // self.batch_size
+
+    @classmethod
+    def meta(cls, n_real: int, batch_size: int) -> "EpochPlan":
+        """Bookkeeping-only plan for device-side planning: the loop
+        dispatches ``ceil(n_real / batch_size)`` batches; rows past
+        ``n_real`` (always at the tail — the in-graph shuffle keeps padding
+        keys strictly above every real key) carry weight 0."""
+        rows = n_real + (-n_real) % batch_size
+        return cls(seq_idx=None, abs_starts=None, n_real=n_real,
+                   batch_size=batch_size, n_rows=rows)
 
     def batch_real_counts(self) -> list[int]:
         """Per-batch real-row counts (for seg/s accounting)."""
@@ -74,24 +90,96 @@ class EpochPlan:
 
 
 def build_epoch_plan(
-    dataset: SegmentDataset, order: np.ndarray, batch_size: int
+    dataset: SegmentDataset, order: np.ndarray, batch_size: int,
+    pad_rows: int | None = None,
 ) -> EpochPlan:
     """Materialize the epoch's segment schedule from a permutation.
 
     ``order`` must be the SAME permutation the host loader would use
     (``SegmentLoader._order()``), so the device-resident path trains on an
     identical batch sequence — the equivalence tests rely on it.
+
+    ``pad_rows``: pad the index ARRAYS to this fixed length (a per-run
+    ceiling) while ``n_batches`` still covers only ``ceil(n_real / B)``
+    batches. Hierarchical rounds have varying subset sizes; without the
+    ceiling every new plan length re-specializes the compiled device step.
     """
     seq_idx = dataset.seq_idx[order].astype(np.int32)
     starts = dataset.starts[order].astype(np.int64)
     abs_starts = (dataset.store.seq_starts[seq_idx] + starts).astype(np.int32)
     n_real = len(order)
-    pad = (-n_real) % batch_size
+    rows = n_real + (-n_real) % batch_size
+    pad = (pad_rows if pad_rows is not None else rows) - n_real
+    if pad < 0:
+        raise ValueError(f"pad_rows={pad_rows} < n_real={n_real}")
     if pad:
         seq_idx = np.concatenate([seq_idx, np.zeros(pad, np.int32)])
         abs_starts = np.concatenate([abs_starts, np.zeros(pad, np.int32)])
     return EpochPlan(seq_idx=seq_idx, abs_starts=abs_starts, n_real=n_real,
-                     batch_size=batch_size)
+                     batch_size=batch_size, n_rows=rows)
+
+
+def make_device_epoch_plan(n_seqs: int, n_rows: int, seg_shift: int,
+                           mesh=None, shuffle: bool = True):
+    """In-graph epoch planner: derive the shuffled segment schedule on device.
+
+    The host-side :func:`build_epoch_plan` uploads O(segments) of int32
+    indices every epoch (and every hierarchical round). For deterministic
+    windowing the whole schedule is a pure function of per-sequence metadata
+    — ``abs_start(seq s, window k) = seq_starts[s] + k * seg_shift`` — so
+    this planner computes it inside one compiled program from two ``[S]``
+    vectors plus a PRNG key: the recurring host->device traffic for a
+    device-resident epoch drops to one key (the per-sequence vectors are
+    round-invariant, and under hierarchical sampling they are the SAME two
+    vectors the MAP pass already uploads). TPU-native replacement for the
+    host ``DataLoader`` shuffle (train_model.py:379-395 semantics: any
+    uniform permutation is a valid epoch order).
+
+    Returns a jitted ``plan_fn(key, seq_starts, nsegs, n_real) ->
+    (seq_idx [n_rows] i32, abs_starts [n_rows] i32)`` with:
+
+    - ``seq_starts``/``nsegs``: ``[n_seqs]`` int32 per-sequence metadata
+      (absolute first-frame offset in the staged pack; window count);
+    - ``n_real`` (traced int32): total real segments, ``sum(nsegs)`` —
+      positions ``>= n_real`` are padding (sequence 0, frame 0), and the
+      shuffle keeps them at the tail: real rows draw 31-bit sort keys,
+      padding rows the strictly-larger ``0xffffffff``, so no real segment
+      can land in the weight-0 tail region;
+    - ``n_rows`` (static): the padded plan length — a per-run ceiling, so
+      hierarchical rounds of varying subset size reuse ONE compiled plan.
+
+    Only deterministic windowing is supported (``rand_seg`` draws starts on
+    the host); callers gate on ``dataset.rand_seg``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def plan_fn(key, seq_starts, nsegs, n_real):
+        g = jnp.arange(n_rows, dtype=jnp.int32)
+        # segment g -> its sequence: repeat pads with the LAST value past
+        # sum(nsegs), so padding rows are masked to (0, 0) below
+        seq_of = jnp.repeat(jnp.arange(n_seqs, dtype=jnp.int32), nsegs,
+                            total_repeat_length=n_rows)
+        offs = jnp.cumsum(nsegs) - nsegs  # exclusive prefix
+        win = g - offs[seq_of]
+        abs_starts = seq_starts[seq_of] + win * jnp.int32(seg_shift)
+        real = g < n_real
+        seq_of = jnp.where(real, seq_of, 0)
+        abs_starts = jnp.where(real, abs_starts, 0)
+        if shuffle:
+            keys = jax.random.bits(key, (n_rows,), jnp.uint32) >> 1
+            keys = jnp.where(real, keys, jnp.uint32(0xFFFFFFFF))
+            order = jnp.argsort(keys)
+            seq_of = jnp.take(seq_of, order)
+            abs_starts = jnp.take(abs_starts, order)
+        return seq_of, abs_starts
+
+    if mesh is None:
+        return jax.jit(plan_fn)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    return jax.jit(plan_fn, out_shardings=(repl, repl))
 
 
 class DeviceDataSource:
@@ -152,19 +240,30 @@ class DeviceDataSource:
         return jax.device_put(arr)
 
     def stage_epoch(self, dataset: SegmentDataset, order: np.ndarray,
-                    batch_size: int):
+                    batch_size: int, pad_rows: int | None = None):
         """Upload one epoch's plan; returns (plan, device arrays).
 
         Device arrays: ``(seq_idx [Npad], abs_starts [Npad], nsegs_tab [S])``
         — a few bytes per segment, the only recurring host->device traffic.
         """
-        plan = build_epoch_plan(dataset, order, batch_size)
+        plan = build_epoch_plan(dataset, order, batch_size, pad_rows=pad_rows)
         dev = (
             self._put(plan.seq_idx),
             self._put(plan.abs_starts),
             self._put(dataset.nsegs.astype(np.float32)),
         )
         return plan, dev
+
+    def stage_meta(self, dataset: SegmentDataset):
+        """Upload the O(S) per-sequence metadata device-side planning needs:
+        ``(seq_starts i32, nsegs i32, nsegs f32)``. Round-invariant — one
+        upload per (sub)dataset, shared by every epoch's plan derivation
+        (and by the hierarchical MAP pass, which takes the same vectors)."""
+        return (
+            self._put(dataset.store.seq_starts.astype(np.int32)),
+            self._put(dataset.nsegs.astype(np.int32)),
+            self._put(dataset.nsegs.astype(np.float32)),
+        )
 
 
 def resolve_data_placement(

@@ -592,6 +592,47 @@ def run_training(
             "plan": build_epoch_plan,
         }
 
+    # device-side epoch planning (--epoch-plan device): the segment schedule
+    # derives in-graph from O(S) per-sequence metadata + a PRNG key
+    # (device_store.make_device_epoch_plan), so the recurring per-epoch (and
+    # per-hierarchical-round) host->device upload drops from O(segments)
+    # index arrays to one key. Opt-in: the default host plan is bit-identical
+    # to the host loader's order, which the host/device equivalence tests
+    # pin; any uniform permutation is an equally valid epoch order.
+    dev_planner = None
+    dev_plan_meta = None  # (seq_starts i32, nsegs i32, nsegs f32) staged
+    dev_plan_rows = None  # fixed plan-array length: a per-run CEILING, so
+    # hierarchical rounds of varying subset size never re-specialize the
+    # compiled device step on a new plan shape (host and device plans alike)
+    if use_device_data:
+        if hier:
+            dev_plan_rows = int(
+                np.sort(np.asarray(train_loader.dataset.nsegs))[-hier_k:]
+                .sum())
+        else:
+            dev_plan_rows = len(train_loader.dataset)
+        dev_plan_rows += (-dev_plan_rows) % train_loader.batch_size
+    if use_device_data and config.data.epoch_plan == "device":
+        if train_loader.dataset.rand_seg:
+            raise ValueError(
+                "--epoch-plan device requires deterministic windowing "
+                "(rand_seg draws window starts on the host); "
+                "use --epoch-plan host")
+        from pytorch_scalablefhvae_tpu.data.device_store import (
+            make_device_epoch_plan,
+        )
+
+        _n_plan_seqs = hier_k if hier else train_loader.dataset.num_seqs
+        dev_planner = make_device_epoch_plan(
+            _n_plan_seqs, dev_plan_rows, train_loader.dataset.seg_shift, mesh)
+        if not hier:
+            dev_plan_meta = device_source.stage_meta(train_loader.dataset)
+        dev_plan_key = jax.random.PRNGKey(config.train.seed + 41)
+        if verbose:
+            print("Epoch plans derive on device (upload: one PRNG key)")
+    elif config.data.epoch_plan == "device" and verbose:
+        print("epoch_plan=device ignored: training data is host-resident")
+
     hier_round_epochs = max(
         getattr(config.train, "hierarchical_round_epochs", 1), 1)
     epoch_loader = None
@@ -639,12 +680,19 @@ def run_training(
                         np.int32(plan.n_real))
                 else:
                     # O(K) upload: the pass derives the segment plan
-                    # in-graph from per-sequence (abs offset, nseg)
+                    # in-graph from per-sequence (abs offset, nseg). With
+                    # device planning the SAME two staged vectors also feed
+                    # the round's epoch plans.
+                    if dev_planner is not None:
+                        dev_plan_meta = device_source.stage_meta(sub_ds)
+                        _starts_i, _nsegs_i = dev_plan_meta[:2]
+                    else:
+                        _starts_i = jax.device_put(
+                            sub_ds.store.seq_starts.astype(np.int32))
+                        _nsegs_i = jax.device_put(
+                            sub_ds.nsegs.astype(np.int32))
                     table = hier_device["pass"](
-                        state.params, device_source.data,
-                        jax.device_put(
-                            sub_ds.store.seq_starts.astype(np.int32)),
-                        jax.device_put(sub_ds.nsegs.astype(np.int32)))
+                        state.params, device_source.data, _starts_i, _nsegs_i)
             else:
                 est_loader = SegmentLoader(
                     sub_ds, train_loader.batch_size, shuffle=False, seed=0,
@@ -703,10 +751,23 @@ def run_training(
             # Divergence is checked on the PREVIOUS dispatch's loss, like the
             # stack path — the fetch never drains the pipeline.
             k_dev = max(config.train.steps_per_dispatch, 1)
-            plan, (seq_dev, starts_dev, nsegs_dev) = device_source.stage_epoch(
-                epoch_loader.dataset, epoch_loader._order(),
-                epoch_loader.batch_size,
-            )
+            if dev_planner is not None:
+                from pytorch_scalablefhvae_tpu.data.device_store import (
+                    EpochPlan,
+                )
+
+                _n_real = len(epoch_loader.dataset)
+                seq_dev, starts_dev = dev_planner(
+                    jax.random.fold_in(dev_plan_key, epoch),
+                    dev_plan_meta[0], dev_plan_meta[1], np.int32(_n_real))
+                nsegs_dev = dev_plan_meta[2]
+                plan = EpochPlan.meta(_n_real, epoch_loader.batch_size)
+            else:
+                plan, (seq_dev, starts_dev, nsegs_dev) = (
+                    device_source.stage_epoch(
+                        epoch_loader.dataset, epoch_loader._order(),
+                        epoch_loader.batch_size, pad_rows=dev_plan_rows,
+                    ))
             counts_all = plan.batch_real_counts()
             B = epoch_loader.batch_size
             n_real = np.int32(plan.n_real)

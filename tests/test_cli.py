@@ -158,6 +158,7 @@ class TestConfigFlagCompleteness:
             ("data", "device_store_max_bytes"): (
                 ["--device-store-max-bytes", "1024"], 1024),
             ("data", "shard_device_store"): (["--shard-device-store"], True),
+            ("data", "epoch_plan"): (["--epoch-plan", "device"], "device"),
             ("data", "train_list"): (["--train-list", "train-other-500"],
                                      ("train-other-500",)),
             ("data", "dev_list"): (["--dev-list", "dev-clean"], ("dev-clean",)),

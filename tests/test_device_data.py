@@ -88,6 +88,80 @@ class TestPlacementResolution:
         assert resolve_data_placement("auto", store, mesh, True, per_chip)
 
 
+class TestDeviceEpochPlan:
+    """make_device_epoch_plan: the in-graph schedule vs the host builder."""
+
+    def _setup(self, rng, batch=7):
+        store = make_store(rng)  # ragged sequence lengths
+        ds = SegmentDataset(store, seg_len=20, seg_shift=8)
+        from pytorch_scalablefhvae_tpu.data.device_store import (
+            make_device_epoch_plan,
+        )
+
+        n_real = len(ds)
+        rows = n_real + (-n_real) % batch
+        meta = (
+            jax.device_put(store.seq_starts.astype(np.int32)),
+            jax.device_put(ds.nsegs.astype(np.int32)),
+        )
+        return ds, make_device_epoch_plan, n_real, rows, meta
+
+    def test_unshuffled_matches_host_plan(self, rng):
+        """shuffle=False reproduces build_epoch_plan's identity order
+        exactly — pins the in-graph (seq, abs_start) derivation."""
+        ds, make_plan, n_real, rows, meta = self._setup(rng)
+        plan_fn = make_plan(ds.num_seqs, rows, ds.seg_shift, shuffle=False)
+        seq_d, starts_d = plan_fn(jax.random.PRNGKey(0), *meta,
+                                  np.int32(n_real))
+        host = build_epoch_plan(ds, np.arange(n_real), batch_size=7)
+        np.testing.assert_array_equal(np.asarray(seq_d), host.seq_idx)
+        np.testing.assert_array_equal(np.asarray(starts_d), host.abs_starts)
+
+    def test_shuffled_is_permutation_with_tail_padding(self, rng):
+        ds, make_plan, n_real, rows, meta = self._setup(rng)
+        plan_fn = make_plan(ds.num_seqs, rows, ds.seg_shift)
+        seq_d, starts_d = plan_fn(jax.random.PRNGKey(3), *meta,
+                                  np.int32(n_real))
+        seq_d, starts_d = np.asarray(seq_d), np.asarray(starts_d)
+        host = build_epoch_plan(ds, np.arange(n_real), batch_size=7)
+        # real rows are a permutation of the host plan's (seq, start) pairs
+        got = sorted(zip(seq_d[:n_real].tolist(), starts_d[:n_real].tolist()))
+        want = sorted(zip(host.seq_idx[:n_real].tolist(),
+                          host.abs_starts[:n_real].tolist()))
+        assert got == want
+        # padding stays strictly at the tail (weight-0 region)
+        assert (seq_d[n_real:] == 0).all()
+        assert (starts_d[n_real:] == 0).all()
+        # different keys give different orders
+        seq2, _ = plan_fn(jax.random.PRNGKey(4), *meta, np.int32(n_real))
+        assert not np.array_equal(seq_d, np.asarray(seq2))
+
+    def test_ceiling_rows_reused_across_subset_sizes(self, rng):
+        """One compiled planner serves rounds of varying n_real (traced),
+        padding past each round's real rows."""
+        ds, make_plan, n_real, _, meta = self._setup(rng)
+        rows_ceil = n_real + 16
+        plan_fn = make_plan(ds.num_seqs, rows_ceil, ds.seg_shift)
+        for nr in (n_real, n_real - 5):
+            seq_d, starts_d = plan_fn(jax.random.PRNGKey(1), *meta,
+                                      np.int32(nr))
+            assert (np.asarray(seq_d)[nr:] == 0).all()
+            assert (np.asarray(starts_d)[nr:] == 0).all()
+
+    def test_host_plan_pad_rows_ceiling(self, rng):
+        """build_epoch_plan(pad_rows=...): arrays padded to the ceiling, but
+        n_batches still covers only the real batches."""
+        ds = SegmentDataset(make_store(rng), seg_len=20, seg_shift=8)
+        n = len(ds)
+        plan = build_epoch_plan(ds, np.arange(n), batch_size=7,
+                                pad_rows=n + 21)
+        assert len(plan.seq_idx) == n + 21
+        assert plan.n_batches == -(-n // 7)
+        assert sum(plan.batch_real_counts()) == n
+        with pytest.raises(ValueError):
+            build_epoch_plan(ds, np.arange(n), batch_size=7, pad_rows=n - 1)
+
+
 @pytest.fixture(scope="module")
 def corpus(tmp_path_factory):
     root = tmp_path_factory.mktemp("corpus")
@@ -104,7 +178,8 @@ def cfg_for(tmp_path, placement, **kw):
         dev_batch_size=64,
         data_placement=placement,
     )
-    for k in ("transfer_dtype", "shard_device_store"):
+    for k in ("transfer_dtype", "shard_device_store", "epoch_plan",
+              "rand_seg"):
         if k in kw:
             data_kw[k] = kw.pop(k)
     return ExperimentConfig(
@@ -180,6 +255,43 @@ class TestHostDeviceEquivalence:
                 list(host.history.values[series].values()),
                 rtol=1e-4, atol=1e-5,
             )
+
+
+class TestDeviceEpochPlanTraining:
+    """--epoch-plan device: full runs with in-graph epoch schedules."""
+
+    def test_trains_finite(self, corpus, tmp_path):
+        res = final_params(corpus, tmp_path, "device", epoch_plan="device")
+        assert np.isfinite(
+            list(res.history.values["train_loss_results"].values())
+        ).all()
+        assert np.isfinite(
+            list(res.history.values["val_loss_results"].values())
+        ).all()
+
+    def test_hierarchical_rounds_share_meta(self, corpus, tmp_path):
+        """Hier rounds: the MAP pass and the epoch plan share one O(K)
+        metadata upload; every round reuses the compiled planner/step."""
+        res = final_params(corpus, tmp_path, "device", epoch_plan="device",
+                           sample_hierarchical=True,
+                           num_hierarchical_sequences=3)
+        assert res.state.params["mu2_table"].shape[0] == 3
+        assert np.isfinite(
+            list(res.history.values["train_loss_results"].values())
+        ).all()
+
+    def test_rand_seg_rejected(self, corpus, tmp_path):
+        with pytest.raises(ValueError, match="deterministic windowing"):
+            final_params(corpus, tmp_path, "device", epoch_plan="device",
+                         rand_seg=True)
+
+    def test_composes_with_mesh(self, corpus, tmp_path):
+        """Planner outputs replicate over the mesh (out_shardings=P())."""
+        res = final_params(corpus, tmp_path, "device", epoch_plan="device",
+                           mesh_shape=(4, 2))
+        assert np.isfinite(
+            list(res.history.values["train_loss_results"].values())
+        ).all()
 
 
 class TestMesh:
