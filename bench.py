@@ -197,12 +197,17 @@ def bench_end_to_end(k_dispatch: int = 64, epochs: int = 2,
 
 def bench_device_resident(k_dispatch: int = 64, epochs: int = 3,
                           num_seqs: int = 1600, frames: int = 250,
-                          store_dtype: str = "float32") -> float:
+                          store_dtype: str = "float32",
+                          epoch_plan: str = "host") -> float:
     """End-to-end epochs with the packed store staged in HBM: the train step
     gathers segments on device (train/device_step.py), so per-epoch
     host->device traffic is one index-plan upload — the configuration a
     production run uses whenever the pack fits device memory. Timed including
-    the host-side plan build + upload, best-of-epochs."""
+    the host-side plan build + upload, best-of-epochs. ``epoch_plan="device"``
+    derives the schedule in-graph instead (--epoch-plan device): the per-epoch
+    upload is one PRNG key."""
+    import jax
+
     from pytorch_scalablefhvae_tpu.data.device_store import DeviceDataSource
     from pytorch_scalablefhvae_tpu.data.feature_store import FeatureStore
     from pytorch_scalablefhvae_tpu.data.loader import SegmentLoader
@@ -230,10 +235,28 @@ def bench_device_resident(k_dispatch: int = 64, epochs: int = 3,
                                               SEG_LEN, BATCH, k)
         return steps[k]
 
+    planner = meta = pkey = None
+    if epoch_plan == "device":
+        from pytorch_scalablefhvae_tpu.data.device_store import (
+            EpochPlan,
+            make_device_epoch_plan,
+        )
+
+        rows = len(ds) + (-len(ds)) % BATCH
+        planner = make_device_epoch_plan(num_seqs, rows, ds.seg_shift)
+        meta = src.stage_meta(ds)
+        pkey = jax.random.PRNGKey(7)
+
     def run_epoch(state, epoch):
-        loader.set_epoch(epoch)
-        plan, (seq_d, starts_d, nsegs_d) = src.stage_epoch(
-            ds, loader._order(), BATCH)
+        if epoch_plan == "device":
+            seq_d, starts_d = planner(jax.random.fold_in(pkey, epoch),
+                                      meta[0], meta[1], np.int32(len(ds)))
+            nsegs_d = meta[2]
+            plan = EpochPlan.meta(len(ds), BATCH)
+        else:
+            loader.set_epoch(epoch)
+            plan, (seq_d, starts_d, nsegs_d) = src.stage_epoch(
+                ds, loader._order(), BATCH)
         groups = plan.n_batches // k_dispatch
         tail = plan.n_batches % k_dispatch
         m = None
@@ -810,6 +833,9 @@ def main() -> None:
         try:
             extras["end_to_end_device_resident_sps"] = round(
                 bench_device_resident(k_dispatch=64), 1
+            )
+            extras["end_to_end_device_plan_sps"] = round(
+                bench_device_resident(k_dispatch=64, epoch_plan="device"), 1
             )
         except Exception as e:
             print(f"# device-resident bench failed: {e}")
