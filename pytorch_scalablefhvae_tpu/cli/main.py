@@ -331,6 +331,17 @@ def _maybe_init_multihost(args) -> bool:
     # leave these unset and initialize() discovers everything itself.
     kwargs = {}
     if os.environ.get("SFHVAE_COORDINATOR"):
+        missing = [v for v in ("SFHVAE_NUM_PROCESSES", "SFHVAE_PROCESS_ID")
+                   if not os.environ.get(v)]
+        if missing:
+            raise SystemExit(
+                f"SFHVAE_COORDINATOR is set but {' and '.join(missing)} "
+                f"{'is' if len(missing) == 1 else 'are'} not: the manual-"
+                f"coordinator mode needs all three of SFHVAE_COORDINATOR, "
+                f"SFHVAE_NUM_PROCESSES, and SFHVAE_PROCESS_ID (on TPU pods, "
+                f"unset SFHVAE_COORDINATOR and let jax.distributed."
+                f"initialize() auto-discover instead)."
+            )
         kwargs = {
             "coordinator_address": os.environ["SFHVAE_COORDINATOR"],
             "num_processes": int(os.environ["SFHVAE_NUM_PROCESSES"]),

@@ -18,11 +18,7 @@ import numpy as np
 
 from pytorch_scalablefhvae_tpu.data.loader import SegmentLoader
 from pytorch_scalablefhvae_tpu.train.step import make_latent_step
-
-# max dispatches in flight before results are drained oldest-first: deep
-# enough to hide the per-dispatch round trip, shallow enough that at most
-# ~32 batches of input feats are live in device memory at once.
-_PENDING_WINDOW = 32
+from pytorch_scalablefhvae_tpu.utils.dispatch import DispatchWindow
 
 
 def extract_latents(
@@ -35,34 +31,25 @@ def extract_latents(
     """
     step = make_latent_step(model)
     key = jax.random.PRNGKey(seed)
-    # dispatches run ahead of fetches through a bounded sliding window: the
-    # latent outputs are tiny [B, d] arrays, and a per-batch np.asarray would
-    # stall the device on a host round-trip per batch (thousands on corpus
-    # splits) — but an UNbounded queue keeps every batch's [B, T, F] input
-    # buffer simultaneously live in HBM, an OOM risk at corpus scale. A
-    # window of _PENDING_WINDOW keeps the pipelining win while capping
-    # in-flight buffers. Only the needed output refs are kept — dropping
-    # x_mu immediately lets its buffer free as each dispatch completes.
-    pending: list = []
     z1s, z2s, seqs, lbs = [], [], [], []
 
-    def drain_one():
-        z1, z2, lb, seq_idx, weight = pending.pop(0)
+    # only the needed output refs are pushed — dropping x_mu immediately
+    # lets its buffer free as each dispatch completes
+    def drain_one(item):
+        z1, z2, lb, seq_idx, weight = item
         real = weight > 0
         z1s.append(np.asarray(z1)[real])
         z2s.append(np.asarray(z2)[real])
         lbs.append(np.asarray(lb)[real])
         seqs.append(seq_idx[real])
 
+    window = DispatchWindow(drain_one)
     for i, b in enumerate(loader):
         out = step(params, b.feats, b.seq_idx, b.nsegs,
                    jax.random.fold_in(key, i))
-        pending.append((out["z1_mu"], out["z2_mu"], out["lower_bound"],
-                        b.seq_idx, b.weight))
-        if len(pending) > _PENDING_WINDOW:
-            drain_one()
-    while pending:
-        drain_one()
+        window.push((out["z1_mu"], out["z2_mu"], out["lower_bound"],
+                     b.seq_idx, b.weight))
+    window.close()
     return {
         "z1_mu": np.concatenate(z1s) if z1s else np.zeros((0, 0)),
         "z2_mu": np.concatenate(z2s) if z2s else np.zeros((0, 0)),

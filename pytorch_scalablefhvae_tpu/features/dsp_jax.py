@@ -106,13 +106,14 @@ def batched_features(
     fused = bool(
         feat_type == "fbank" and log and not use_fft and use_pallas == "always"
     )
-    if fused and use_pallas == "always" and jax.default_backend() != "tpu":
+    if fused and jax.default_backend() != "tpu":
         import warnings
 
         warnings.warn(
             "--fbank-pallas=always on a non-TPU backend runs the log-mel "
             "kernel in Pallas INTERPRET mode (orders of magnitude slower "
-            "than the jnp path); use 'auto' to gate on the backend.",
+            "than the jnp path); use 'never' (or the default 'auto', which "
+            "selects the jnp chain on every backend) outside kernel tests.",
             RuntimeWarning, stacklevel=2)
     w, C, S, fb = _spectral_consts(
         sr, n_fft, win, window, n_mels, norm_mel,

@@ -383,7 +383,8 @@ class FHVAE:
             )
 
             hid = params["z2_lstm"]["cells"][0]["w"].shape[1] // 4
-            use_kernel = lstm2_vmem_bytes(hid, B) <= LSTM2_VMEM_BUDGET
+            use_kernel = (lstm2_vmem_bytes(hid, B, d_in=D)
+                          <= LSTM2_VMEM_BUDGET)
         if use_kernel:
             from pytorch_scalablefhvae_tpu.ops.lstm_pallas import (
                 lstm2_pallas_tm_proj,
@@ -415,8 +416,13 @@ class FHVAE:
             if not _two_layer_ok(p, T):
                 return False
             hid = p["cells"][0]["w"].shape[1] // 4
+            # z2/z1 run the projection-fused kernel streaming the [bt, D]
+            # feature blocks; the decoder's per-step input is one constant
+            # [B, 4H] gate block (no x stream), so d_in=0 there
+            d_in = self.feat_dim if name != "dec_lstm" else 0
             if (self.lstm_pallas == "auto"
-                    and lstm2_vmem_bytes(hid, B) > LSTM2_VMEM_BUDGET):
+                    and lstm2_vmem_bytes(hid, B, d_in=d_in)
+                    > LSTM2_VMEM_BUDGET):
                 return False
         return True
 

@@ -62,7 +62,8 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def lstm2_vmem_bytes(hid: int, batch: int, block_batch: int = 256) -> int:
+def lstm2_vmem_bytes(hid: int, batch: int, block_batch: int = 256,
+                     d_in: int = 0) -> int:
     """Worst-case VMEM residency estimate (bytes) for the BACKWARD kernel —
     the larger of the two. Used by run_lstm's "auto" gating to fall back to
     the wavefront scan when a wide stack (e.g. z1_hus=(1024,1024)) would
@@ -73,11 +74,21 @@ def lstm2_vmem_bytes(hid: int, batch: int, block_batch: int = 256) -> int:
     b2/db2/ab2 rows, 4 [bt, H] carry scratches, and the streamed per-step
     blocks (xg1 + dxg1 [bt, 4H], two resid views [bt, 3H], tops/g_tops/g_h2
     [bt, H]) which Pallas double-buffers.
+
+    ``d_in > 0`` models the projection-fused variant (lstm2_pallas_tm_proj),
+    whose backward additionally keeps the [d_in, 4H] x-projection weight
+    block, its grad output, and an fp32 accumulator resident, and streams
+    double-buffered x / dx [bt, d_in] blocks. Gates for the proj kernel
+    MUST pass the input width or a wide-feature model (e.g. D=512
+    spectrograms) passes the gate and then fails Mosaic compilation.
     """
     bt = min(block_batch, max(_round_up(batch, 8), 8))
     weights = 9 * hid * 4 * hid + 4 * (4 * hid)          # [H,4H] x9 + rows
     carries = 4 * bt * hid
     streamed = 2 * bt * (4 * hid + 4 * hid + 3 * hid + 3 * hid + 3 * hid)
+    if d_in > 0:
+        weights += 3 * d_in * 4 * hid        # w1x block + dw1x + fp32 accum
+        streamed += 2 * bt * (2 * d_in)      # x and dx per-step blocks
     return 4 * (weights + carries + streamed)
 
 

@@ -201,8 +201,12 @@ def find_best_checkpoint(exp_dir: str | Path) -> Path:
             return target
         # the pointer sidecar is written when the async orbax save is
         # *staged*; a crash before the commit can leave it dangling. Self-heal
-        # by falling back to the latest committed epoch checkpoint.
-        committed = sorted(exp_dir.glob("*_e*.orbax"), key=_epoch_of)
+        # by falling back to the latest committed epoch checkpoint OF THE
+        # SAME RUN — several runs may share a directory, and another run's
+        # params must never be silently resumed.
+        run_prefix = target.name.rsplit("_e", 1)[0]
+        committed = sorted(exp_dir.glob(f"{run_prefix}_e*.orbax"),
+                           key=_epoch_of)
         if committed:
             import warnings
 

@@ -24,6 +24,7 @@ from pytorch_scalablefhvae_tpu.data.loader import SegmentLoader, device_prefetch
 from pytorch_scalablefhvae_tpu.models.base import build_model
 from pytorch_scalablefhvae_tpu.train import checkpoint as ckpt
 from pytorch_scalablefhvae_tpu.train.metrics import MetricHistory, MetricWriter
+from pytorch_scalablefhvae_tpu.utils.dispatch import DispatchWindow
 from pytorch_scalablefhvae_tpu.train.step import (
     TrainState,
     create_train_state,
@@ -88,26 +89,23 @@ def evaluate_split(
     of stalling on a host round-trip per batch — while capping how many
     batches of input feats are simultaneously live in device memory.
     """
-    pending: list = []
     totals: dict[str, float] = {}
     count = 0.0
 
-    def drain_one():
+    def drain_one(item):
         nonlocal count
-        sums = {k: float(v) for k, v in pending.pop(0).items()}
+        sums = {k: float(v) for k, v in item.items()}
         count += sums.pop("count")
         for k, v in sums.items():
             totals[k] = totals.get(k, 0.0) + v
 
+    window = DispatchWindow(drain_one)
     for i, b in enumerate(loader):
         args = (params, b.feats, b.seq_idx, b.nsegs, b.weight,
                 jax.random.fold_in(key, i))
-        pending.append(eval_step(*args) if table is None
-                       else eval_step(*args, table))
-        if len(pending) > _PENDING_WINDOW:
-            drain_one()
-    while pending:
-        drain_one()
+        window.push(eval_step(*args) if table is None
+                    else eval_step(*args, table))
+    window.close()
     if count == 0:
         return {k: float("nan") for k in ("loss", "lower_bound", "log_qy")}
     return {k: v / count for k, v in totals.items()}
@@ -129,12 +127,6 @@ def dispatch_losses_diverged(losses: np.ndarray) -> bool:
     """
     flat = losses.ravel()
     return not (np.isfinite(flat[0]) and np.isfinite(flat[-1]))
-
-
-# max dispatches in flight before results drain oldest-first (ADVICE r03):
-# deep enough to hide the per-dispatch round trip, shallow enough to cap
-# the in-flight input buffers in HBM on corpus-scale splits.
-_PENDING_WINDOW = 32
 
 
 def _map_table(sums: np.ndarray, counts: np.ndarray, pz2_var: float,
@@ -168,20 +160,21 @@ def estimate_split_mu2(
     formulation (bench.bench_hier_round measures the round-turnover cost
     this bounds).
     """
-    pending: list = []
     group: list = []
     sums = None
     counts = np.zeros(num_seqs, dtype=np.float64)
 
-    def drain_one():
+    def drain_one(item):
         nonlocal sums
-        z2_dev, seq_idx, weight = pending.pop(0)
+        z2_dev, seq_idx, weight = item
         z2 = np.asarray(z2_dev)
         if sums is None:
             sums = np.zeros((num_seqs, z2.shape[1]), dtype=np.float64)
         real = weight > 0
         np.add.at(sums, seq_idx[real], z2[real])
         np.add.at(counts, seq_idx[real], 1.0)
+
+    window = DispatchWindow(drain_one)
 
     def flush_group():
         if not group:
@@ -193,18 +186,15 @@ def estimate_split_mu2(
             feats = np.concatenate([b.feats for b in group])
             seq = np.concatenate([b.seq_idx for b in group])
             w = np.concatenate([b.weight for b in group])
-        pending.append((encode_step(params, feats), seq, w))
+        window.push((encode_step(params, feats), seq, w))
         group.clear()
-        if len(pending) > _PENDING_WINDOW:
-            drain_one()
 
     for b in loader:
         group.append(b)
         if len(group) >= _ENCODE_GROUP:
             flush_group()
     flush_group()
-    while pending:
-        drain_one()
+    window.close()
     if sums is None:
         sums = np.zeros((num_seqs, z2_dim or 1), dtype=np.float64)
     return _map_table(sums, counts, pz2_var, pmu2_var)

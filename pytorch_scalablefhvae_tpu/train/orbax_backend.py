@@ -115,8 +115,13 @@ def load_checkpoint_orbax(
         # (ADVICE r02 / VERDICT r03 item 8).
         from pytorch_scalablefhvae_tpu.train.checkpoint import _epoch_of
 
+        # only consider checkpoints from the SAME run: filenames are
+        # {model_type}_{run_info}_e{epoch}.orbax, and several runs may
+        # share one directory — falling back to another run's params
+        # would silently resume the wrong model
+        run_prefix = checkpoint_path.name.rsplit("_e", 1)[0]
         committed = sorted(
-            (p for p in checkpoint_path.parent.glob("*_e*.orbax")
+            (p for p in checkpoint_path.parent.glob(f"{run_prefix}_e*.orbax")
              if p.exists() and p != checkpoint_path),
             key=_epoch_of,
         )
@@ -125,8 +130,8 @@ def load_checkpoint_orbax(
                 f"Checkpoint {checkpoint_path} has no committed orbax "
                 f"directory — the save was likely interrupted "
                 f"(crash/preemption before the async commit finished) — "
-                f"and no earlier committed checkpoint exists to fall "
-                f"back to."
+                f"and no earlier committed checkpoint of the same run "
+                f"exists to fall back to."
             )
         import warnings
 

@@ -261,3 +261,39 @@ def test_proj_xgc_matches_composed():
     for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-5, rtol=2e-5)
+
+
+def test_vmem_gate_models_projection_input_width(monkeypatch):
+    """The auto-mode VMEM gate must model the projection-fused kernel's
+    extra residency — the [d_in, 4H] x-projection weight/grad/accumulator
+    blocks and the streamed x/dx blocks — or a wide-feature model (e.g.
+    D=512 spectrograms) passes the gate and then fails Mosaic compilation
+    at runtime, exactly the failure the fallback exists to prevent."""
+    from pytorch_scalablefhvae_tpu.models import FHVAE
+    from pytorch_scalablefhvae_tpu.ops.lstm_pallas import (
+        LSTM2_VMEM_BUDGET,
+        lstm2_vmem_bytes,
+    )
+
+    # the estimator grows by exactly the proj terms
+    base = lstm2_vmem_bytes(128, 256)
+    proj = lstm2_vmem_bytes(128, 256, d_in=512)
+    assert proj - base == 4 * (3 * 512 * 512 + 2 * 256 * 2 * 512)
+
+    # a width where the hid-only estimate fits but the proj estimate
+    # does not: hid=128 alone is ~3.4 MB; d_in=2048 adds ~21 MB
+    assert lstm2_vmem_bytes(128, 256) <= LSTM2_VMEM_BUDGET
+    assert lstm2_vmem_bytes(128, 256, d_in=2048) > LSTM2_VMEM_BUDGET
+
+    # ... and _fused_ready / encode_z2 auto-gating must reject it
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    wide = FHVAE(input_size=6 * 2048, num_seqs=5, feat_dim=2048,
+                 z1_hus=(128, 128), z2_hus=(128, 128), x_hus=(128, 128),
+                 z1_dim=4, z2_dim=4, lstm_pallas="auto")
+    params = jax.eval_shape(lambda: wide.init(jax.random.PRNGKey(0)))
+    assert not wide._fused_ready(params, 256, 6)
+    narrow = FHVAE(input_size=6 * 80, num_seqs=5, feat_dim=80,
+                   z1_hus=(128, 128), z2_hus=(128, 128), x_hus=(128, 128),
+                   z1_dim=4, z2_dim=4, lstm_pallas="auto")
+    params = jax.eval_shape(lambda: narrow.init(jax.random.PRNGKey(0)))
+    assert narrow._fused_ready(params, 256, 6)

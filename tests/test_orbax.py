@@ -263,3 +263,29 @@ class TestOrbaxBackend:
             {"best_epoch": 0, "epoch": 0}))
         with pytest.raises(FileNotFoundError, match="no earlier committed"):
             load_checkpoint_orbax(dangling, state)
+
+    def test_self_heal_never_crosses_runs(self, setup, tmp_path, rng):
+        """Two runs sharing one checkpoint_dir (filenames embed
+        model_type_runinfo precisely to allow that): run A's interrupted
+        save must NOT fall back to run B's committed checkpoint — that
+        would silently resume the wrong model's params."""
+        model, optimizer, state = setup
+        step = make_train_step(model, optimizer, alpha=10.0, donate=False)
+        trained, _ = step(state, *make_batch(rng))
+        # run B commits normally into the shared directory
+        save_checkpoint_orbax(
+            tmp_path, trained, model_type="simple_fhvae", run_info="runB",
+            epoch=3, meta={"best_epoch": 3, "best_val_lb": -1.0, "values": {}},
+        )
+        wait_for_saves()
+        # run A dies mid-save: sidecar without its .orbax directory
+        dangling = (tmp_path / "simple_fhvae_runA_e5.orbax").resolve()
+        (tmp_path / "simple_fhvae_runA_e5.json").write_text(json.dumps(
+            {"best_epoch": 5, "epoch": 5}))
+        with pytest.raises(FileNotFoundError, match="no earlier committed"):
+            load_checkpoint_orbax(dangling, state)
+        # the best-pointer self-heal applies the same run filter
+        (tmp_path / "best_model_pointer.json").write_text(json.dumps(
+            {"path": str(dangling), "epoch": 5}))
+        with pytest.raises(FileNotFoundError, match="No best-model"):
+            ckpt.find_best_checkpoint(tmp_path)
