@@ -127,26 +127,35 @@ def _cell_bwd(gates, c_prev, c_new, dh, dc, hid):
     return jnp.concatenate([di, df, dg, do], axis=1), dc_prev
 
 
-# ---------------------------------------------------------------- forward
+# -------------------------------------------------- shared kernel pieces
+#
+# The plain (precomputed-xg1) and projection-fused kernel pairs share all
+# of the two-layer recurrence body except how the layer-1 gates are formed
+# and how dgates1 leaves the kernel; the shared pieces live here ONCE so a
+# numerics or masking fix cannot silently diverge the two paths.
 
 
-def _fwd_kernel(xg1_ref, w1h_ref, w2x_ref, w2h_ref, b2_ref,
-                tops_ref, resid_ref, h2last_ref,
-                h1, c1, h2, c2, *, hid, mm):
-    t = pl.program_id(1)
-
-    @pl.when(t == 0)
-    def _():
-        for buf in (h1, c1, h2, c2):
-            buf[:] = jnp.zeros_like(buf)
-
+def _make_ref_dot(mm):
+    """dot(a, w_ref) with the optional reduced-precision matmul operands."""
     def dot(a, w_ref):
         w = w_ref[:]
         if mm is not None:
             a, w = a.astype(mm), w.astype(mm)
         return jnp.dot(a, w, preferred_element_type=jnp.float32)
+    return dot
 
-    g1 = xg1_ref[:] + dot(h1[:], w1h_ref)
+
+def _zero_when(cond, bufs):
+    @pl.when(cond)
+    def _():
+        for buf in bufs:
+            buf[:] = jnp.zeros_like(buf)
+
+
+def _fwd_tail(g1, w2x_ref, w2h_ref, b2_ref, tops_ref, resid_ref, h2last_ref,
+              h1, c1, h2, c2, hid, dot):
+    """Everything after the layer-1 gates: both cells, carry updates, and
+    the output/residual/h2-last stores."""
     h1n, c1n = _cell_fwd(g1, c1[:], hid)
     g2 = dot(h1n, w2x_ref) + dot(h2[:], w2h_ref) + b2_ref[:]
     h2n, c2n = _cell_fwd(g2, c2[:], hid)
@@ -154,6 +163,108 @@ def _fwd_kernel(xg1_ref, w1h_ref, w2x_ref, w2h_ref, b2_ref,
     tops_ref[:] = h2n
     resid_ref[:] = jnp.concatenate([h1n, c1n, c2n], axis=1)
     h2last_ref[:] = h2n  # revisited block: the t = T-1 write is flushed
+
+
+def _make_bwd_fns(mm):
+    """(cast, dot, nt, tn): the backward's matmul helpers. ``nt``/``tn``
+    are contracted-dim dot_generals expressing A @ W.T / A.T @ B without
+    explicit transposes (Mosaic handles transposed contraction natively
+    on the MXU)."""
+    def cast(a):
+        return a if mm is None else a.astype(mm)
+
+    def dot(a, b):
+        return jnp.dot(cast(a), b, preferred_element_type=jnp.float32)
+
+    def nt(a, b):  # [M,K] x [N,K] -> [M,N]
+        return jax.lax.dot_general(
+            cast(a), cast(b), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def tn(a, b):  # [K,M] x [K,N] -> [M,N]
+        return jax.lax.dot_general(
+            cast(a), cast(b), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    return cast, dot, nt, tn
+
+
+def _bwd_carry_init(first_t, i_bt, gh2_ref, dh1, dc1, dh2, dc2, accs):
+    """Reset the carry adjoints at the start of each batch tile's reversed
+    sweep (dh2 seeds from the last-step gradient) and zero the weight-grad
+    accumulators once, on the very first grid step."""
+    @pl.when(first_t)
+    def _():
+        dh1[:] = jnp.zeros_like(dh1)
+        dc1[:] = jnp.zeros_like(dc1)
+        dh2[:] = gh2_ref[:]
+        dc2[:] = jnp.zeros_like(dc2)
+
+    _zero_when(jnp.logical_and(first_t, i_bt == 0), accs)
+
+
+def _unpack_resid(resid_ref, residp_ref, topsp_ref, t_is_zero, hid):
+    """(h1, c1, c2) at t, and the t-1 views masked to zero at the t=0
+    boundary (the ``prev`` BlockSpec clamps the row index there)."""
+    h1_t = resid_ref[:, :hid]
+    c1_t = resid_ref[:, hid : 2 * hid]
+    c2_t = resid_ref[:, 2 * hid :]
+    h1_prev = jnp.where(t_is_zero, 0.0, residp_ref[:, :hid])
+    c1_prev = jnp.where(t_is_zero, 0.0, residp_ref[:, hid : 2 * hid])
+    c2_prev = jnp.where(t_is_zero, 0.0, residp_ref[:, 2 * hid :])
+    h2_prev = jnp.where(t_is_zero, 0.0, topsp_ref[:])
+    return h1_t, c1_t, c2_t, h1_prev, c1_prev, c2_prev, h2_prev
+
+
+def _bwd_layer2(h1_t, h2_prev, c2_prev, c2_t, w2x_ref, w2h_ref, b2_ref,
+                gtops_ref, dh2, dc2, aw2x, aw2h, ab2, hid, cast, dot,
+                nt, tn):
+    """Layer-2 recompute + adjoint; updates the layer-2 carries and weight
+    accumulators and returns dgates2 for layer 1's dh contribution."""
+    g2 = dot(h1_t, cast(w2x_ref[:])) + dot(h2_prev, cast(w2h_ref[:])) + b2_ref[:]
+    dh2_tot = dh2[:] + gtops_ref[:]
+    dgates2, dc2_prev = _cell_bwd(g2, c2_prev, c2_t, dh2_tot, dc2[:], hid)
+    dh2[:] = nt(dgates2, w2h_ref[:])
+    dc2[:] = dc2_prev
+    aw2x[:] += tn(h1_t, dgates2)
+    aw2h[:] += tn(h2_prev, dgates2)
+    ab2[:] += jnp.sum(dgates2, axis=0, keepdims=True)
+    return dgates2
+
+
+def _accum_revisited(ref, val, first_t):
+    """Accumulate into a revisited output block across the time sweep:
+    overwrite on the tile's first step, add afterwards (Pallas flushes
+    the block once per batch tile)."""
+    @pl.when(first_t)
+    def _():
+        ref[:] = val
+
+    @pl.when(jnp.logical_not(first_t))
+    def _():
+        ref[:] += val
+
+
+def _mask_boundary(t_is_zero, dh1, dh2):
+    """At t=0 the "previous h" is zero, so the recurrent gradient must not
+    flow further back (the next bt tile re-inits anyway)."""
+    zeros_bh = jnp.zeros_like(dh1[:])
+    dh1[:] = jnp.where(t_is_zero, zeros_bh, dh1[:])
+    dh2[:] = jnp.where(t_is_zero, zeros_bh, dh2[:])
+
+
+# ---------------------------------------------------------------- forward
+
+
+def _fwd_kernel(xg1_ref, w1h_ref, w2x_ref, w2h_ref, b2_ref,
+                tops_ref, resid_ref, h2last_ref,
+                h1, c1, h2, c2, *, hid, mm):
+    t = pl.program_id(1)
+    _zero_when(t == 0, (h1, c1, h2, c2))
+    dot = _make_ref_dot(mm)
+    g1 = xg1_ref[:] + dot(h1[:], w1h_ref)
+    _fwd_tail(g1, w2x_ref, w2h_ref, b2_ref, tops_ref, resid_ref, h2last_ref,
+              h1, c1, h2, c2, hid, dot)
 
 
 def _fwd_call(xg1, w1h, w2x, w2h, b2, bt, interpret, mm, const_x, T):
@@ -215,82 +326,31 @@ def _bwd_kernel(xg1_ref, resid_ref, residp_ref, topsp_ref,
     i = pl.program_id(1)  # reversed step: time t = T-1-i
     first_t = i == 0
     t_is_zero = i == T - 1
-    zeros_bh = jnp.zeros_like(dh1[:])
+    _bwd_carry_init(first_t, i_bt, gh2_ref, dh1, dc1, dh2, dc2,
+                    (aw1h, aw2x, aw2h, ab2))
+    cast, dot, nt, tn = _make_bwd_fns(mm)
+    h1_t, c1_t, c2_t, h1_prev, c1_prev, c2_prev, h2_prev = _unpack_resid(
+        resid_ref, residp_ref, topsp_ref, t_is_zero, hid)
 
-    @pl.when(first_t)
-    def _():
-        dh1[:] = jnp.zeros_like(dh1)
-        dc1[:] = jnp.zeros_like(dc1)
-        dh2[:] = gh2_ref[:]
-        dc2[:] = jnp.zeros_like(dc2)
-
-    @pl.when(jnp.logical_and(first_t, i_bt == 0))
-    def _():
-        aw1h[:] = jnp.zeros_like(aw1h)
-        aw2x[:] = jnp.zeros_like(aw2x)
-        aw2h[:] = jnp.zeros_like(aw2h)
-        ab2[:] = jnp.zeros_like(ab2)
-
-    def cast(a):
-        return a if mm is None else a.astype(mm)
-
-    def w(ref):
-        return cast(ref[:])
-
-    # fused residual stream: (h1 | c1 | c2) at t and t-1
-    h1_t = resid_ref[:, :hid]
-    c1_t = resid_ref[:, hid : 2 * hid]
-    c2_t = resid_ref[:, 2 * hid :]
-    h1_prev = jnp.where(t_is_zero, 0.0, residp_ref[:, :hid])
-    c1_prev = jnp.where(t_is_zero, 0.0, residp_ref[:, hid : 2 * hid])
-    c2_prev = jnp.where(t_is_zero, 0.0, residp_ref[:, 2 * hid :])
-    h2_prev = jnp.where(t_is_zero, 0.0, topsp_ref[:])
-
-    def dot(a, b):
-        return jnp.dot(cast(a), b, preferred_element_type=jnp.float32)
-
-    # ---- layer 2 (recompute gates, then adjoint)
-    g2 = dot(h1_t, w(w2x_ref)) + dot(h2_prev, w(w2h_ref)) + b2_ref[:]
-    dh2_tot = dh2[:] + gtops_ref[:]
-    dgates2, dc2_prev = _cell_bwd(g2, c2_prev, c2_t, dh2_tot, dc2[:], hid)
-    # contracted-dim dot_generals express A @ W.T / A.T @ B without explicit
-    # transposes (Mosaic handles transposed contraction natively on the MXU)
-    nt = lambda a, b: jax.lax.dot_general(  # noqa: E731  — [M,K] x [N,K] -> [M,N]
-        cast(a), cast(b), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    tn = lambda a, b: jax.lax.dot_general(  # noqa: E731  — [K,M] x [K,N] -> [M,N]
-        cast(a), cast(b), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dh2[:] = nt(dgates2, w2h_ref[:])
-    dc2[:] = dc2_prev
-    aw2x[:] += tn(h1_t, dgates2)
-    aw2h[:] += tn(h2_prev, dgates2)
-    ab2[:] += jnp.sum(dgates2, axis=0, keepdims=True)
+    dgates2 = _bwd_layer2(h1_t, h2_prev, c2_prev, c2_t, w2x_ref, w2h_ref,
+                          b2_ref, gtops_ref, dh2, dc2, aw2x, aw2h, ab2,
+                          hid, cast, dot, nt, tn)
 
     # ---- layer 1
-    g1 = xg1_ref[:] + dot(h1_prev, w(w1h_ref))
+    g1 = xg1_ref[:] + dot(h1_prev, cast(w1h_ref[:]))
     dh1_tot = dh1[:] + nt(dgates2, w2x_ref[:])
     dgates1, dc1_prev = _cell_bwd(g1, c1_prev, c1_t, dh1_tot, dc1[:], hid)
     dh1[:] = nt(dgates1, w1h_ref[:])
     dc1[:] = dc1_prev
     aw1h[:] += tn(h1_prev, dgates1)
     if const_x:
-        # the same input fed every step: accumulate dxg1 over time in the
-        # revisited [bt, 4H] output block (flushed once per batch tile)
-        @pl.when(first_t)
-        def _():
-            dxg1_ref[:] = dgates1
-
-        @pl.when(jnp.logical_not(first_t))
-        def _():
-            dxg1_ref[:] += dgates1
+        # the same input fed every step: dxg1 accumulates over time in the
+        # revisited [bt, 4H] output block
+        _accum_revisited(dxg1_ref, dgates1, first_t)
     else:
         dxg1_ref[:] = dgates1
 
-    # boundary guard: at t=0 the "previous h" is zero, so the recurrent
-    # gradient must not flow further back (next bt tile re-inits anyway)
-    dh1[:] = jnp.where(t_is_zero, zeros_bh, dh1[:])
-    dh2[:] = jnp.where(t_is_zero, zeros_bh, dh2[:])
+    _mask_boundary(t_is_zero, dh1, dh2)
 
     is_last = jnp.logical_and(i == T - 1, i_bt == pl.num_programs(0) - 1)
 
@@ -406,26 +466,11 @@ def _fwd_kernel_p(x_ref, w1x_ref, xgc_ref, w1h_ref, w2x_ref, w2h_ref,
                   b2_ref, tops_ref, resid_ref, h2last_ref,
                   h1, c1, h2, c2, *, hid, mm):
     t = pl.program_id(1)
-
-    @pl.when(t == 0)
-    def _():
-        for buf in (h1, c1, h2, c2):
-            buf[:] = jnp.zeros_like(buf)
-
-    def dot(a, w_ref):
-        w = w_ref[:]
-        if mm is not None:
-            a, w = a.astype(mm), w.astype(mm)
-        return jnp.dot(a, w, preferred_element_type=jnp.float32)
-
+    _zero_when(t == 0, (h1, c1, h2, c2))
+    dot = _make_ref_dot(mm)
     g1 = dot(x_ref[:], w1x_ref) + xgc_ref[:] + dot(h1[:], w1h_ref)
-    h1n, c1n = _cell_fwd(g1, c1[:], hid)
-    g2 = dot(h1n, w2x_ref) + dot(h2[:], w2h_ref) + b2_ref[:]
-    h2n, c2n = _cell_fwd(g2, c2[:], hid)
-    h1[:], c1[:], h2[:], c2[:] = h1n, c1n, h2n, c2n
-    tops_ref[:] = h2n
-    resid_ref[:] = jnp.concatenate([h1n, c1n, c2n], axis=1)
-    h2last_ref[:] = h2n
+    _fwd_tail(g1, w2x_ref, w2h_ref, b2_ref, tops_ref, resid_ref, h2last_ref,
+              h1, c1, h2, c2, hid, dot)
 
 
 def _fwd_call_p(x, w1x, xgc, w1h, w2x, w2h, b2, bt, interpret, mm, T):
@@ -483,59 +528,19 @@ def _bwd_kernel_p(x_ref, xgc_ref, resid_ref, residp_ref, topsp_ref,
     i = pl.program_id(1)  # reversed step: time t = T-1-i
     first_t = i == 0
     t_is_zero = i == T - 1
-    zeros_bh = jnp.zeros_like(dh1[:])
+    _bwd_carry_init(first_t, i_bt, gh2_ref, dh1, dc1, dh2, dc2,
+                    (aw1x, aw1h, aw2x, aw2h, ab2, axgc))
+    cast, dot, nt, tn = _make_bwd_fns(mm)
+    h1_t, c1_t, c2_t, h1_prev, c1_prev, c2_prev, h2_prev = _unpack_resid(
+        resid_ref, residp_ref, topsp_ref, t_is_zero, hid)
 
-    @pl.when(first_t)
-    def _():
-        dh1[:] = jnp.zeros_like(dh1)
-        dc1[:] = jnp.zeros_like(dc1)
-        dh2[:] = gh2_ref[:]
-        dc2[:] = jnp.zeros_like(dc2)
-
-    @pl.when(jnp.logical_and(first_t, i_bt == 0))
-    def _():
-        aw1x[:] = jnp.zeros_like(aw1x)
-        aw1h[:] = jnp.zeros_like(aw1h)
-        aw2x[:] = jnp.zeros_like(aw2x)
-        aw2h[:] = jnp.zeros_like(aw2h)
-        ab2[:] = jnp.zeros_like(ab2)
-        axgc[:] = jnp.zeros_like(axgc)
-
-    def cast(a):
-        return a if mm is None else a.astype(mm)
-
-    def w(ref):
-        return cast(ref[:])
-
-    h1_t = resid_ref[:, :hid]
-    c1_t = resid_ref[:, hid : 2 * hid]
-    c2_t = resid_ref[:, 2 * hid :]
-    h1_prev = jnp.where(t_is_zero, 0.0, residp_ref[:, :hid])
-    c1_prev = jnp.where(t_is_zero, 0.0, residp_ref[:, hid : 2 * hid])
-    c2_prev = jnp.where(t_is_zero, 0.0, residp_ref[:, 2 * hid :])
-    h2_prev = jnp.where(t_is_zero, 0.0, topsp_ref[:])
-
-    def dot(a, b):
-        return jnp.dot(cast(a), b, preferred_element_type=jnp.float32)
-
-    # ---- layer 2 (recompute gates, then adjoint)
-    g2 = dot(h1_t, w(w2x_ref)) + dot(h2_prev, w(w2h_ref)) + b2_ref[:]
-    dh2_tot = dh2[:] + gtops_ref[:]
-    dgates2, dc2_prev = _cell_bwd(g2, c2_prev, c2_t, dh2_tot, dc2[:], hid)
-    nt = lambda a, b: jax.lax.dot_general(  # noqa: E731  — [M,K] x [N,K] -> [M,N]
-        cast(a), cast(b), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    tn = lambda a, b: jax.lax.dot_general(  # noqa: E731  — [K,M] x [K,N] -> [M,N]
-        cast(a), cast(b), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dh2[:] = nt(dgates2, w2h_ref[:])
-    dc2[:] = dc2_prev
-    aw2x[:] += tn(h1_t, dgates2)
-    aw2h[:] += tn(h2_prev, dgates2)
-    ab2[:] += jnp.sum(dgates2, axis=0, keepdims=True)
+    dgates2 = _bwd_layer2(h1_t, h2_prev, c2_prev, c2_t, w2x_ref, w2h_ref,
+                          b2_ref, gtops_ref, dh2, dc2, aw2x, aw2h, ab2,
+                          hid, cast, dot, nt, tn)
 
     # ---- layer 1 (recompute projected gates from raw x)
-    g1 = dot(x_ref[:], w(w1x_ref)) + xgc_ref[:] + dot(h1_prev, w(w1h_ref))
+    g1 = (dot(x_ref[:], cast(w1x_ref[:])) + xgc_ref[:]
+          + dot(h1_prev, cast(w1h_ref[:])))
     dh1_tot = dh1[:] + nt(dgates2, w2x_ref[:])
     dgates1, dc1_prev = _cell_bwd(g1, c1_prev, c1_t, dh1_tot, dc1[:], hid)
     dh1[:] = nt(dgates1, w1h_ref[:])
@@ -544,20 +549,13 @@ def _bwd_kernel_p(x_ref, xgc_ref, resid_ref, residp_ref, topsp_ref,
     aw1h[:] += tn(h1_prev, dgates1)
     dx_ref[:] = nt(dgates1, w1x_ref[:])
     if xgc_tile:
-        # per-batch additive gate block: accumulate its grad over time in
-        # the revisited [bt, 4H] output block (flushed once per tile)
-        @pl.when(first_t)
-        def _():
-            dxgc_ref[:] = dgates1
-
-        @pl.when(jnp.logical_not(first_t))
-        def _():
-            dxgc_ref[:] += dgates1
+        # per-batch additive gate block: its grad accumulates over time in
+        # the revisited [bt, 4H] output block
+        _accum_revisited(dxgc_ref, dgates1, first_t)
     else:
         axgc[:] += jnp.sum(dgates1, axis=0, keepdims=True)
 
-    dh1[:] = jnp.where(t_is_zero, zeros_bh, dh1[:])
-    dh2[:] = jnp.where(t_is_zero, zeros_bh, dh2[:])
+    _mask_boundary(t_is_zero, dh1, dh2)
 
     is_last = jnp.logical_and(i == T - 1, i_bt == pl.num_programs(0) - 1)
 
