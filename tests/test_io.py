@@ -80,3 +80,34 @@ class TestArk:
         out = kaldi_ark.read_ark(tmp_path / "d.ark")["x"]
         assert out.dtype == np.float64
         np.testing.assert_array_equal(out, m)
+
+
+class TestDispatchWindow:
+    """The bounded dispatch window shared by the eval/encode passes
+    (utils/dispatch.py): drains oldest-first, caps in-flight items at the
+    window size, and close() flushes everything exactly once."""
+
+    def test_drains_oldest_first_and_bounds_inflight(self):
+        from pytorch_scalablefhvae_tpu.utils.dispatch import DispatchWindow
+
+        drained = []
+        w = DispatchWindow(drained.append, window=4)
+        for i in range(10):
+            w.push(i)
+            assert len(w._pending) <= 4
+        assert drained == [0, 1, 2, 3, 4, 5]  # oldest-first, 4 still held
+        w.close()
+        assert drained == list(range(10))
+        w.close()  # idempotent
+        assert drained == list(range(10))
+
+    def test_no_drain_under_window(self):
+        from pytorch_scalablefhvae_tpu.utils.dispatch import DispatchWindow
+
+        drained = []
+        w = DispatchWindow(drained.append, window=8)
+        for i in range(8):
+            w.push(i)
+        assert drained == []
+        w.close()
+        assert drained == list(range(8))
