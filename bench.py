@@ -337,7 +337,7 @@ def bench_fbank_mframes(use_pallas: str, n_frames: int = 6400,
 def bench_hier_round(hier_k: int = 2000, frames: int = 1044,
                      k_dispatch: int = 32, train_batch: int = 1024,
                      map_batch: int = 8192, n_rounds: int = 2,
-                     host_frames: int = 156) -> dict:
+                     host_seqs: int = 300, host_frames: int = 1044) -> dict:
     """Hierarchical-round cost structure at LibriSpeech-960 scale.
 
     With hierarchical sampling (BASELINE config 4) the per-step cost is
@@ -360,9 +360,10 @@ def bench_hier_round(hier_k: int = 2000, frames: int = 1044,
     loop pays (single one-off syncs/compiles amortize out; on this tunneled
     rig a per-phase sync would otherwise charge ~40 ms of pure RTT to every
     phase). "hier_round_host_*" keys measure the host-loader fallback
-    (full-encoder estimate_split_mu2 + the K-bundled stack path, same
-    model, smaller corpus) for comparison. Both phases scale linearly in
-    the subset's segment count, so the overhead percentage transfers to the
+    (full-encoder estimate_split_mu2 over the chunk-skip subsample + the
+    K-bundled stack path, same model, fewer sequences at representative
+    utterance lengths) for comparison. Both phases scale linearly in the
+    subset's segment count, so the overhead percentage transfers to the
     full K=5000 configuration.
     """
     import jax
@@ -505,21 +506,33 @@ def bench_hier_round(hier_k: int = 2000, frames: int = 1044,
     }
 
     # ---- host-loader fallback (the pre-r04 primary measurement), at a
-    # smaller corpus (per-batch host->device shipping caps its scale)
+    # smaller corpus: FEWER sequences, but REPRESENTATIVE utterance lengths
+    # (host_frames ~ a 10 s utterance) — the MAP-init chunk-skip keeps a
+    # 16-window minimum per sequence, so short toy sequences would hide
+    # its effect while long ones show the at-scale ratio. Per-batch
+    # host->device shipping caps the section's corpus size.
+    host_model = FHVAE(input_size=SEG_LEN * N_MELS, num_seqs=host_seqs,
+                       feat_dim=N_MELS)
     store = FeatureStore.from_arrays({
         f"s{i}": rng.standard_normal((host_frames, N_MELS)).astype(np.float32)
-        for i in range(hier_k)
+        for i in range(host_seqs)
     })
     ds = SegmentDataset(store, seg_len=SEG_LEN, seg_shift=8)
     n_total = len(ds)
-    state = create_train_state(model, optimizer, seed=0)
-    encode_step = make_encode_step(model)
-    mstep = make_multi_train_step(model, optimizer, ALPHA, donate=False)
-    est_loader = SegmentLoader(ds, BATCH, shuffle=False, seed=0)
+    state = create_train_state(host_model, optimizer, seed=0)
+    encode_step = make_encode_step(host_model)
+    mstep = make_multi_train_step(host_model, optimizer, ALPHA, donate=False)
+    # the loop's host MAP init subsamples with the same chunk-skip as the
+    # device pass (train/loop.py hier host branch)
+    from pytorch_scalablefhvae_tpu.data.segments import chunk_skip_indices
+
+    est_loader = SegmentLoader(
+        ds, BATCH, shuffle=False, seed=0,
+        indices=chunk_skip_indices(ds.seq_idx, spb=_spb, skip=_skip))
 
     def map_init():
         return estimate_split_mu2(encode_step, state.params, est_loader,
-                                  hier_k, pz2_var, z2_dim=16)
+                                  host_seqs, pz2_var, z2_dim=16)
 
     map_init()  # compile
     t0 = time.perf_counter()

@@ -186,9 +186,11 @@ def add_train_flags(p: argparse.ArgumentParser) -> None:
                         "turnover)")
     p.add_argument("--map-init-chunk-skip", type=int, default=8,
                    help="Round-turnover MAP init encodes every Nth chunk of "
-                        "16 consecutive windows (1 = every window). The init "
-                        "is refined by the round's training immediately; "
-                        "dev-eval MAP tables always use every window")
+                        "16 consecutive windows (1 = every window; applies "
+                        "to both the device pass and the host loader). The "
+                        "init is refined by the round's training "
+                        "immediately; dev-eval MAP tables always use every "
+                        "window")
     p.add_argument("--legacy", action="store_true",
                    help="Emulate original-paper behavior (step-based epochs)")
     p.add_argument("--steps-per-epoch", type=int, default=5000,

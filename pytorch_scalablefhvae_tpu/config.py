@@ -172,13 +172,17 @@ class TrainConfig:
     # values amortize the round turnover (bench.py hier_round_*)
     hierarchical_round_epochs: int = 1
     # MAP-init subsampling for round turnover: encode every Nth chunk of
-    # 16 consecutive windows (device_step.make_device_map_pass_chunked).
+    # 16 consecutive windows — applied by BOTH the device pass
+    # (device_step.make_device_map_pass_chunked) and the host-loader
+    # fallback (data.segments.chunk_skip_indices feeding the est loader,
+    # where it also cuts host->device feature shipping by the factor).
     # The init is immediately refined by the round's Adam steps and z2 is
     # a sequence-level factor carried by every segment, so an 8x burst
     # subsample (still >= 2 chunks = 32 windows of a 1 s utterance)
     # changes the starting table negligibly while cutting the turnover
     # encode 8x — measured 8.8% round overhead vs 11.6% at skip 4 on v5e.
-    # Dev-eval MAP tables always use every window.
+    # Dev-eval MAP tables always use every window; random windowing
+    # (rand_seg) never skips — its windows are already a per-epoch sample.
     map_init_chunk_skip: int = 8
     # observability
     profile_dir: str | None = None  # capture a jax.profiler trace here

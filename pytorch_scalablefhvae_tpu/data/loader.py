@@ -61,18 +61,25 @@ class SegmentLoader:
         drop_last: bool = False,
         prefetch: int = 2,
         transfer_dtype: str = "float32",
+        indices: "np.ndarray | None" = None,
     ):
         """``transfer_dtype``: dtype of the emitted feature batches.
         "bfloat16" halves host->device transfer bytes (and HBM for the staged
         batch); the model upcasts to float32 on entry, so only the feature
         quantization (~3 decimal digits) changes. Opt-in: useful when the
-        input link, not compute, bounds throughput."""
+        input link, not compute, bounds throughput.
+
+        ``indices``: optional fixed subset of GLOBAL segment indices to
+        iterate instead of the whole dataset (e.g. the chunk-skip subsample
+        of a hierarchical round's MAP-init pass,
+        data.segments.chunk_skip_indices)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.indices = None if indices is None else np.asarray(indices)
         if transfer_dtype == "bfloat16":
             import ml_dtypes
 
@@ -87,17 +94,19 @@ class SegmentLoader:
             self.dataset.resample_segments(self.seed + 7919 * epoch)
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = (len(self.indices) if self.indices is not None
+             else len(self.dataset))
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
     def _order(self) -> np.ndarray:
-        n = len(self.dataset)
+        base = (self.indices if self.indices is not None
+                else np.arange(len(self.dataset)))
         if self.shuffle:
             rng = np.random.default_rng(self.seed + 1_000_003 * self._epoch)
-            return rng.permutation(n)
-        return np.arange(n)
+            return rng.permutation(base)
+        return base
 
     def _assemble(self, idx: np.ndarray) -> Batch:
         ds = self.dataset

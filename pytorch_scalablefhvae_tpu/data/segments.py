@@ -92,3 +92,31 @@ class SegmentDataset:
             self.seq_idx[i : i + 1], self.starts[i : i + 1], self.seg_len
         )[0]
         return s, feat, int(self.nsegs[s])
+
+
+def chunk_skip_indices(seq_idx: np.ndarray, spb: int = 16,
+                       skip: int = 8) -> np.ndarray:
+    """Global indices of every ``skip``-th chunk of ``spb`` consecutive
+    windows of each sequence — chunk 0 is always kept, so every sequence
+    retains at least ``min(spb, nsegs)`` windows.
+
+    The host mirror of the device MAP pass's subsampling
+    (train/device_step.py make_device_map_pass_chunked: ``cps[k] =
+    ceil(ceil(nseg/spb)/skip)``): the MAP table a hierarchical round
+    produces is an initialization the round's Adam steps immediately
+    refine, z2 is a sequence-level factor present in every segment, and
+    adjacent windows overlap ``(seg_len - seg_shift)`` frames — so a
+    stride-``skip`` burst sample changes the estimate negligibly while
+    cutting the encode + host->device transfer by that factor. Assumes the
+    sequence-major segment ordering ``make_segments`` emits.
+    """
+    seq_idx = np.asarray(seq_idx)
+    n = len(seq_idx)
+    if skip <= 1 or n == 0:
+        return np.arange(n)
+    seq_start = np.zeros(n, dtype=np.int64)
+    change = np.flatnonzero(np.diff(seq_idx)) + 1
+    seq_start[change] = change
+    np.maximum.accumulate(seq_start, out=seq_start)
+    j = np.arange(n) - seq_start  # window index within its sequence
+    return np.flatnonzero((j // spb) % skip == 0)

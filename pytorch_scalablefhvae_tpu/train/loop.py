@@ -684,9 +684,29 @@ def run_training(
                     table = hier_device["pass"](
                         state.params, device_source.data, _starts_i, _nsegs_i)
             else:
+                # host-loader MAP init honors the same chunk-skip
+                # subsampling as the device pass (the table is an
+                # initialization the round's Adam steps immediately
+                # refine): every skip-th chunk of 16 consecutive windows
+                # per sequence, chunk 0 always kept — cuts the round's
+                # encode compute AND host->device feature shipping by the
+                # skip factor. Random windowing redraws starts per epoch,
+                # so its windows are already a sample — no skip there
+                # (mirrors the device rand path).
+                _skip_h = max(
+                    getattr(config.train, "map_init_chunk_skip", 8), 1)
+                est_idx = None
+                if _skip_h > 1 and not sub_ds.rand_seg:
+                    from pytorch_scalablefhvae_tpu.data.segments import (
+                        chunk_skip_indices,
+                    )
+
+                    est_idx = chunk_skip_indices(
+                        sub_ds.seq_idx, spb=16, skip=_skip_h)
                 est_loader = SegmentLoader(
                     sub_ds, train_loader.batch_size, shuffle=False, seed=0,
-                    transfer_dtype=config.data.transfer_dtype)
+                    transfer_dtype=config.data.transfer_dtype,
+                    indices=est_idx)
                 table_np = estimate_split_mu2(
                     encode_step, state.params, est_loader, hier_k, pz2_var,
                     z2_dim=config.model.z2_dim,

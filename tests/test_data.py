@@ -332,3 +332,47 @@ class TestLoaderErrorPropagation:
         with pytest.raises(RuntimeError, match="gather exploded"):
             for _ in loader:
                 pass
+
+
+class TestChunkSkip:
+    """Host mirror of the device MAP pass's chunk-skip subsampling
+    (segments.chunk_skip_indices + SegmentLoader(indices=...))."""
+
+    def test_indices_pattern_and_coverage(self):
+        from pytorch_scalablefhvae_tpu.data.segments import chunk_skip_indices
+
+        # ragged counts incl. one sequence shorter than a chunk
+        nsegs = np.array([11, 3, 17, 4, 9])
+        seq_idx = np.repeat(np.arange(5, dtype=np.int32), nsegs)
+        idx = chunk_skip_indices(seq_idx, spb=4, skip=2)
+        starts = np.r_[0, np.cumsum(nsegs)[:-1]]
+        j = np.arange(len(seq_idx)) - starts[seq_idx]
+        # exactly the windows of chunks 0, 2, 4, ... of each sequence
+        want = np.flatnonzero((j // 4) % 2 == 0)
+        np.testing.assert_array_equal(idx, want)
+        # every sequence keeps at least min(spb, nsegs) windows (chunk 0)
+        kept_per_seq = np.bincount(seq_idx[idx], minlength=5)
+        assert (kept_per_seq >= np.minimum(nsegs, 4)).all()
+        # skip=1 is the identity
+        np.testing.assert_array_equal(
+            chunk_skip_indices(seq_idx, spb=4, skip=1),
+            np.arange(len(seq_idx)))
+
+    def test_loader_indices_subset(self, tmp_path, rng):
+        feat_scp, len_scp = build_split(tmp_path, rng)
+        store = FeatureStore(feat_scp, len_scp, min_len=20, verbose=False)
+        ds = SegmentDataset(store, seg_len=20, seg_shift=8)
+        sub = np.array([0, 2, 5, 6])
+        loader = SegmentLoader(ds, batch_size=3, shuffle=False, seed=0,
+                               indices=sub)
+        assert len(loader) == 2
+        got_seq, got_feats, real = [], [], 0
+        for b in loader:
+            keep = b.weight > 0
+            got_seq.extend(b.seq_idx[keep].tolist())
+            got_feats.append(np.asarray(b.feats)[keep])
+            real += b.n_real
+        assert real == len(sub)
+        np.testing.assert_array_equal(got_seq, ds.seq_idx[sub])
+        want = ds.store.gather_segments(ds.seq_idx[sub], ds.starts[sub], 20)
+        np.testing.assert_allclose(np.concatenate(got_feats), want)

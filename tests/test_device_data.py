@@ -577,6 +577,49 @@ class TestDeviceMapPass:
             want[k] = z2_mu.sum(0) / (len(wins) + ratio)
         np.testing.assert_allclose(table, want, rtol=1e-5, atol=1e-6)
 
+    def test_host_chunk_skip_matches_device(self, rng):
+        """The HOST MAP-init subsample (chunk_skip_indices feeding
+        SegmentLoader + estimate_split_mu2 — the loop's host hier branch)
+        produces the same table as the device chunked pass at the same
+        spb/skip: both subsampling implementations select identical
+        windows."""
+        from pytorch_scalablefhvae_tpu.data.loader import SegmentLoader
+        from pytorch_scalablefhvae_tpu.data.segments import (
+            chunk_skip_indices,
+        )
+        from pytorch_scalablefhvae_tpu.models import SimpleFHVAE
+        from pytorch_scalablefhvae_tpu.train.device_step import (
+            make_device_map_pass_chunked,
+        )
+        from pytorch_scalablefhvae_tpu.train.loop import estimate_split_mu2
+        from pytorch_scalablefhvae_tpu.train.step import make_encode_step
+
+        store = make_store(rng, n_seqs=5, frames=137, dim=8)
+        ds = SegmentDataset(store, seg_len=20, seg_shift=8)
+        model = SimpleFHVAE(input_size=20 * 8, num_seqs=5,
+                            z1_hus=(16, 16), z2_hus=(16, 16), x_hus=(16, 16),
+                            z1_dim=4, z2_dim=4)
+        params = model.init(jax.random.PRNGKey(0))
+        src = DeviceDataSource(store)
+        spb, B, skip = 4, 8, 2
+        sel_chunks = -(-(-(-ds.nsegs // spb)) // skip)
+        padded = int((sel_chunks * spb).sum())
+        n_batches = max(-(-padded // B), 1)
+        pz2_var = float(np.exp(model.pz2_logvar))
+        cpass = make_device_map_pass_chunked(
+            model, 20, 8, B, n_batches, 5, pz2_var, spb=spb,
+            chunk_skip=skip, interpret=jax.default_backend() != "tpu")
+        table = np.asarray(cpass(
+            params, src.data,
+            jax.device_put(store.seq_starts.astype(np.int32)),
+            jax.device_put(ds.nsegs.astype(np.int32))))
+        loader = SegmentLoader(
+            ds, B, shuffle=False, seed=0,
+            indices=chunk_skip_indices(ds.seq_idx, spb=spb, skip=skip))
+        want = estimate_split_mu2(make_encode_step(model), params, loader,
+                                  5, pz2_var, z2_dim=4)
+        np.testing.assert_allclose(table, want, rtol=1e-5, atol=1e-6)
+
 
 class TestWindowedChunkGather:
     def test_matches_take(self, rng):
