@@ -38,11 +38,16 @@ import numpy as np
 
 from pytorch_scalablefhvae_tpu.data.segments import SegmentDataset
 
-# zero rows appended to every staged pack: the chunked-DMA window gather
-# (ops/window_gather_pallas.py) reads whole ``(spb-1)*shift + seg_len``
-# regions whose tail may extend past the last sequence's frames; the slack
-# keeps those region DMAs in-bounds (the overhanging windows carry weight 0
-# and are never consumed). 256 rows cover spb=16 at any seg_len <= 136.
+# zero rows appended to single-device staged packs: the chunked-DMA window
+# gather (ops/window_gather_pallas.py) reads whole ``(spb-1)*shift +
+# seg_len`` regions whose tail may extend past the last sequence's frames;
+# the slack keeps those region DMAs in-bounds (the overhanging windows
+# carry weight 0 and are never consumed). 256 rows cover any
+# ``(spb-1)*seg_shift + seg_len <= 256`` — e.g. spb=16 at the default
+# shift 8 up to seg_len 136; make_device_map_pass_chunked raises when a
+# configuration would exceed it. Mesh-staged packs skip the slack: the
+# chunked pass is single-device only (the rows/array-plan passes gather
+# per window, never past a sequence's span).
 STORE_TAIL_SLACK = 256
 
 
@@ -109,9 +114,15 @@ def build_epoch_plan(
     abs_starts = (dataset.store.seq_starts[seq_idx] + starts).astype(np.int32)
     n_real = len(order)
     rows = n_real + (-n_real) % batch_size
-    pad = (pad_rows if pad_rows is not None else rows) - n_real
-    if pad < 0:
-        raise ValueError(f"pad_rows={pad_rows} < n_real={n_real}")
+    target = pad_rows if pad_rows is not None else rows
+    if target < rows:
+        # the index arrays must cover every row the n_batches slices read:
+        # shorter arrays make dynamic_slice clamp its start, silently
+        # training some segments twice and skipping others
+        raise ValueError(
+            f"pad_rows={pad_rows} < batch-rounded row count {rows} "
+            f"(n_real={n_real}, batch_size={batch_size})")
+    pad = target - n_real
     if pad:
         seq_idx = np.concatenate([seq_idx, np.zeros(pad, np.int32)])
         abs_starts = np.concatenate([abs_starts, np.zeros(pad, np.int32)])
@@ -142,9 +153,14 @@ def make_device_epoch_plan(n_seqs: int, n_rows: int, seg_shift: int,
       (absolute first-frame offset in the staged pack; window count);
     - ``n_real`` (traced int32): total real segments, ``sum(nsegs)`` —
       positions ``>= n_real`` are padding (sequence 0, frame 0), and the
-      shuffle keeps them at the tail: real rows draw 31-bit sort keys,
-      padding rows the strictly-larger ``0xffffffff``, so no real segment
-      can land in the weight-0 tail region;
+      shuffle keeps them at the tail: real rows draw 64-bit sort keys
+      (major word clamped below ``0xffffffff``), padding rows the
+      strictly-larger ``(0xffffffff, ...)``, so no real segment can land
+      in the weight-0 tail region. Two key words because a single 32-bit
+      key has ~2e5 expected collisions at 43M rows, and a stable argsort
+      would resolve every tie to sequence-major order — a systematic bias
+      toward same-sequence adjacency; at 64 bits collisions are ~1e-4
+      per epoch and resolve arbitrarily;
     - ``n_rows`` (static): the padded plan length — a per-run ceiling, so
       hierarchical rounds of varying subset size reuse ONE compiled plan.
 
@@ -167,11 +183,15 @@ def make_device_epoch_plan(n_seqs: int, n_rows: int, seg_shift: int,
         seq_of = jnp.where(real, seq_of, 0)
         abs_starts = jnp.where(real, abs_starts, 0)
         if shuffle:
-            keys = jax.random.bits(key, (n_rows,), jnp.uint32) >> 1
-            keys = jnp.where(real, keys, jnp.uint32(0xFFFFFFFF))
-            order = jnp.argsort(keys)
-            seq_of = jnp.take(seq_of, order)
-            abs_starts = jnp.take(abs_starts, order)
+            hi = jax.random.bits(key, (n_rows,), jnp.uint32)
+            hi = jnp.where(real, jnp.minimum(hi, jnp.uint32(0xFFFFFFFE)),
+                           jnp.uint32(0xFFFFFFFF))
+            lo = jax.random.bits(jax.random.fold_in(key, 1), (n_rows,),
+                                 jnp.uint32)
+            # one lexicographic sort by (hi, lo) carrying the plan as
+            # payload — no separate argsort + takes
+            _, _, seq_of, abs_starts = jax.lax.sort(
+                (hi, lo, seq_of, abs_starts), num_keys=2)
         return seq_of, abs_starts
 
     if mesh is None:
@@ -202,21 +222,27 @@ class DeviceDataSource:
         if store_dtype == "bfloat16":
             import ml_dtypes
 
-            data = np.asarray(data, dtype=ml_dtypes.bfloat16)
-        # tail slack for chunked region DMAs (see STORE_TAIL_SLACK)
-        data = np.concatenate(
-            [data, np.zeros((STORE_TAIL_SLACK, data.shape[1]), data.dtype)]
-        )
+            dtype = np.dtype(ml_dtypes.bfloat16)
+        else:
+            dtype = data.dtype
+        # tail slack for chunked region DMAs (single-device only: the
+        # chunked pass does not run under a mesh, see STORE_TAIL_SLACK)
+        slack = STORE_TAIL_SLACK if mesh is None else 0
+        shard_pad = 0
+        if self.shard_store:
+            m = mesh.shape["model"]
+            shard_pad = (-(data.shape[0] + slack)) % m
+        # ONE allocation + ONE copy for slack/row padding and the optional
+        # dtype cast — chained np.concatenate would transiently hold two
+        # full pack copies (at LibriSpeech-960 scale the pack is ~110 GB)
+        total = data.shape[0] + slack + shard_pad
+        if total != data.shape[0] or dtype != data.dtype:
+            buf = np.zeros((total, data.shape[1]), dtype)
+            buf[: data.shape[0]] = data  # pad rows stay zero: never
+            data = buf                   # addressed by real plan rows
         if self.shard_store:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            m = mesh.shape["model"]
-            pad = (-data.shape[0]) % m
-            if pad:
-                # zero frames are never addressed by real plan rows
-                data = np.concatenate(
-                    [data, np.zeros((pad, data.shape[1]), data.dtype)]
-                )
             sharding = NamedSharding(mesh, P("model", None))
         elif mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -294,6 +320,16 @@ def resolve_data_placement(
     if mesh is not None and shard_store:
         budget = max_bytes * mesh.shape["model"]
     if placement == "device":
+        if nbytes > budget:
+            # fail here with a configuration error instead of an opaque
+            # device-OOM later inside jax.device_put
+            raise ValueError(
+                f"data_placement=device but the packed store is "
+                f"{nbytes / 2**30:.2f} GiB, over the "
+                f"{budget / 2**30:.2f} GiB device-store budget — raise "
+                f"--device-store-max-bytes (or shard the store over a "
+                f"model axis / use --transfer-dtype bfloat16 staging), "
+                f"or use data_placement=auto/host")
         return True
     if placement == "auto":
         return nbytes <= budget

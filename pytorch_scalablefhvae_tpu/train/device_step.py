@@ -93,6 +93,9 @@ def _make_batch_views(seg_len: int, batch_size: int, mesh, shard_store: bool):
             starts = jax.lax.with_sharding_constraint(starts, data_sh)
             weight = jax.lax.with_sharding_constraint(weight, data_sh)
         feats = gather(store, starts).astype(jnp.float32)
+        if nsegs_tab is None:
+            # MAP passes: the z2-trunk encode needs no per-sequence nsegs
+            return feats, seq_idx, None, weight
         nsegs = jnp.take(nsegs_tab, seq_idx, axis=0, mode="clip")
         if data_sh is not None:
             nsegs = jax.lax.with_sharding_constraint(nsegs, data_sh)
@@ -372,44 +375,54 @@ def make_device_map_pass_chunked(model, seg_len: int, seg_shift: int,
     happened to produce, utils.py:45-60). Use ``chunk_skip=1`` where the
     estimate itself is the product (dev-eval MAP tables).
     """
+    from pytorch_scalablefhvae_tpu.data.device_store import STORE_TAIL_SLACK
     from pytorch_scalablefhvae_tpu.ops.window_gather_pallas import (
         windowed_chunk_gather,
     )
 
     B = batch_size
     assert B % spb == 0, "batch_size must be a multiple of spb"
+    # the staged pack's tail slack must cover a full chunk region: the
+    # last chunk of the pack-final sequence DMAs (spb-1)*stride + seg_len
+    # rows starting at its first frame, possibly all past that sequence's
+    # span (weight-0 padding windows) — an unchecked overhang would read
+    # out of bounds on real TPU with no error
+    region = (spb - 1) * seg_shift + seg_len
+    if region > STORE_TAIL_SLACK:
+        raise ValueError(
+            f"chunk region (spb-1)*seg_shift+seg_len = {region} exceeds the "
+            f"staged store's tail slack ({STORE_TAIL_SLACK}); lower spb or "
+            f"use the array-plan/rows MAP passes"
+        )
     cpb = B // spb  # chunks per batch
     rows = n_batches * B
-    # trace-time cell: pass_fn records the UNPADDED feature width before
-    # lane-padding the store, so batch_fn can slice the gathered windows
-    # back to what the encoder expects (set during pass_fn's trace, read
-    # during scan_fn's trace of the body — same jit trace)
-    d_cell: dict = {}
-
-    def batch_fn(store, plan, b_i):
-        seq_all, valid_all, chunk_starts_all = plan
-        off = b_i * B
-        seq_idx = jax.lax.dynamic_slice_in_dim(seq_all, off, B)
-        valid = jax.lax.dynamic_slice_in_dim(valid_all, off, B)
-        chunk_starts = jax.lax.dynamic_slice_in_dim(
-            chunk_starts_all, b_i * cpb, cpb)
-        feats = windowed_chunk_gather(
-            store, chunk_starts, spb=spb, seg_len=seg_len, stride=seg_shift,
-            interpret=interpret)
-        d = d_cell.get("d", store.shape[1])
-        return feats[..., :d], seq_idx, valid
-
-    scan_fn = _map_scan_core(model, n_batches, num_rows,
-                             pz2_var / pmu2_var, None, True, batch_fn)
 
     def pass_fn(params, store, sel_starts, sel_nsegs):
+        # the UNPADDED feature width, captured before lane-padding so
+        # batch_fn can slice the gathered windows back to what the encoder
+        # expects (shapes are static at trace time)
+        d = store.shape[1]
+
+        def batch_fn(store, plan, b_i):
+            seq_all, valid_all, chunk_starts_all = plan
+            off = b_i * B
+            seq_idx = jax.lax.dynamic_slice_in_dim(seq_all, off, B)
+            valid = jax.lax.dynamic_slice_in_dim(valid_all, off, B)
+            chunk_starts = jax.lax.dynamic_slice_in_dim(
+                chunk_starts_all, b_i * cpb, cpb)
+            feats = windowed_chunk_gather(
+                store, chunk_starts, spb=spb, seg_len=seg_len,
+                stride=seg_shift, interpret=interpret)
+            return feats[..., :d], seq_idx, valid
+
+        scan_fn = _map_scan_core(model, n_batches, num_rows,
+                                 pz2_var / pmu2_var, None, True, batch_fn)
         # Lane-pad the store ONCE, outside the batch scan: the gather
         # kernel needs a 128-multiple feature dim for its HBM region DMAs
         # (ops/window_gather_pallas.py docstring) and pads internally, but
         # XLA does not hoist that full-store pad out of the while loop —
         # measured 3.3 ms/iteration (117 ms of a 210 ms pass) re-padding
         # 2M rows per batch on v5e before this was lifted here.
-        d_cell["d"] = store.shape[1]
         if store.shape[1] % 128:
             store = jnp.pad(
                 store, ((0, 0), (0, -store.shape[1] % 128)))
@@ -420,7 +433,8 @@ def make_device_map_pass_chunked(model, seg_len: int, seg_shift: int,
         # j*skip (window j*skip*spb of the sequence).
         skip = jnp.int32(chunk_skip)
         nseg = sel_nsegs.astype(jnp.int32)
-        cps = -(-(-(-nseg // spb)) // skip)
+        chunks = -(-nseg // spb)  # ceil(nseg / spb)
+        cps = -(-chunks // skip)  # ceil(chunks / skip)
         cumc = jnp.cumsum(cps)
         n_chunks_real = cumc[-1]
         q = jnp.arange(rows // spb, dtype=jnp.int32)
@@ -489,23 +503,15 @@ def _make_map_scan(model, seg_len: int, batch_size: int, n_batches: int,
                    num_rows: int, r_ratio: float, mesh, shard_store: bool,
                    shard_table: bool):
     """Array-plan batches: slice (seq_idx_all, starts_all), validity from
-    ``n_real``, XLA-take gather."""
-    gather = _make_gather(seg_len, mesh, shard_store)
+    ``n_real`` — the shared ``_make_batch_views`` prologue without the
+    nsegs lookup."""
+    views = _make_batch_views(seg_len, batch_size, mesh, shard_store)
     B = batch_size
-    data_sh = (NamedSharding(mesh, P("data")) if mesh is not None else None)
 
     def batch_fn(store, plan, b_i):
         seq_idx_all, starts_all, n_real = plan
-        off = b_i * B
-        seq_idx = jax.lax.dynamic_slice_in_dim(seq_idx_all, off, B)
-        starts = jax.lax.dynamic_slice_in_dim(starts_all, off, B)
-        valid = ((off + jnp.arange(B, dtype=jnp.int32)) < n_real).astype(
-            jnp.float32)
-        if data_sh is not None:
-            seq_idx = jax.lax.with_sharding_constraint(seq_idx, data_sh)
-            starts = jax.lax.with_sharding_constraint(starts, data_sh)
-            valid = jax.lax.with_sharding_constraint(valid, data_sh)
-        feats = gather(store, starts)
+        feats, seq_idx, _, valid = views(
+            store, seq_idx_all, starts_all, None, b_i * B, n_real)
         return feats, seq_idx, valid
 
     return _map_scan_core(model, n_batches, num_rows, r_ratio, mesh,

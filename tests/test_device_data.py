@@ -51,6 +51,17 @@ class TestEpochPlan:
         assert (plan.seq_idx[plan.n_real:] == 0).all()
         assert (plan.abs_starts[plan.n_real:] == 0).all()
 
+    def test_pad_rows_must_cover_batch_rounding(self, rng):
+        """pad_rows below the batch-rounded row count must raise: shorter
+        index arrays make the device step's dynamic_slice clamp its start,
+        silently training some segments twice and skipping others."""
+        ds = SegmentDataset(make_store(rng), seg_len=20, seg_shift=8)
+        order = np.arange(11)
+        with pytest.raises(ValueError, match="batch-rounded"):
+            build_epoch_plan(ds, order, batch_size=8, pad_rows=12)
+        plan = build_epoch_plan(ds, order, batch_size=8, pad_rows=16)
+        assert len(plan.seq_idx) == 16 and plan.n_batches == 2
+
     def test_abs_starts_index_the_pack(self, rng):
         store = make_store(rng)
         ds = SegmentDataset(store, seg_len=20, seg_shift=8)
@@ -69,7 +80,11 @@ class TestPlacementResolution:
         store = make_store(rng)
         assert resolve_data_placement("auto", store, max_bytes=1 << 30)
         assert not resolve_data_placement("auto", store, max_bytes=16)
-        assert resolve_data_placement("device", store, max_bytes=16)
+        assert resolve_data_placement("device", store, max_bytes=1 << 30)
+        # forcing device over the budget is a clean configuration error,
+        # not a later opaque device-OOM inside jax.device_put
+        with pytest.raises(ValueError, match="device-store budget"):
+            resolve_data_placement("device", store, max_bytes=16)
         assert not resolve_data_placement("host", store)
 
     def test_legacy_forces_host(self, rng):
@@ -576,6 +591,22 @@ class TestDeviceMapPass:
                 params, jnp.asarray(x, jnp.float32)))
             want[k] = z2_mu.sum(0) / (len(wins) + ratio)
         np.testing.assert_allclose(table, want, rtol=1e-5, atol=1e-6)
+
+    def test_chunked_pass_rejects_oversized_region(self, rng):
+        """A chunk region larger than the staged store's tail slack must
+        be a clean factory error — the overhanging region DMA would read
+        out of bounds on real TPU with no error."""
+        from pytorch_scalablefhvae_tpu.models import SimpleFHVAE
+        from pytorch_scalablefhvae_tpu.train.device_step import (
+            make_device_map_pass_chunked,
+        )
+
+        model = SimpleFHVAE(input_size=20 * 8, num_seqs=5,
+                            z1_hus=(16, 16), z2_hus=(16, 16), x_hus=(16, 16),
+                            z1_dim=4, z2_dim=4)
+        with pytest.raises(ValueError, match="tail slack"):
+            make_device_map_pass_chunked(
+                model, 20, 20, 16, 1, 5, 0.25, spb=16)  # 15*20+20 = 320
 
     def test_host_chunk_skip_matches_device(self, rng):
         """The HOST MAP-init subsample (chunk_skip_indices feeding
