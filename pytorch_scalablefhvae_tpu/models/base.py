@@ -147,13 +147,21 @@ def init_mu2_table(
     return init_std * jax.random.normal(key, (num_seqs, z2_dim), jnp.float32)
 
 
+# the exact key set of the metrics dict loss_from_outputs returns — the
+# mesh-compiled steps (parallel/sharded_step.py) build their out_shardings
+# pytree from this, so adding/renaming a metric cannot silently break only
+# the mesh path with an out_shardings structure mismatch
+METRIC_KEYS = ("loss", "lower_bound", "log_qy", "log_px_z",
+               "neg_kld_z1", "neg_kld_z2", "log_pmu2")
+
+
 def loss_from_outputs(
     out: FHVAEOutputs, weight: jnp.ndarray, alpha: float
 ) -> tuple[jnp.ndarray, dict]:
     """Training loss ``-mean(lower_bound + alpha * log_qy)`` over real rows.
 
     (reference ``loss_function``, train_model.py:243-251, with log_qy entering
-    with its correct sign and padded rows masked out.)
+    with its correct sign and padded rows masked out; keys: ``METRIC_KEYS``.)
     """
     denom = jnp.maximum(jnp.sum(weight), 1.0)
 

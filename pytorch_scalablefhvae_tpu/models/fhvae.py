@@ -303,6 +303,20 @@ class FHVAE:
         return None if self.lstm_mm_dtype == "float32" else jnp.dtype(
             self.lstm_mm_dtype)
 
+    @property
+    def _lstm_pallas_eff(self) -> str:
+        """``lstm_pallas`` as the kernel gates should see it: "auto"
+        resolves to the scan path when the model is mesh-compiled — an
+        unwrapped ``pallas_call`` has no GSPMD partitioning rule, so inside
+        a pjit with batch arrays sharded over "data" it would fail to
+        partition (or silently replicate, all-gathering the batch onto
+        every device). The scan/einsum path partitions cleanly; "always"
+        remains an explicit user override (single-device programs under a
+        mesh, tests)."""
+        if self.lstm_pallas == "auto" and self.shard_mesh is not None:
+            return "never"
+        return self.lstm_pallas
+
     def init(self, key: jax.Array) -> dict:
         ks = jax.random.split(key, 7)
         return {
@@ -320,13 +334,13 @@ class FHVAE:
         k2, k1 = jax.random.split(key)
 
         _, h2 = run_lstm(params["z2_lstm"], x, cdt, self.scan_unroll,
-                         self.lstm_pallas, self._mm)
+                         self._lstm_pallas_eff, self._mm)
         z2_mu, z2_logvar, z2 = layers.gauss_head(params["z2_gauss"], h2, k2, cdt, sample)
 
         T = x.shape[1]
         z2_tiled = jnp.broadcast_to(z2[:, None, :], (x.shape[0], T, z2.shape[-1]))
         _, h1 = run_lstm(params["z1_lstm"], jnp.concatenate([x, z2_tiled], axis=-1),
-                         cdt, self.scan_unroll, self.lstm_pallas, self._mm)
+                         cdt, self.scan_unroll, self._lstm_pallas_eff, self._mm)
         z1_mu, z1_logvar, z1 = layers.gauss_head(params["z1_gauss"], h1, k1, cdt, sample)
         return {
             "z1_mu": z1_mu, "z1_logvar": z1_logvar, "z1": z1,
@@ -351,7 +365,7 @@ class FHVAE:
         z = jnp.concatenate([z1, z2], axis=-1)
         z_seq = jnp.broadcast_to(z[:, None, :], (B, num_frames, z.shape[-1]))
         tops, _ = run_lstm(params["dec_lstm"], z_seq, cdt, self.scan_unroll,
-                           self.lstm_pallas, self._mm)
+                           self._lstm_pallas_eff, self._mm)
         flat = tops.reshape(B * num_frames, -1)
         if key is None:
             key = jax.random.PRNGKey(0)
@@ -372,11 +386,12 @@ class FHVAE:
         x = x.astype(jnp.float32)
         cdt = self._cdt
         B, T, D = x.shape
+        lp = self._lstm_pallas_eff
         use_kernel = (
-            self.lstm_pallas == "always"
-            or (self.lstm_pallas == "auto" and jax.default_backend() == "tpu")
+            lp == "always"
+            or (lp == "auto" and jax.default_backend() == "tpu")
         ) and _two_layer_ok(params["z2_lstm"], T)
-        if use_kernel and self.lstm_pallas == "auto":
+        if use_kernel and lp == "auto":
             from pytorch_scalablefhvae_tpu.ops.lstm_pallas import (
                 LSTM2_VMEM_BUDGET,
                 lstm2_vmem_bytes,
@@ -402,9 +417,9 @@ class FHVAE:
         """Whether the whole-model time-major fused path applies: Pallas
         recurrence selected and all three stacks kernel-eligible within the
         VMEM budget."""
-        if not (self.lstm_pallas == "always" or (
-                self.lstm_pallas == "auto"
-                and jax.default_backend() == "tpu")):
+        lp = self._lstm_pallas_eff
+        if not (lp == "always" or (
+                lp == "auto" and jax.default_backend() == "tpu")):
             return False
         from pytorch_scalablefhvae_tpu.ops.lstm_pallas import (
             LSTM2_VMEM_BUDGET,
@@ -420,7 +435,7 @@ class FHVAE:
             # feature blocks; the decoder's per-step input is one constant
             # [B, 4H] gate block (no x stream), so d_in=0 there
             d_in = self.feat_dim if name != "dec_lstm" else 0
-            if (self.lstm_pallas == "auto"
+            if (lp == "auto"
                     and lstm2_vmem_bytes(hid, B, d_in=d_in)
                     > LSTM2_VMEM_BUDGET):
                 return False
@@ -497,8 +512,14 @@ class FHVAE:
         if mu2_table is None:
             mu2_table = params["mu2_table"]
             num_real, mesh = self.num_seqs, self.shard_mesh
+            up = self.use_pallas
         else:
             num_real, mesh = mu2_table.shape[0], None
+            # override tables (per-split MAP estimates) are replicated and
+            # unsharded; when the model is mesh-compiled, the unwrapped
+            # Pallas kernel has no GSPMD partitioning rule, so the
+            # partitionable jnp path must score them
+            up = "never" if self.shard_mesh is not None else self.use_pallas
         mu2 = mu2_table[seq_idx]
         lower_bound, log_px_z, neg_kld_z1, neg_kld_z2, log_pmu2 = assemble_elbo(
             xt, mu2, z1_mu, z1_logvar, z2_mu, z2_logvar,
@@ -506,7 +527,7 @@ class FHVAE:
             pz2_logvar=self.pz2_logvar, frame_axes=(0, 2),
         )
         log_qy = discriminative_log_qy(
-            z2_mu, mu2_table, seq_idx, self.pz2_logvar, self.use_pallas,
+            z2_mu, mu2_table, seq_idx, self.pz2_logvar, up,
             num_real=num_real, mesh=mesh,
         )
         return FHVAEOutputs(
@@ -548,8 +569,14 @@ class FHVAE:
         if mu2_table is None:
             mu2_table = params["mu2_table"]
             num_real, mesh = self.num_seqs, self.shard_mesh
+            up = self.use_pallas
         else:
             num_real, mesh = mu2_table.shape[0], None
+            # override tables (per-split MAP estimates) are replicated and
+            # unsharded; when the model is mesh-compiled, the unwrapped
+            # Pallas kernel has no GSPMD partitioning rule, so the
+            # partitionable jnp path must score them
+            up = "never" if self.shard_mesh is not None else self.use_pallas
         mu2 = mu2_table[seq_idx]
         lower_bound, log_px_z, neg_kld_z1, neg_kld_z2, log_pmu2 = assemble_elbo(
             x, mu2,
@@ -558,7 +585,7 @@ class FHVAE:
             pz2_logvar=self.pz2_logvar,
         )
         log_qy = discriminative_log_qy(
-            enc["z2_mu"], mu2_table, seq_idx, self.pz2_logvar, self.use_pallas,
+            enc["z2_mu"], mu2_table, seq_idx, self.pz2_logvar, up,
             num_real=num_real, mesh=mesh,
         )
         return FHVAEOutputs(

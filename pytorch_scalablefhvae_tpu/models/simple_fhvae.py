@@ -185,8 +185,14 @@ class SimpleFHVAE:
         if mu2_table is None:
             mu2_table = params["mu2_table"]
             num_real, mesh = self.num_seqs, self.shard_mesh
+            up = self.use_pallas
         else:
             num_real, mesh = mu2_table.shape[0], None
+            # override tables (per-split MAP estimates) are replicated and
+            # unsharded; when the model is mesh-compiled, the unwrapped
+            # Pallas kernel has no GSPMD partitioning rule, so the
+            # partitionable jnp path must score them
+            up = "never" if self.shard_mesh is not None else self.use_pallas
         mu2 = mu2_table[seq_idx]
 
         lower_bound, log_px_z, neg_kld_z1, neg_kld_z2, log_pmu2 = assemble_elbo(
@@ -196,7 +202,7 @@ class SimpleFHVAE:
             pz2_logvar=self.pz2_logvar,
         )
         log_qy = discriminative_log_qy(
-            enc["z2_mu"], mu2_table, seq_idx, self.pz2_logvar, self.use_pallas,
+            enc["z2_mu"], mu2_table, seq_idx, self.pz2_logvar, up,
             num_real=num_real, mesh=mesh,
         )
 

@@ -42,11 +42,16 @@ def padded_num_seqs(num_seqs: int, model_axis_size: int) -> int:
 def make_mesh(
     mesh_shape: tuple[int, int] | None = None, devices=None
 ) -> Mesh:
-    """Create a (data, model) mesh. Default: all devices data-parallel."""
+    """Create a (data, model) mesh.
+
+    Only ``None`` means "default to all devices data-parallel": an explicit
+    ``(1, 1)`` on a multi-device host is a non-covering shape and raises
+    like any other, instead of silently becoming an (n, 1) mesh.
+    """
     if devices is None:
         devices = jax.devices()
     n = len(devices)
-    if mesh_shape is None or tuple(mesh_shape) == (1, 1):
+    if mesh_shape is None:
         mesh_shape = (n, 1)
     d, m = mesh_shape
     if d * m != n:
@@ -130,20 +135,23 @@ def shard_stacked_batch(mesh: Mesh, feats_k, seq_idx_k, nsegs_k, weight_k):
     )
 
 
-def _param_spec(path_str: str) -> P:
-    if "mu2_table" in path_str:
-        return P(MODEL_AXIS, None)  # row-sharded embedding
-    return P()  # replicated
+def _assign_sharding(mesh: Mesh, path, leaf) -> NamedSharding:
+    """ONE sharding rule for params and full TrainStates: leaves whose
+    pytree path contains 'mu2_table' AND are rank-2 (the table itself, its
+    Adam moments) row-shard over "model"; everything else replicates. The
+    ndim guard keeps any future non-2D leaf under a table-named path (a
+    per-row scale, a count) from receiving a rank-2 spec and failing
+    in_shardings with a rank error."""
+    path_str = "/".join(str(p) for p in path)
+    if "mu2_table" in path_str and np.ndim(leaf) == 2:
+        return NamedSharding(mesh, P(MODEL_AXIS, None))
+    return NamedSharding(mesh, P())
 
 
 def params_shardings(mesh: Mesh, params) -> object:
     """NamedSharding pytree for a params pytree."""
-
-    def assign(path, leaf):
-        path_str = "/".join(str(p) for p in path)
-        return NamedSharding(mesh, _param_spec(path_str))
-
-    return jax.tree_util.tree_map_with_path(assign, params)
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: _assign_sharding(mesh, path, leaf), params)
 
 
 def state_shardings(mesh: Mesh, state) -> object:
@@ -155,14 +163,8 @@ def state_shardings(mesh: Mesh, state) -> object:
     in their path (shape matching would also capture dense heads that happen
     to share the table's shape).
     """
-
-    def assign(path, leaf):
-        path_str = "/".join(str(p) for p in path)
-        if "mu2_table" in path_str and np.ndim(leaf) == 2:
-            return NamedSharding(mesh, P(MODEL_AXIS, None))
-        return NamedSharding(mesh, P())
-
-    return jax.tree_util.tree_map_with_path(assign, state)
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: _assign_sharding(mesh, path, leaf), state)
 
 
 def shard_state(mesh: Mesh, state):

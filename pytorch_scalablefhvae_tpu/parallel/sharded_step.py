@@ -11,7 +11,7 @@ Builds the same train/eval steps as ``train/step.py`` but compiled against a
   distributed softmax of SURVEY.md §2.3 expressed through GSPMD rather than
   hand-written collectives.
 
-Requirement: the global batch size must divide the "data" axis size, and the
+Requirement: the "data" axis size must divide the global batch size, and the
 mu2 row count must be padded to a multiple of the "model" axis size
 (``parallel.mesh.padded_num_seqs``; the training loop sets the model's
 ``num_seqs_padded`` accordingly).
@@ -27,61 +27,47 @@ serializing onto one device.
 from __future__ import annotations
 
 import jax
-import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from pytorch_scalablefhvae_tpu.models.base import loss_from_outputs
+from pytorch_scalablefhvae_tpu.models.base import METRIC_KEYS
 from pytorch_scalablefhvae_tpu.parallel.mesh import (
     batch_sharding,
     params_shardings,
     stacked_batch_sharding,
     state_shardings,
 )
-from pytorch_scalablefhvae_tpu.train.step import TrainState
+from pytorch_scalablefhvae_tpu.train.step import (
+    multi_train_fn,
+    train_step_fn,
+)
+
+
+def _metric_shardings(mesh):
+    metric_sh = NamedSharding(mesh, P())
+    return {k: metric_sh for k in METRIC_KEYS}
 
 
 def make_sharded_train_step(model, optimizer, alpha: float, mesh: Mesh, donate: bool = True):
-    """pjit the train step with explicit in/out shardings over ``mesh``."""
+    """pjit the train step with explicit in/out shardings over ``mesh``.
 
-    def step_fn(state: TrainState, feats, seq_idx, nsegs, weight):
-        step_key = jax.random.fold_in(state.rng, state.step)
-
-        def loss_fn(params):
-            out = model.apply(params, feats, seq_idx, nsegs, step_key, sample=True)
-            return loss_from_outputs(out, weight, alpha)
-
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        return (
-            TrainState(new_params, new_opt_state, state.step + 1, state.rng),
-            metrics,
-        )
-
-    def shardings_for(state):
-        st_sh = state_shardings(mesh, state)
-        b_sh = batch_sharding(mesh)
-        in_sh = (st_sh, b_sh["feats"], b_sh["seq_idx"], b_sh["nsegs"], b_sh["weight"])
-        metric_sh = NamedSharding(mesh, P())
-        return in_sh, st_sh, metric_sh
-
+    The body is ``train.step.train_step_fn`` — literally the same function
+    the single-device wrapper jits, so the two cannot drift.
+    """
+    step_fn = train_step_fn(model, optimizer, alpha)
     compiled = {}
 
     def step(state, feats, seq_idx, nsegs, weight):
-        key = True  # single signature; compile once
-        if key not in compiled:
-            in_sh, st_sh, metric_sh = shardings_for(state)
-            compiled[key] = jax.jit(
+        if not compiled:
+            st_sh = state_shardings(mesh, state)
+            b_sh = batch_sharding(mesh)
+            compiled["fn"] = jax.jit(
                 step_fn,
-                in_shardings=in_sh,
-                out_shardings=(st_sh, {
-                    k: metric_sh
-                    for k in ("loss", "lower_bound", "log_qy", "log_px_z",
-                              "neg_kld_z1", "neg_kld_z2", "log_pmu2")
-                }),
+                in_shardings=(st_sh, b_sh["feats"], b_sh["seq_idx"],
+                              b_sh["nsegs"], b_sh["weight"]),
+                out_shardings=(st_sh, _metric_shardings(mesh)),
                 donate_argnums=(0,) if donate else (),
             )
-        return compiled[key](state, feats, seq_idx, nsegs, weight)
+        return compiled["fn"](state, feats, seq_idx, nsegs, weight)
 
     return step
 
@@ -153,41 +139,18 @@ def make_sharded_multi_train_step(model, optimizer, alpha: float, mesh: Mesh,
     over "model" through every substep. Returns per-substep metrics ``[K]``.
     """
 
-    def multi_fn(state: TrainState, feats_k, seq_idx_k, nsegs_k, weight_k):
-        def body(state, batch):
-            feats, seq_idx, nsegs, weight = batch
-            step_key = jax.random.fold_in(state.rng, state.step)
-
-            def loss_fn(params):
-                out = model.apply(params, feats, seq_idx, nsegs, step_key, sample=True)
-                return loss_from_outputs(out, weight, alpha)
-
-            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-            updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
-            new_params = optax.apply_updates(state.params, updates)
-            return (
-                TrainState(new_params, new_opt_state, state.step + 1, state.rng),
-                metrics,
-            )
-
-        return jax.lax.scan(body, state, (feats_k, seq_idx_k, nsegs_k, weight_k))
-
+    multi_fn = multi_train_fn(model, optimizer, alpha)
     compiled = {}
 
     def step(state, feats_k, seq_idx_k, nsegs_k, weight_k):
         if not compiled:
             st_sh = state_shardings(mesh, state)
             b_sh = stacked_batch_sharding(mesh)
-            metric_sh = NamedSharding(mesh, P())
             compiled["fn"] = jax.jit(
                 multi_fn,
                 in_shardings=(st_sh, b_sh["feats"], b_sh["seq_idx"],
                               b_sh["nsegs"], b_sh["weight"]),
-                out_shardings=(st_sh, {
-                    k: metric_sh
-                    for k in ("loss", "lower_bound", "log_qy", "log_px_z",
-                              "neg_kld_z1", "neg_kld_z2", "log_pmu2")
-                }),
+                out_shardings=(st_sh, _metric_shardings(mesh)),
                 donate_argnums=(0,) if donate else (),
             )
         return compiled["fn"](state, feats_k, seq_idx_k, nsegs_k, weight_k)

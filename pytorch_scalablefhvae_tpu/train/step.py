@@ -52,14 +52,13 @@ def make_optimizer(
     return optax.chain(optax.clip_by_global_norm(grad_clip_norm), adam)
 
 
-def make_train_step(model, optimizer, alpha: float, donate: bool = True):
-    """Build the jitted train step.
+def train_step_fn(model, optimizer, alpha: float):
+    """Un-jitted train step body: forward, loss, backward, Adam update.
 
-    Step semantics: loss = -mean(lower_bound + alpha * log_qy) over real
-    (non-padded) rows; one Adam update over all params including the mu2
-    table. The per-step PRNG key is derived from the state key and the step
-    counter so runs are deterministic per seed regardless of batch order
-    history.
+    The ONE definition — ``make_train_step`` below and the mesh-compiled
+    wrapper (``parallel/sharded_step.make_sharded_train_step``) both jit
+    exactly this, so the two cannot drift (same pattern as
+    :func:`eval_step_fn`).
     """
 
     def step_fn(state: TrainState, feats, seq_idx, nsegs, weight):
@@ -80,8 +79,36 @@ def make_train_step(model, optimizer, alpha: float, donate: bool = True):
         )
         return new_state, metrics
 
+    return step_fn
+
+
+def multi_train_fn(model, optimizer, alpha: float):
+    """Un-jitted K-step bundle body (``lax.scan`` over stacked batches);
+    shared by the single-device and mesh-compiled wrappers like
+    :func:`train_step_fn`."""
+    step_fn = train_step_fn(model, optimizer, alpha)
+
+    def multi_fn(state: TrainState, feats_k, seq_idx_k, nsegs_k, weight_k):
+        def body(state, batch):
+            return step_fn(state, *batch)
+
+        return jax.lax.scan(body, state, (feats_k, seq_idx_k, nsegs_k, weight_k))
+
+    return multi_fn
+
+
+def make_train_step(model, optimizer, alpha: float, donate: bool = True):
+    """Build the jitted train step.
+
+    Step semantics: loss = -mean(lower_bound + alpha * log_qy) over real
+    (non-padded) rows; one Adam update over all params including the mu2
+    table. The per-step PRNG key is derived from the state key and the step
+    counter so runs are deterministic per seed regardless of batch order
+    history.
+    """
     donate_argnums = (0,) if donate else ()
-    return jax.jit(step_fn, donate_argnums=donate_argnums)
+    return jax.jit(train_step_fn(model, optimizer, alpha),
+                   donate_argnums=donate_argnums)
 
 
 def make_multi_train_step(model, optimizer, alpha: float, donate: bool = True):
@@ -92,28 +119,9 @@ def make_multi_train_step(model, optimizer, alpha: float, donate: bool = True):
     per-dispatch host/runtime overhead dominates wall-clock, and bundling
     amortizes it K-fold. Returns per-substep metrics stacked ``[K]``.
     """
-
-    def multi_fn(state: TrainState, feats_k, seq_idx_k, nsegs_k, weight_k):
-        def body(state, batch):
-            feats, seq_idx, nsegs, weight = batch
-            step_key = jax.random.fold_in(state.rng, state.step)
-
-            def loss_fn(params):
-                out = model.apply(params, feats, seq_idx, nsegs, step_key, sample=True)
-                return loss_from_outputs(out, weight, alpha)
-
-            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-            updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
-            new_params = optax.apply_updates(state.params, updates)
-            return (
-                TrainState(new_params, new_opt_state, state.step + 1, state.rng),
-                metrics,
-            )
-
-        return jax.lax.scan(body, state, (feats_k, seq_idx_k, nsegs_k, weight_k))
-
     donate_argnums = (0,) if donate else ()
-    return jax.jit(multi_fn, donate_argnums=donate_argnums)
+    return jax.jit(multi_train_fn(model, optimizer, alpha),
+                   donate_argnums=donate_argnums)
 
 
 def eval_step_fn(model, alpha: float):
@@ -137,12 +145,15 @@ def eval_step_fn(model, alpha: float):
 
 def encode_step_fn(model):
     """Un-jitted encoder-only body -> z2 posterior means; shared by the
-    single-device and mesh-compiled wrappers like :func:`eval_step_fn`."""
+    single-device and mesh-compiled wrappers like :func:`eval_step_fn`.
+
+    Runs ``model.encode_z2`` — the z2 trunk alone is ~3x less compute than
+    the full encoder (no z1 stack, no sampling heads) and both models
+    guarantee identical z2_mu numerics; the device-resident MAP passes
+    already use it (train/device_step.py)."""
 
     def step_fn(params, feats):
-        enc = model.encode(params, feats.astype(jnp.float32), jax.random.PRNGKey(0),
-                           sample=False)
-        return enc["z2_mu"]
+        return model.encode_z2(params, feats.astype(jnp.float32))
 
     return step_fn
 
