@@ -170,8 +170,14 @@ def _batched_features_jit(
     # extended signal, not a gather — a [B, F, n_fft] frame gather moves
     # n_fft/hop x more elements through the (slow, general) gather path and
     # measured ~30x slower on v5e for the whole extraction.
-    n_frames_max = 1 + T // hop
-    n_frames = 1 + lengths // hop
+    # librosa centered frame count: 1 + (L + 2*(n_fft//2) - n_fft) // hop.
+    # For even n_fft this is 1 + L // hop; for odd n_fft the pad is one
+    # sample short of n_fft, giving 1 + (L - 1) // hop — the host
+    # (dsp_numpy reflect) path computes exactly this, and the two
+    # extractors must emit identical len.scp counts
+    extra = 2 * pad - n_fft  # 0 (even n_fft) or -1 (odd)
+    n_frames_max = 1 + (T + extra) // hop
+    n_frames = 1 + (lengths + extra) // hop
 
     Tp = T + 2 * pad
     i = jnp.arange(Tp)[None, :] - pad  # signal coords

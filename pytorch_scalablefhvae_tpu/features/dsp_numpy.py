@@ -31,7 +31,8 @@ def periodic_window(name: str, length: int) -> np.ndarray:
     n = np.arange(length, dtype=np.float64)
     if name == "hamming":
         return 0.54 - 0.46 * np.cos(2.0 * np.pi * n / length)
-    if name == "hann":
+    if name in ("hann", "hanning"):  # one config field feeds both the
+        # numpy/jax and the Kaldi-semantics pipelines, so both aliases work
         return 0.5 - 0.5 * np.cos(2.0 * np.pi * n / length)
     if name in ("rect", "rectangular", "boxcar", "none"):
         return np.ones(length)

@@ -147,20 +147,18 @@ def prepare_numpy(
                     lf.write(f"{seq} {n_frames}\n")
                     count += 1
     else:
+        # sequential path runs the SAME worker body per entry (one
+        # decode/featurize/save definition; the first utterance locks the
+        # split's sample rate exactly as in the pool branch)
         with open(feat_path, "w") as ff, open(len_path, "w") as lf:
             for seq, path in entries:
-                y, sr = read_audio(path, sample_rate)
+                seq, np_path, n_frames, sr = _numpy_worker(
+                    (seq, path, set_path / f"{seq}.npy", ftype, sample_rate,
+                     locked_sr, win_t, hop_t, n_mels, feat_kwargs))
                 if locked_sr is None:
                     locked_sr = sr
-                elif locked_sr != sr:
-                    raise ValueError(f"Inconsistent sample rate ({locked_sr} != {sr}).")
-                feat = generate_feat(ftype, y, locked_sr, win_t, hop_t, n_mels,
-                                     **feat_kwargs)
-                np_path = set_path / f"{seq}.npy"
-                with open(np_path, "wb") as nf:
-                    np.save(nf, feat)
                 ff.write(f"{seq} {np_path}\n")
-                lf.write(f"{seq} {len(feat)}\n")
+                lf.write(f"{seq} {n_frames}\n")
                 count += 1
     if verbose:
         print(f"{set_name}: {count} utterances in {time.time() - start:.2f}s (numpy/{ftype})")
@@ -252,10 +250,18 @@ def prepare_jax(
 
 
 def _native_fbank():
-    """Return the C++ extractor entry point if the shared lib is built."""
-    try:
-        from pytorch_scalablefhvae_tpu.native.binding import native_fbank
+    """Return the C++ extractor entry point if the shared lib builds+loads.
 
+    ``load_native()`` is invoked HERE (the build runs lazily at first load,
+    not at import), so a failed g++ compile or a missing toolchain falls
+    back to the Python Kaldi mirror instead of crashing prepare_kaldi."""
+    try:
+        from pytorch_scalablefhvae_tpu.native.binding import (
+            load_native,
+            native_fbank,
+        )
+
+        load_native()
         return native_fbank
     except Exception:
         return None

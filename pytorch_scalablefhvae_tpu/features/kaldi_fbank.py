@@ -47,7 +47,8 @@ def symmetric_window(name: str, length: int) -> np.ndarray:
     a = 2.0 * np.pi / (length - 1)
     if name == "hamming":
         return 0.54 - 0.46 * np.cos(a * n)
-    if name == "hanning":
+    if name in ("hanning", "hann"):  # accept both aliases: one config
+        # field feeds both the Kaldi and the numpy/jax pipelines
         return 0.5 - 0.5 * np.cos(a * n)
     if name == "povey":
         return (0.5 - 0.5 * np.cos(a * n)) ** 0.85

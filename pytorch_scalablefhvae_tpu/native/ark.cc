@@ -19,24 +19,29 @@ struct Header {
   int32_t rows, cols;
 };
 
-// Reads "key \0B<FM|DM> \4rows\4cols"; returns false on EOF.
-bool read_record_header(FILE* f, std::string* key, Header* h) {
+// Reads "key \0B<FM|DM> \4rows\4cols". Returns 1 on success, 0 on clean
+// EOF (stream ends exactly at a key start), -1 on a malformed header —
+// the caller MUST distinguish: treating corruption as EOF would silently
+// truncate the archive to its valid prefix with a success return.
+int read_record_header(FILE* f, std::string* key, Header* h) {
   key->clear();
   int c;
   while ((c = std::fgetc(f)) != EOF && c != ' ') key->push_back(static_cast<char>(c));
-  if (c == EOF) return false;
+  if (c == EOF) return key->empty() ? 0 : -1;  // mid-key EOF is corruption
   char marker[2];
-  if (std::fread(marker, 1, 2, f) != 2 || marker[0] != '\0' || marker[1] != 'B') return false;
+  if (std::fread(marker, 1, 2, f) != 2 || marker[0] != '\0' || marker[1] != 'B') return -1;
   char token[3];
-  if (std::fread(token, 1, 3, f) != 3) return false;
-  if (token[2] != ' ' || (token[0] != 'F' && token[0] != 'D') || token[1] != 'M') return false;
+  if (std::fread(token, 1, 3, f) != 3) return -1;
+  // non-FM/DM tokens (e.g. compressed 'CM') are unsupported, not EOF
+  if (token[2] != ' ' || (token[0] != 'F' && token[0] != 'D') || token[1] != 'M') return -1;
   h->dtype = token[0];
   unsigned char size_marker;
-  if (std::fread(&size_marker, 1, 1, f) != 1 || size_marker != 4) return false;
-  if (std::fread(&h->rows, 4, 1, f) != 1) return false;
-  if (std::fread(&size_marker, 1, 1, f) != 1 || size_marker != 4) return false;
-  if (std::fread(&h->cols, 4, 1, f) != 1) return false;
-  return true;
+  if (std::fread(&size_marker, 1, 1, f) != 1 || size_marker != 4) return -1;
+  if (std::fread(&h->rows, 4, 1, f) != 1) return -1;
+  if (std::fread(&size_marker, 1, 1, f) != 1 || size_marker != 4) return -1;
+  if (std::fread(&h->cols, 4, 1, f) != 1) return -1;
+  if (h->rows < 0 || h->cols <= 0) return -1;
+  return 1;
 }
 
 }  // namespace
@@ -44,7 +49,8 @@ bool read_record_header(FILE* f, std::string* key, Header* h) {
 extern "C" {
 
 // Pass 1: count records / total rows / (uniform) cols. Returns 0 on success,
-// negative on malformed input or inconsistent widths.
+// negative on malformed input (-4: corrupt/unsupported record header) or
+// inconsistent widths.
 int ark_scan(const char* path, int64_t* n_mats, int64_t* total_rows, int32_t* cols) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return -1;
@@ -53,7 +59,8 @@ int ark_scan(const char* path, int64_t* n_mats, int64_t* total_rows, int32_t* co
   *cols = -1;
   std::string key;
   Header h;
-  while (read_record_header(f, &key, &h)) {
+  int rc;
+  while ((rc = read_record_header(f, &key, &h)) == 1) {
     if (*cols == -1) *cols = h.cols;
     if (h.cols != *cols) { std::fclose(f); return -2; }
     *n_mats += 1;
@@ -62,12 +69,13 @@ int ark_scan(const char* path, int64_t* n_mats, int64_t* total_rows, int32_t* co
     if (std::fseek(f, bytes, SEEK_CUR) != 0) { std::fclose(f); return -3; }
   }
   std::fclose(f);
-  return 0;
+  return rc < 0 ? -4 : 0;
 }
 
 // Pass 2: copy every record into `data` (row-major float32, concatenated),
 // fill `row_offsets` (n_mats + 1 entries) and newline-joined keys.
-// Returns number of records read, or negative on error.
+// Returns number of records read, or negative on error (-4: corrupt or
+// unsupported record header mid-archive).
 int64_t ark_read_packed(const char* path, float* data, int64_t* row_offsets,
                         char* keys_out, int64_t keys_cap) {
   FILE* f = std::fopen(path, "rb");
@@ -77,7 +85,8 @@ int64_t ark_read_packed(const char* path, float* data, int64_t* row_offsets,
   int64_t n = 0, row = 0, keys_len = 0;
   std::vector<double> dbuf;
   row_offsets[0] = 0;
-  while (read_record_header(f, &key, &h)) {
+  int rc;
+  while ((rc = read_record_header(f, &key, &h)) == 1) {
     int64_t count = static_cast<int64_t>(h.rows) * h.cols;
     float* dst = data + row * h.cols;
     if (h.dtype == 'F') {
@@ -99,7 +108,7 @@ int64_t ark_read_packed(const char* path, float* data, int64_t* row_offsets,
   }
   if (keys_len < keys_cap) keys_out[keys_len] = '\0';
   std::fclose(f);
-  return n;
+  return rc < 0 ? -4 : n;
 }
 
 }  // extern "C"

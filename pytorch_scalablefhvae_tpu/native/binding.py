@@ -18,16 +18,31 @@ _DIR = Path(__file__).resolve().parent
 _SOURCES = [_DIR / "fbank.cc", _DIR / "ark.cc"]
 _LIB_PATH = _DIR / "libsfhvae_native.so"
 
-_WINDOW_CODES = {"hamming": 0, "povey": 1, "hanning": 2, "rectangular": 3, "blackman": 4}
+_WINDOW_CODES = {"hamming": 0, "povey": 1, "hanning": 2, "hann": 2,
+                 "rectangular": 3, "blackman": 4}
 
 _lib = None
 
 
 def build_native(rebuild: bool = False, sanitize: bool = False) -> Path:
     """Compile the shared library; ``sanitize=True`` builds an ASan/UBSan
-    variant (used by the sanitizer test tier, SURVEY.md §5)."""
+    variant (used by the sanitizer test tier, SURVEY.md §5).
+
+    The compile targets a per-process temp name and lands with an atomic
+    ``os.replace``: feature-extraction pool workers can all hit a stale
+    .so simultaneously, and racing g++ writes to one output path would let
+    a worker ``CDLL`` a half-written file.
+    """
+    import os
+
     sources = [s for s in _SOURCES if s.exists()]
     out = _DIR / ("libsfhvae_native_asan.so" if sanitize else _LIB_PATH.name)
+    if not sources:
+        # source-less install (prebuilt .so shipped without the .cc files)
+        if out.exists():
+            return out
+        raise FileNotFoundError(
+            f"native sources missing under {_DIR} and no prebuilt {out.name}")
     if out.exists() and not rebuild:
         newest_src = max(s.stat().st_mtime for s in sources)
         if out.stat().st_mtime >= newest_src:
@@ -36,8 +51,13 @@ def build_native(rebuild: bool = False, sanitize: bool = False) -> Path:
            "-fPIC", "-std=c++17"]
     if sanitize:
         cmd += ["-fsanitize=address,undefined", "-fno-omit-frame-pointer", "-g"]
-    cmd += [*[str(s) for s in sources], "-o", str(out)]
-    subprocess.run(cmd, check=True, capture_output=True)
+    tmp = out.with_name(f".{out.name}.{os.getpid()}.tmp")
+    cmd += [*[str(s) for s in sources], "-o", str(tmp)]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, out)
+    finally:
+        tmp.unlink(missing_ok=True)
     return out
 
 
@@ -139,6 +159,10 @@ def native_read_ark_packed(path) -> tuple[list[str], np.ndarray, np.ndarray]:
         offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         keys_buf, keys_cap,
     )
+    if got < 0:
+        raise RuntimeError(
+            f"ark_read_packed({path}) failed with code {got} "
+            f"(corrupt or unsupported record header mid-archive)")
     if got != n:
         raise RuntimeError(f"ark_read_packed({path}) read {got} of {n} records")
     keys = keys_buf.value.decode().splitlines()

@@ -29,9 +29,11 @@ def _pcm_to_float(data: np.ndarray) -> np.ndarray:
     raise ValueError(f"Unsupported PCM dtype {data.dtype}")
 
 
-def read_wav(path: str | Path) -> tuple[np.ndarray, int]:
-    """Read a RIFF WAV file -> (float32 mono samples in [-1,1], sample_rate)."""
-    with wave.open(str(path), "rb") as w:
+def read_wav(path) -> tuple[np.ndarray, int]:
+    """Read a RIFF WAV file (path or file object) ->
+    (float32 mono samples in [-1,1], sample_rate)."""
+    src = str(path) if isinstance(path, (str, Path)) else path
+    with wave.open(src, "rb") as w:
         sr = w.getframerate()
         n_channels = w.getnchannels()
         sampwidth = w.getsampwidth()
@@ -86,8 +88,14 @@ def read_sphere(path: str | Path) -> tuple[np.ndarray, int]:
         sample_bytes = int(fields.get("sample_n_bytes", "2"))
         fmt = fields.get("sample_byte_format", "01")
         coding = fields.get("sample_coding", "pcm")
-        if "ulaw" in coding or sample_bytes != 2:
-            raise ValueError(f"Unsupported SPHERE coding {coding!r} in {path}")
+        # only PLAIN pcm decodes as raw samples: LDC corpora commonly ship
+        # "pcm,embedded-shorten-v2.00", whose payload is a shorten
+        # bitstream — frombuffer'ing it would yield silent garbage
+        if coding.strip().lower() != "pcm" or sample_bytes != 2:
+            raise ValueError(
+                f"Unsupported SPHERE coding {coding!r} in {path} "
+                f"(only uncompressed 16-bit 'pcm' is supported; "
+                f"shorten-compressed files need 'sph2pipe' conversion)")
         f.seek(header_size)
         raw = f.read()
     dtype = "<i2" if fmt == "01" else ">i2"
@@ -113,36 +121,25 @@ def read_flac(path: str | Path) -> tuple[np.ndarray, int]:
     decoding is out of scope; this shells out to a system decoder and raises a
     clear error when none is available.
     """
+    import io
+
     path = Path(path)
+    # both decoders emit a WAV container so the sample rate rides the
+    # header — no separate ffprobe probe (whose empty output once fell
+    # back to a silent, geometrically wrong 16 kHz assumption), and the
+    # parse/convert/downmix path is read_wav's, not a duplicate
     if shutil.which("ffmpeg"):
-        out = subprocess.run(
-            ["ffmpeg", "-v", "error", "-i", str(path), "-f", "s16le", "-ac", "1", "-"],
+        wav_bytes = subprocess.run(
+            ["ffmpeg", "-v", "error", "-i", str(path), "-f", "wav", "-"],
             capture_output=True,
             check=True,
         ).stdout
-        data = np.frombuffer(out, dtype="<i2")
-        # probe sample rate
-        sr_out = subprocess.run(
-            ["ffprobe", "-v", "error", "-select_streams", "a:0",
-             "-show_entries", "stream=sample_rate", "-of", "csv=p=0", str(path)],
-            capture_output=True, check=True,
-        ).stdout.decode().strip()
-        return _pcm_to_float(data), int(sr_out or 16000)
+        return read_wav(io.BytesIO(wav_bytes))
     if shutil.which("flac"):
         wav_bytes = subprocess.run(
             ["flac", "-sdc", str(path)], capture_output=True, check=True
         ).stdout
-        import io
-
-        with wave.open(io.BytesIO(wav_bytes), "rb") as w:
-            sr = w.getframerate()
-            nch = w.getnchannels()
-            raw = w.readframes(w.getnframes())
-        data = np.frombuffer(raw, dtype="<i2")
-        y = _pcm_to_float(data)
-        if nch > 1:
-            y = y.reshape(-1, nch).mean(axis=1)
-        return y, sr
+        return read_wav(io.BytesIO(wav_bytes))
     raise RuntimeError(
         f"No FLAC decoder available for {path}: install 'flac' or 'ffmpeg', "
         "or convert the corpus to WAV first."

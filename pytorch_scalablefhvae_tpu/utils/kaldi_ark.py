@@ -45,10 +45,16 @@ def _read_matrix(f) -> np.ndarray:
     if token not in _TOKEN_DTYPE:
         raise ValueError(f"Unsupported Kaldi matrix token {token!r}")
     dtype = _TOKEN_DTYPE[token]
-    assert f.read(1) == b"\x04"
+    # explicit reads + ValueError, never `assert f.read(...)`: python -O
+    # strips asserts INCLUDING their reads, silently corrupting the
+    # stream position
+    m1 = f.read(1)
     rows = struct.unpack("<i", f.read(4))[0]
-    assert f.read(1) == b"\x04"
+    m2 = f.read(1)
     cols = struct.unpack("<i", f.read(4))[0]
+    if m1 != b"\x04" or m2 != b"\x04":
+        raise ValueError(
+            f"Malformed Kaldi matrix header (size markers {m1!r}/{m2!r})")
     data = np.frombuffer(f.read(rows * cols * dtype.itemsize), dtype=dtype)
     return data.reshape(rows, cols)
 

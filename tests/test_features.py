@@ -266,3 +266,47 @@ class TestFeatureConfigHonored:
         plain = featurize_signals(sigs, SR)
         for k in sigs:
             np.testing.assert_array_equal(collected[k], plain[k])
+
+
+class TestOddNfftParity:
+    def test_jax_frame_count_matches_numpy_odd_nfft(self, rng):
+        """Odd n_fft (e.g. sr=22050 at 25 ms -> 551): the centered pad is
+        2*(n_fft//2) = n_fft - 1 samples, so the frame count is
+        1 + (L - 1) // hop, NOT 1 + L // hop — the jax and numpy extractors
+        must emit identical len.scp counts for every n_fft parity."""
+        from pytorch_scalablefhvae_tpu.features.dsp_jax import batched_features
+
+        sigs = [make_signal(rng, 0.3), make_signal(rng, 0.2215)]
+        T = max(len(s) for s in sigs)
+        batch = np.zeros((2, T), np.float32)
+        for i, s in enumerate(sigs):
+            batch[i, : len(s)] = s
+        lengths = np.array([len(s) for s in sigs], np.int32)
+        feats, n_frames = batched_features(
+            batch, lengths, sr=SR, n_fft=401, n_mels=40
+        )
+        feats, n_frames = np.asarray(feats), np.asarray(n_frames)
+        for i, s in enumerate(sigs):
+            ref = dsp_numpy.log_melspec(s, SR, n_fft=401, n_mels=40)
+            assert n_frames[i] == ref.shape[0], (
+                f"sig {i}: jax {n_frames[i]} vs numpy {ref.shape[0]} frames")
+            got = feats[i, : n_frames[i]]
+            mask = ref > -15.0
+            np.testing.assert_allclose(got[mask], ref[mask], atol=2e-2,
+                                       rtol=2e-2)
+
+
+class TestWindowAliases:
+    def test_hann_hanning_accepted_everywhere(self):
+        """One config field feeds both the numpy/jax and Kaldi pipelines,
+        so both spellings must work in both window constructors (and the
+        native code table)."""
+        from pytorch_scalablefhvae_tpu.features.dsp_numpy import periodic_window
+        from pytorch_scalablefhvae_tpu.features.kaldi_fbank import symmetric_window
+        from pytorch_scalablefhvae_tpu.native.binding import _WINDOW_CODES
+
+        np.testing.assert_array_equal(periodic_window("hann", 64),
+                                      periodic_window("hanning", 64))
+        np.testing.assert_array_equal(symmetric_window("hann", 64),
+                                      symmetric_window("hanning", 64))
+        assert _WINDOW_CODES["hann"] == _WINDOW_CODES["hanning"]

@@ -111,3 +111,46 @@ class TestDispatchWindow:
         assert drained == []
         w.close()
         assert drained == list(range(8))
+
+
+class TestSphereShortenRejected:
+    def test_embedded_shorten_raises(self, tmp_path, rng):
+        """LDC's 'pcm,embedded-shorten-v2.00' coding contains 'pcm' but the
+        payload is a shorten bitstream — decoding it as raw PCM would
+        produce silent garbage; it must raise with a pointer to sph2pipe."""
+        header = (
+            b"NIST_1A\n    1024\n"
+            b"sample_rate -i 16000\n"
+            b"channel_count -i 1\n"
+            b"sample_n_bytes -i 2\n"
+            b"sample_byte_format -s2 01\n"
+            b"sample_coding -s26 pcm,embedded-shorten-v2.00\n"
+            b"end_head\n"
+        )
+        p = tmp_path / "t.sph"
+        with open(p, "wb") as f:
+            f.write(header + b" " * (1024 - len(header)))
+            f.write(b"ajkg\x02whatever-shorten-bits")
+        import pytest
+
+        with pytest.raises(ValueError, match="sph2pipe"):
+            audio_io.read_sphere(p)
+
+
+class TestCorruptArkRejected:
+    def test_python_reader_raises_on_bad_marker(self, tmp_path, rng):
+        from pytorch_scalablefhvae_tpu.utils import kaldi_ark
+
+        mat = rng.standard_normal((5, 4)).astype(np.float32)
+        ark = tmp_path / "f.ark"
+        with kaldi_ark.ArkWriter(ark, tmp_path / "f.scp") as w:
+            w.write("a", mat)
+        data = bytearray(ark.read_bytes())
+        # corrupt the first int32 size marker (\x04 after 'FM ')
+        idx = data.index(b"FM \x04") + 3
+        data[idx] = 0x05
+        ark.write_bytes(bytes(data))
+        import pytest
+
+        with pytest.raises(ValueError, match="size markers"):
+            dict(kaldi_ark.read_ark(ark))

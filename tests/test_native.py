@@ -82,3 +82,44 @@ class TestNativeFbank:
         assert count == 1
         mats = read_ark(ark)
         assert mats["a"].shape[1] == 80
+
+
+class TestCorruptArk:
+    def test_truncated_and_foreign_records_error_not_silent(self, tmp_path, rng, native):
+        """A corrupt mid-archive record header must surface as an error,
+        not a silent truncation to the valid prefix (the scan and packed
+        read agreeing on the shorter count would pass every got==n
+        check)."""
+        from pytorch_scalablefhvae_tpu.native.binding import (
+            native_read_ark_packed,
+        )
+        from pytorch_scalablefhvae_tpu.utils.kaldi_ark import ArkWriter
+
+        ark = tmp_path / "f.ark"
+        with ArkWriter(ark, tmp_path / "f.scp") as w:
+            w.write("a", rng.standard_normal((6, 4)).astype(np.float32))
+            w.write("b", rng.standard_normal((3, 4)).astype(np.float32))
+        good = ark.read_bytes()
+        keys, data, offs = native_read_ark_packed(ark)
+        assert keys == ["a", "b"] and data.shape == (9, 4)
+
+        # corrupt record b's binary marker -> error, not "1 record"
+        idx = good.index(b"b \x00B")
+        bad = bytearray(good)
+        bad[idx + 2] = 0x7F
+        ark.write_bytes(bytes(bad))
+        with pytest.raises(RuntimeError):
+            native_read_ark_packed(ark)
+
+        # a foreign (compressed 'CM') token mid-archive is also an error
+        bad = bytearray(good)
+        fm = good.index(b"FM ", good.index(b"b \x00B"))
+        bad[fm] = ord("C")
+        ark.write_bytes(bytes(bad))
+        with pytest.raises(RuntimeError):
+            native_read_ark_packed(ark)
+
+        # EOF exactly at a key boundary is still a clean end
+        ark.write_bytes(good)
+        keys, data, _ = native_read_ark_packed(ark)
+        assert keys == ["a", "b"]
