@@ -225,6 +225,29 @@ def load_reference_checkpoint(checkpoint_file, num_seqs: int,
     return model, params, meta
 
 
+def _convert_reference_values(values) -> dict:
+    """Reference metric history -> MetricHistory's epoch-keyed schema.
+
+    The reference's ``values`` structure is inconsistent (tensors shadowed
+    by dicts of lists — its own defect B11); persisting it verbatim made a
+    plain (non-finetune) resume crash inside ``MetricHistory(values)``.
+    Lists become {epoch: value}; mappings are kept where their entries are
+    numeric; anything unconvertible is dropped (the history is advisory —
+    losing it must not block the resume)."""
+    out: dict = {}
+    if not isinstance(values, dict):
+        return out
+    for k, v in values.items():
+        try:
+            if isinstance(v, dict):
+                out[k] = {int(ep): float(x) for ep, x in v.items()}
+            elif isinstance(v, (list, tuple)):
+                out[k] = {i: float(x) for i, x in enumerate(v)}
+        except (TypeError, ValueError):
+            continue
+    return out
+
+
 def import_reference_checkpoint(checkpoint_file, out_dir, num_seqs: int,
                                 mu2_init_std: float = 0.0, seed: int = 0):
     """Convert a reference ``.tar`` into this framework's npz format, ready
@@ -244,7 +267,8 @@ def import_reference_checkpoint(checkpoint_file, out_dir, num_seqs: int,
         out_dir, state, model_type=model.model_type,
         model_params=model.model_params(), run_info="imported",
         epoch=meta["epoch"], best_epoch=meta["best_epoch"],
-        best_val_lb=meta["best_val_lb"], values=meta["values"],
+        best_val_lb=meta["best_val_lb"],
+        values=_convert_reference_values(meta.get("values")),
         extra_meta={"imported_from": str(checkpoint_file),
                     "num_seqs": num_seqs},
     )

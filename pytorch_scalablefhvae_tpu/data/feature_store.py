@@ -72,18 +72,25 @@ def _stream_feats(keep: list[str], feats):
     ``.npy`` entries load individually. Order is arbitrary — the caller
     writes each matrix at its own precomputed offset — so peak memory is one
     archive buffer at most, never the whole split."""
-    wanted = set(keep)
     seen: set[str] = set()
-    ark_paths = sorted(
-        {str(feats[k]).rpartition(":")[0] for k in keep if _is_rxspecifier(str(feats[k]))}
-    )
-    for ark in ark_paths:
+    # keys are matched ONLY against the archive the scp binds them to: a
+    # stale record with the same key in another referenced archive (mixed-
+    # generation scp after a partial re-extraction) must never win
+    by_ark: dict[str, set[str]] = {}
+    for k in keep:
+        v = str(feats[k])
+        if _is_rxspecifier(v):
+            by_ark.setdefault(v.rpartition(":")[0], set()).add(k)
+    for ark in sorted(by_ark):
+        wanted = by_ark[ark]
         for k, mat in _iter_one_ark(ark):
             if k in wanted and k not in seen:
                 seen.add(k)
                 yield k, np.asarray(mat, dtype=np.float32)
     for k in keep:
         if k not in seen:
+            # .npy entries, plus any ark key the sequential pass missed —
+            # loaded by the scp's exact path:offset rxspecifier
             yield k, np.asarray(_load_feat(str(feats[k])), dtype=np.float32)
 
 
@@ -118,7 +125,15 @@ class FeatureStore:
             keep = [k for k in sequence_list if k in feats and lens[k] >= min_len]
         else:
             # reference filter: keep sequences no shorter than min_len
-            # (datasets.py:84)
+            # (datasets.py:84). Coverage check first: a truncated/partial
+            # len.scp would otherwise surface as a bare KeyError
+            missing = [k for k in feats if k not in lens]
+            if missing:
+                raise ValueError(
+                    f"Sequences present in feats.scp but missing from "
+                    f"len.scp: {missing[:5]}"
+                    f"{'...' if len(missing) > 5 else ''}"
+                )
             keep = [k for k in feats if lens[k] >= min_len]
         if verbose:
             print(f"FeatureStore: {len(keep)} out of {len(feats)} kept, min_len = {min_len}")

@@ -68,6 +68,16 @@ def _collect_audio(inputs) -> dict[str, str]:
                 f"Duplicate utterance id {stem!r}: {path} and {out[stem]}"
             )
         if stem in collided:
+            if is_explicit:
+                # the stem already collided among directory-derived files;
+                # an explicit wav.scp id with that name must error, not be
+                # silently renamed to <parent>_<stem>
+                raise ValueError(
+                    f"Explicit utterance id {stem!r} collides with "
+                    f"directory-derived ids that were re-keyed as "
+                    f"<parent>_{stem}; rename the scp id or pass the "
+                    f"files individually"
+                )
             insert(qualified(stem, path), path, is_explicit)
         elif stem in out:
             # first stem collision: re-key the existing entry by parent too

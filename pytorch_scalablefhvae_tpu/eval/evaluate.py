@@ -91,6 +91,15 @@ def evaluate_experiment(
         sequence_list = [l.strip() for l in Path(seqlist).read_text().splitlines() if l.strip()]
 
     min_len = config.data.min_len if config.data.min_len is not None else config.data.seg_len
+    if config.data.mvn_path and not Path(config.data.mvn_path).exists():
+        # FeatureStore would silently RECOMPUTE the stats from this eval
+        # split (different from the training stats -> skewed metrics and
+        # latents) and write the bogus file; refuse like eval/encode.py
+        raise FileNotFoundError(
+            f"The run was trained with MVN ({config.data.mvn_path}) but the "
+            f"stats file is missing; copy it next to the experiment or "
+            f"point config.data.mvn_path at it"
+        )
     store = FeatureStore(
         paths["feat_pth"], paths["len_pth"], min_len=min_len,
         mvn_path=config.data.mvn_path, sequence_list=sequence_list,
@@ -117,8 +126,10 @@ def evaluate_experiment(
         for k, v in metrics.items():
             print(f"  {k}: {v:.4f}")
 
-    # latents + mu2 estimates
-    lat = extract_latents(model, params, loader)
+    # latents + mu2 estimates; per-segment lower_bound scored against the
+    # SPLIT's MAP table, same as the metrics above (the learned table has
+    # no rows for held-out sequences)
+    lat = extract_latents(model, params, loader, table=split_table)
     mu2_hat = estimate_mu2(
         lat["z2_mu"], lat["seq_idx"], store.num_seqs,
         pz2_var=config.model.pz2_std**2, pmu2_var=1.0,
@@ -129,9 +140,10 @@ def evaluate_experiment(
     # (z1 of a, z2 of b) keeps a's content with b's sequence identity —
     # the papers' qualitative disentanglement demo (arXiv 1709.07902 §5.2)
     recon = None
-    lat_step = make_latent_step(model)
+    lat_step = make_latent_step(model, with_table_override=True)
     for b in loader:
-        out = lat_step(params, b.feats, b.seq_idx, b.nsegs, jax.random.PRNGKey(1))
+        out = lat_step(params, b.feats, b.seq_idx, b.nsegs,
+                       jax.random.PRNGKey(1), split_table)
         n = min(num_reconstructions, int(b.weight.sum()))
         z1 = np.asarray(out["z1_mu"])[:n]
         z2 = np.asarray(out["z2_mu"])[:n]

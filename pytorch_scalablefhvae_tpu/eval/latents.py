@@ -22,14 +22,20 @@ from pytorch_scalablefhvae_tpu.utils.dispatch import DispatchWindow
 
 
 def extract_latents(
-    model, params, loader: SegmentLoader, seed: int = 0
+    model, params, loader: SegmentLoader, seed: int = 0, table=None
 ) -> dict[str, np.ndarray]:
     """Run the encoder over every segment of a split.
 
     Returns dict with ``z1_mu`` [N, z1], ``z2_mu`` [N, z2], ``seq_idx`` [N],
     ``lower_bound`` [N] for the N real (non-padded) segments, in loader order.
+
+    ``table``: mu2 table the per-segment lower_bound is scored against.
+    For held-out splits this MUST be the split's MAP-estimated table —
+    the learned table has no rows for held-out sequences, and indexing it
+    by the split's sequence ids would pair them with arbitrary training
+    rows (documented deviation D6).
     """
-    step = make_latent_step(model)
+    step = make_latent_step(model, with_table_override=table is not None)
     key = jax.random.PRNGKey(seed)
     z1s, z2s, seqs, lbs = [], [], [], []
 
@@ -45,8 +51,9 @@ def extract_latents(
 
     window = DispatchWindow(drain_one)
     for i, b in enumerate(loader):
-        out = step(params, b.feats, b.seq_idx, b.nsegs,
-                   jax.random.fold_in(key, i))
+        args = (params, b.feats, b.seq_idx, b.nsegs,
+                jax.random.fold_in(key, i))
+        out = step(*args) if table is None else step(*args, table)
         window.push((out["z1_mu"], out["z2_mu"], out["lower_bound"],
                      b.seq_idx, b.weight))
     window.close()

@@ -174,7 +174,13 @@ def estimate_split_mu2(
         np.add.at(sums, seq_idx[real], z2[real])
         np.add.at(counts, seq_idx[real], 1.0)
 
-    window = DispatchWindow(drain_one)
+    # each pushed item holds an _ENCODE_GROUP-batch SUPER-batch of input
+    # feats, so the window must shrink by that factor to keep the same
+    # in-flight HBM bound the default was sized for (utils/dispatch.py)
+    from pytorch_scalablefhvae_tpu.utils.dispatch import PENDING_WINDOW
+
+    window = DispatchWindow(drain_one,
+                            window=max(PENDING_WINDOW // _ENCODE_GROUP, 2))
 
     def flush_group():
         if not group:

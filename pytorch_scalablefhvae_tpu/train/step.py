@@ -201,11 +201,19 @@ def make_grad_step(model, alpha: float):
     return jax.jit(step_fn)
 
 
-def make_latent_step(model):
-    """Jitted latent-extraction step for evaluation (eval_model.py TODO:57-59)."""
+def make_latent_step(model, with_table_override: bool = False):
+    """Jitted latent-extraction step for evaluation (eval_model.py TODO:57-59).
 
-    def step_fn(params, feats, seq_idx, nsegs, key):
-        out = model.apply(params, feats, seq_idx, nsegs, key, sample=False)
+    With ``with_table_override`` the step takes the split's MAP-estimated
+    mu2 table as a trailing argument: held-out sequences have no rows in
+    the LEARNED table, so scoring their lower_bound against
+    ``params['mu2_table'][seq_idx]`` would pair dev sequence i with
+    training sequence i's mu2 row — the exact defect the reference's eval
+    had (documented deviation D6)."""
+
+    def step_fn(params, feats, seq_idx, nsegs, key, table=None):
+        out = model.apply(params, feats, seq_idx, nsegs, key, sample=False,
+                          mu2_table=table)
         return {
             "z1_mu": out.z1_mu,
             "z2_mu": out.z2_mu,
@@ -213,4 +221,8 @@ def make_latent_step(model):
             "lower_bound": out.lower_bound,
         }
 
-    return jax.jit(step_fn)
+    if with_table_override:
+        return jax.jit(step_fn)
+    return jax.jit(lambda params, feats, seq_idx, nsegs, key: step_fn(
+        params, feats, seq_idx, nsegs, key
+    ))

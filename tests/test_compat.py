@@ -69,3 +69,24 @@ class TestEstimateMu2Dict:
         d = compat.estimate_mu2_dict(model, params, loader)
         assert set(d) == {0, 1}  # keyed by sequence index (reference contract)
         assert d[0].shape == (4,)
+
+
+class TestImportedValuesConvert:
+    def test_reference_values_lists_become_epoch_keyed(self):
+        """The reference's 'values' history (lists / inconsistent, defect
+        B11) must convert to MetricHistory's epoch-keyed schema on import —
+        persisting it verbatim crashed plain (non-finetune) resumes."""
+        from pytorch_scalablefhvae_tpu.compat import _convert_reference_values
+        from pytorch_scalablefhvae_tpu.train.metrics import MetricHistory
+
+        raw = {
+            "train_loss_results": [1.5, 1.2, 1.0],
+            "val_loss_results": {0: 2.0, "1": 1.8},
+            "lower_bound_results": object(),   # unconvertible: dropped
+        }
+        vals = _convert_reference_values(raw)
+        hist = MetricHistory(vals)  # must not raise
+        assert hist.values["train_loss_results"] == {0: 1.5, 1: 1.2, 2: 1.0}
+        assert hist.values["val_loss_results"] == {0: 2.0, 1: 1.8}
+        assert _convert_reference_values(None) == {}
+        assert _convert_reference_values([1, 2]) == {}

@@ -376,3 +376,45 @@ class TestChunkSkip:
         np.testing.assert_array_equal(got_seq, ds.seq_idx[sub])
         want = ds.store.gather_segments(ds.seq_idx[sub], ds.starts[sub], 20)
         np.testing.assert_allclose(np.concatenate(got_feats), want)
+
+
+class TestArkKeyBinding:
+    def test_stale_same_key_in_other_archive_not_matched(self, tmp_path, rng):
+        """The pack build must load each key from the archive its scp entry
+        binds it to: a stale record with the same key in another referenced
+        archive (mixed-generation scp) silently training on wrong features
+        is the failure mode."""
+        from pytorch_scalablefhvae_tpu.utils.kaldi_ark import ArkWriter
+
+        fresh = rng.standard_normal((30, 8)).astype(np.float32)
+        stale = np.zeros((30, 8), np.float32)  # same length: the length
+        other = rng.standard_normal((25, 8)).astype(np.float32)  # check
+        # arkA sorts first and contains a STALE 'utt1' plus a live 'utt0'
+        offs = {}
+        with ArkWriter(tmp_path / "arkA.ark", tmp_path / "a.scp") as w:
+            w.write("utt0", other)
+            w.write("utt1", stale)
+        with ArkWriter(tmp_path / "arkB.ark", tmp_path / "b.scp") as w:
+            w.write("utt1", fresh)
+        scp = {}
+        for line in (tmp_path / "a.scp").read_text().splitlines():
+            k, v = line.split(None, 1)
+            if k == "utt0":
+                scp[k] = v
+        for line in (tmp_path / "b.scp").read_text().splitlines():
+            k, v = line.split(None, 1)
+            scp[k] = v  # utt1 -> arkB (the fresh record)
+        write_scp(tmp_path / "feats.scp", scp)
+        write_scp(tmp_path / "len.scp", {"utt0": 25, "utt1": 30})
+        store = FeatureStore(tmp_path / "feats.scp", tmp_path / "len.scp",
+                             min_len=1, verbose=False)
+        got = store.sequence(store.seq2idx["utt1"])
+        np.testing.assert_array_equal(got, fresh)
+
+    def test_missing_len_entry_curated_error(self, tmp_path, rng):
+        feat_scp, len_scp = build_split(tmp_path, rng)
+        # drop one len entry
+        lines = len_scp.read_text().splitlines()
+        len_scp.write_text("\n".join(lines[:-1]) + "\n")
+        with pytest.raises(ValueError, match="missing from"):
+            FeatureStore(feat_scp, len_scp, min_len=1, verbose=False)

@@ -184,3 +184,20 @@ class TestEncodeAudio:
         paths = make_wavs(tmp_path, n=1)
         with pytest.raises(FileNotFoundError, match="MVN"):
             encode_audio(root, [str(paths[0])], verbose=False)
+
+
+class TestExplicitIdAfterCollision:
+    def test_scp_id_colliding_with_rekeyed_stems_raises(self, tmp_path):
+        """An explicit wav.scp id whose stem already collided among
+        directory-derived files must error — never be silently renamed to
+        <parent>_<stem> (the scp id is authoritative)."""
+        rng = np.random.default_rng(4)
+        t = np.arange(int(SR * 0.1)) / SR
+        y = (0.3 * np.sin(2 * np.pi * 300 * t)).astype(np.float32)
+        for spk in ("x", "y"):
+            write_wav(tmp_path / "corpus" / spk / "sa1.wav", y, SR)
+        extra = write_wav(tmp_path / "other" / "z.wav", y, SR)
+        scp = tmp_path / "wav.scp"
+        scp.write_text(f"sa1 {extra}\n")
+        with pytest.raises(ValueError, match="collides"):
+            _collect_audio([str(tmp_path / "corpus"), str(scp)])

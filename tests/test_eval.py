@@ -110,3 +110,46 @@ class TestDevicePrefetch:
         from pytorch_scalablefhvae_tpu.data.loader import device_prefetch
 
         assert list(device_prefetch(iter([]), size=3)) == []
+
+
+class TestLatentsUseOverrideTable:
+    def test_lower_bound_scored_against_map_table(self, rng):
+        """extract_latents(table=...) must score the per-segment lower
+        bound against the SPLIT's MAP table, exactly like the split metrics
+        — held-out sequences have no rows in the learned table, so the
+        no-table path pairs them with arbitrary training rows (documented
+        deviation D6)."""
+        import jax
+
+        from pytorch_scalablefhvae_tpu.data.feature_store import FeatureStore
+        from pytorch_scalablefhvae_tpu.data.loader import SegmentLoader
+        from pytorch_scalablefhvae_tpu.data.segments import SegmentDataset
+        from pytorch_scalablefhvae_tpu.eval.latents import extract_latents
+        from pytorch_scalablefhvae_tpu.models import SimpleFHVAE
+        from pytorch_scalablefhvae_tpu.train.loop import evaluate_split
+        from pytorch_scalablefhvae_tpu.train.step import make_eval_step
+
+        store = FeatureStore.from_arrays({
+            f"s{i}": rng.standard_normal((40, 8)).astype(np.float32)
+            for i in range(4)
+        })
+        ds = SegmentDataset(store, seg_len=20, seg_shift=8)
+        loader = SegmentLoader(ds, batch_size=8, shuffle=False, seed=0)
+        model = SimpleFHVAE(input_size=20 * 8, num_seqs=4,
+                            z1_hus=(16, 16), z2_hus=(16, 16), x_hus=(16, 16),
+                            z1_dim=4, z2_dim=4)
+        params = model.init(jax.random.PRNGKey(0))
+        table = jax.numpy.asarray(
+            rng.standard_normal((4, 4)).astype(np.float32) * 3.0)
+
+        lat = extract_latents(model, params, loader, table=table)
+        lat_no = extract_latents(model, params, loader)
+        # the table changes the bound (the learned and MAP rows differ)...
+        assert not np.allclose(lat["lower_bound"], lat_no["lower_bound"])
+        # ...and the per-segment bounds mean-aggregate to the split metric
+        # computed with the SAME table (keys are deterministic: sample=False)
+        eval_step = make_eval_step(model, 10.0, with_table_override=True)
+        metrics = evaluate_split(eval_step, params, loader,
+                                 jax.random.PRNGKey(0), table=table)
+        np.testing.assert_allclose(float(np.mean(lat["lower_bound"])),
+                                   metrics["lower_bound"], rtol=1e-5)
