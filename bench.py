@@ -22,7 +22,7 @@ import numpy as np
 SEG_LEN, N_MELS, BATCH = 20, 80, 256
 NUM_SEQS = 4620  # TIMIT train-partition sequence count
 ALPHA = 10.0
-WARMUP, STEPS = 10, 256
+STEPS = 256
 BASELINE_STEPS = 16  # split into best-of-two chunks (the 1-core host is noisy)
 
 
@@ -308,16 +308,23 @@ def bench_fbank_mframes(use_pallas: str, n_frames: int = 6400,
     rng = np.random.default_rng(0)
     frames = jnp.asarray(rng.standard_normal((n_frames, 400)), jnp.float32)
 
+    fbT = jnp.asarray(fb.T)
+
+    # the spectral constants are passed as ARGUMENTS, not closed over:
+    # closure-captured concrete arrays become compile-time constants that
+    # XLA re-stages into the Pallas custom_call every iteration — the
+    # exact pathology dsp_jax._spectral_consts documents as 23x slower,
+    # which would invert the kernel-vs-jnp verdict this bench reports
     @jax.jit
-    def run(frames):
+    def run(frames, w, C, S, fbT):
         def body(carry, _):
             # carry feeds the input so iterations stay data-dependent
             # (XLA would otherwise CSE the loop down to one extraction)
             f = frames + carry * 1e-12
             if use_pallas == "always":
-                out = fused_logmel_frames(f, w, C, S, fb.T)
+                out = fused_logmel_frames(f, w, C, S, fbT)
             else:
-                out = logmel_frames_reference(f, w, C, S, fb.T)
+                out = logmel_frames_reference(f, w, C, S, fbT)
             # sum the FULL output: a [:1,:1] slice would let the algebraic
             # simplifier narrow the jnp chain to ~1 frame of work while the
             # opaque Pallas call always computes all frames
@@ -325,11 +332,11 @@ def bench_fbank_mframes(use_pallas: str, n_frames: int = 6400,
         s, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
         return s
 
-    _ = float(np.asarray(run(frames)))  # compile + host-fetch sync
+    _ = float(np.asarray(run(frames, w, C, S, fbT)))  # compile + sync
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        _ = float(np.asarray(run(frames)))
+        _ = float(np.asarray(run(frames, w, C, S, fbT)))
         best = min(best, (time.perf_counter() - t0) / iters)
     return n_frames / best / 1e6
 

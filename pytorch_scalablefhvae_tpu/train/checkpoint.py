@@ -91,20 +91,72 @@ def read_checkpoint_meta(checkpoint_file: str | Path) -> dict:
 
 
 def load_any_checkpoint(
-    checkpoint_file: str | Path, template_state: TrainState, finetune: bool = False
+    checkpoint_file: str | Path, template_state: TrainState,
+    finetune: bool = False, expected_num_seqs: int | None = None,
 ) -> tuple[TrainState, dict]:
     """Backend-dispatching load: .orbax directories or .npz files."""
     if str(checkpoint_file).endswith(".orbax"):
         from pytorch_scalablefhvae_tpu.train.orbax_backend import load_checkpoint_orbax
 
-        return load_checkpoint_orbax(checkpoint_file, template_state, finetune=finetune)
-    return load_checkpoint(checkpoint_file, template_state, finetune=finetune)
+        return load_checkpoint_orbax(checkpoint_file, template_state,
+                                     finetune=finetune,
+                                     expected_num_seqs=expected_num_seqs)
+    return load_checkpoint(checkpoint_file, template_state, finetune=finetune,
+                           expected_num_seqs=expected_num_seqs)
+
+
+def finalize_load_meta(meta: dict, finetune: bool) -> dict:
+    """Shared resume-meta resolution for BOTH checkpoint backends.
+
+    finetune: parameters only — optimizer state, step counter, epoch and
+    history are discarded (reference utils.py:86-93). Otherwise resume at
+    ``epoch + 1`` exactly (fixes B18's double increment)."""
+    if finetune:
+        return dict(meta, start_epoch=0, values={}, best_val_lb=-np.inf,
+                    best_epoch=0)
+    return dict(meta, start_epoch=meta["epoch"] + 1)
+
+
+def mu2_rows_adaptable(path_str: str, saved_shape, t_shape) -> bool:
+    """Whether a leaf shape mismatch is the mu2 table's LAYOUT difference
+    (row padding to a mesh's model axis) rather than architecture drift —
+    the ONE mismatch both backends may adapt instead of raising."""
+    return (
+        "mu2_table" in path_str
+        and len(saved_shape) == 2
+        and len(t_shape) == 2
+        and saved_shape[1] == t_shape[1]
+    )
+
+
+def check_same_corpus(meta: dict, expected_num_seqs: int | None,
+                      finetune: bool, checkpoint_file) -> None:
+    """Refuse resuming (non-finetune) onto a different corpus.
+
+    The mu2 table is per-sequence state: row i holds sequence i's posterior
+    mean, so loading corpus A's table for corpus B silently pairs every
+    sequence with an unrelated row (and the row adaptation would zero-pad
+    the difference, bypassing the configured random init). ``--finetune``
+    is the supported cross-corpus path — it keeps encoder/decoder weights
+    and the table is re-estimated. Old sidecars without a ``num_seqs`` key
+    skip the check."""
+    saved = meta.get("num_seqs")
+    if (not finetune and saved is not None and expected_num_seqs is not None
+            and int(saved) != int(expected_num_seqs)):
+        raise ValueError(
+            f"Checkpoint {checkpoint_file} was trained on a corpus of "
+            f"{saved} sequences but this run has {expected_num_seqs}: the "
+            f"mu2 table is per-sequence state and cannot transfer. Use "
+            f"--finetune to reuse the encoder/decoder weights with a fresh "
+            f"table."
+        )
 
 
 def load_checkpoint(
     checkpoint_file: str | Path,
     template_state: TrainState,
     finetune: bool = False,
+    expected_num_seqs: int | None = None,
 ) -> tuple[TrainState, dict]:
     """Restore a TrainState from ``<name>.npz`` (+ sidecar JSON).
 
@@ -113,6 +165,10 @@ def load_checkpoint(
             structure (model/optimizer must match the checkpoint).
         finetune: load parameters only; optimizer state, step counter, epoch
             and history are discarded (reference utils.py:86-93).
+        expected_num_seqs: the run's REAL sequence count; a non-finetune
+            load whose sidecar records a different corpus raises
+            (:func:`check_same_corpus`) instead of silently adapting the
+            per-sequence mu2 table across corpora.
 
     Returns:
         (state, meta). ``meta["start_epoch"]`` is ``epoch + 1`` exactly
@@ -120,6 +176,7 @@ def load_checkpoint(
     """
     checkpoint_file = Path(checkpoint_file)
     meta = read_checkpoint_meta(checkpoint_file)
+    check_same_corpus(meta, expected_num_seqs, finetune, checkpoint_file)
     with np.load(checkpoint_file) as z:
         leaves = [z[f"leaf_{i}"] for i in range(meta["num_leaves"])]
 
@@ -138,12 +195,7 @@ def load_checkpoint(
             # table (and its optimizer moments) may be padded to a multiple
             # of a mesh's model axis. Slice padding off / pad zero rows on
             # so checkpoints are interchangeable across mesh shapes.
-            if (
-                "mu2_table" in path_str
-                and saved.ndim == 2
-                and len(t_shape) == 2
-                and saved.shape[1] == t_shape[1]
-            ):
+            if mu2_rows_adaptable(path_str, saved.shape, t_shape):
                 saved = _adapt_rows(saved, t_shape[0])
             else:
                 raise ValueError(
@@ -165,10 +217,7 @@ def load_checkpoint(
             step=template_state.step,
             rng=template_state.rng,
         )
-        meta = dict(meta, start_epoch=0, values={}, best_val_lb=-np.inf, best_epoch=0)
-    else:
-        meta = dict(meta, start_epoch=meta["epoch"] + 1)
-    return state, meta
+    return state, finalize_load_meta(meta, finetune)
 
 
 def _epoch_of(path: Path) -> int:
@@ -193,6 +242,16 @@ def find_best_checkpoint(exp_dir: str | Path) -> Path:
     exp_dir = Path(exp_dir)
     matches = sorted(exp_dir.glob("best_model_*.npz"), key=_epoch_of)
     if matches:
+        # several runs may share a directory (filenames embed the run);
+        # "the best" is ambiguous across runs and silently returning the
+        # highest-epoch one could evaluate the wrong model
+        prefixes = {m.name.rsplit("_e", 1)[0] for m in matches}
+        if len(prefixes) > 1:
+            raise ValueError(
+                f"{exp_dir} holds best-model checkpoints from "
+                f"{len(prefixes)} different runs ({sorted(prefixes)}); "
+                f"pass the checkpoint path explicitly"
+            )
         return matches[-1]
     pointer = exp_dir / "best_model_pointer.json"
     if pointer.exists():

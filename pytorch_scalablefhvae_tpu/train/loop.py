@@ -277,7 +277,12 @@ def run_training(
     best_epoch, best_val_lb = 0, -np.inf
     history = MetricHistory()
     if continue_from is not None:
-        state, meta = ckpt.load_any_checkpoint(continue_from, state, finetune=finetune)
+        # expected_num_seqs: a non-finetune resume onto a different corpus
+        # must raise — the mu2 table is per-sequence state (--finetune is
+        # the supported cross-corpus path)
+        state, meta = ckpt.load_any_checkpoint(
+            continue_from, state, finetune=finetune,
+            expected_num_seqs=num_seqs)
         start_epoch = meta["start_epoch"]
         best_epoch = meta.get("best_epoch", 0)
         best_val_lb = meta.get("best_val_lb", -np.inf)

@@ -104,6 +104,7 @@ def load_checkpoint_orbax(
     checkpoint_path: str | Path,
     template_state: TrainState,
     finetune: bool = False,
+    expected_num_seqs: int | None = None,
 ) -> tuple[TrainState, dict]:
     wait_for_saves()  # the checkpoint may still be committing
     checkpoint_path = Path(checkpoint_path).resolve()
@@ -144,6 +145,9 @@ def load_checkpoint_orbax(
     meta = json.loads(
         checkpoint_path.with_suffix(".json").read_text()
     )
+    from pytorch_scalablefhvae_tpu.train.checkpoint import check_same_corpus
+
+    check_same_corpus(meta, expected_num_seqs, finetune, checkpoint_path)
     ckptr = _checkpointer()
     # the saved (possibly mesh-padded) mu2 row count: orbax's own array
     # metadata is authoritative and works for any sidecar vintage; the
@@ -167,20 +171,20 @@ def load_checkpoint_orbax(
     abstract = jax.tree_util.tree_map_with_path(abstract_leaf, template_state)
     state = ckptr.restore(checkpoint_path, abstract)
 
+    from pytorch_scalablefhvae_tpu.train.checkpoint import (
+        finalize_load_meta,
+        mu2_rows_adaptable,
+    )
+
     def adapt(path, saved, tmpl):
         t_shape = tuple(np.shape(tmpl))
         if tuple(np.shape(saved)) != t_shape:
             path_str = "/".join(str(p) for p in path)
             # ONLY mu2 row-count mismatches are layout, not architecture
             # (mesh-axis padding); any other shape drift is a real mismatch
-            # and must raise rather than silently slice/pad (mirrors
-            # checkpoint.load_checkpoint's guard)
-            if (
-                "mu2_table" in path_str
-                and np.ndim(saved) == 2
-                and len(t_shape) == 2
-                and np.shape(saved)[1] == t_shape[1]
-            ):
+            # and must raise rather than silently slice/pad (the shared
+            # checkpoint.mu2_rows_adaptable guard, same as the npz loader)
+            if mu2_rows_adaptable(path_str, tuple(np.shape(saved)), t_shape):
                 return _adapt_rows(np.asarray(saved), t_shape[0])
             raise ValueError(
                 f"Leaf {path_str} shape mismatch: checkpoint "
@@ -196,7 +200,4 @@ def load_checkpoint_orbax(
             step=template_state.step,
             rng=template_state.rng,
         )
-        meta = dict(meta, start_epoch=0, values={}, best_val_lb=-np.inf, best_epoch=0)
-    else:
-        meta = dict(meta, start_epoch=meta["epoch"] + 1)
-    return state, meta
+    return state, finalize_load_meta(meta, finetune)

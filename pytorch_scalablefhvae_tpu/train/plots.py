@@ -42,6 +42,7 @@ def write_curves_svg(history: MetricHistory, path: str | Path,
         print(f"curve plot unavailable ({e})")
         return False
     path = Path(path)
+    fig = None
     try:
         fig, ax = plt.subplots(figsize=(8, 4.5))
         for key, label in SERIES:
@@ -57,9 +58,13 @@ def write_curves_svg(history: MetricHistory, path: str | Path,
         fig.tight_layout()
         tmp = path.with_suffix(path.suffix + ".tmp")
         fig.savefig(tmp, format="svg")
-        plt.close(fig)
         tmp.replace(path)  # atomic: watchers never see a half-written file
         return True
     except Exception as e:  # pragma: no cover - best-effort rendering
         print(f"curve plot failed ({e})")
         return False
+    finally:
+        # close on EVERY path: a persistently failing savefig (full disk)
+        # would otherwise leak one registry-held figure per epoch
+        if fig is not None:
+            plt.close(fig)

@@ -227,3 +227,47 @@ class TestLoopHelpers:
         assert not check_terminate(epoch=5, best_epoch=0, patience=10, epochs=100)
         assert check_terminate(epoch=10, best_epoch=0, patience=10, epochs=100)
         assert check_terminate(epoch=99, best_epoch=95, patience=10, epochs=100)
+
+
+class TestCrossCorpusGuard:
+    def test_plain_resume_onto_different_corpus_raises(self, setup, tmp_path):
+        """The mu2 table is per-sequence state: a non-finetune load whose
+        sidecar records a different num_seqs must raise instead of silently
+        adapting corpus A's rows onto corpus B's sequences. --finetune is
+        the supported cross-corpus path (fresh table, kept weights)."""
+        import dataclasses
+
+        model, optimizer, state = setup
+        path = ckpt.save_checkpoint(
+            tmp_path, state, model_type=model.model_type,
+            model_params=model.model_params(), run_info="corp", epoch=0,
+            best_epoch=0, best_val_lb=-1.0, values={},
+            extra_meta={"num_seqs": NUM_SEQS},
+        )
+        other = dataclasses.replace(model, num_seqs=NUM_SEQS + 3)
+        tmpl = create_train_state(other, optimizer, seed=1)
+        with pytest.raises(ValueError, match="per-sequence"):
+            ckpt.load_checkpoint(path, tmpl,
+                                 expected_num_seqs=other.num_seqs)
+        # finetune is allowed (table re-estimated by the new run)
+        loaded, meta = ckpt.load_checkpoint(
+            path, tmpl, finetune=True, expected_num_seqs=other.num_seqs)
+        assert meta["start_epoch"] == 0
+        # sidecars without num_seqs skip the check (old checkpoints)
+        path2 = ckpt.save_checkpoint(
+            tmp_path, state, model_type=model.model_type,
+            model_params=model.model_params(), run_info="old", epoch=0,
+            best_epoch=0, best_val_lb=-1.0, values={},
+        )
+        ckpt.load_checkpoint(path2, tmpl, expected_num_seqs=other.num_seqs)
+
+    def test_best_checkpoint_ambiguous_across_runs_raises(self, setup, tmp_path):
+        model, optimizer, state = setup
+        for run in ("runA", "runB"):
+            ckpt.save_checkpoint(
+                tmp_path, state, model_type=model.model_type,
+                model_params=model.model_params(), run_info=run, epoch=1,
+                best_epoch=1, best_val_lb=-1.0, values={},
+            )
+        with pytest.raises(ValueError, match="different runs"):
+            ckpt.find_best_checkpoint(tmp_path)
