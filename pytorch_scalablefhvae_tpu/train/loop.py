@@ -279,10 +279,12 @@ def run_training(
     if continue_from is not None:
         # expected_num_seqs: a non-finetune resume onto a different corpus
         # must raise — the mu2 table is per-sequence state (--finetune is
-        # the supported cross-corpus path)
+        # the supported cross-corpus path). Hierarchical runs skip the
+        # check: their table is per-round fast weights, MAP-re-initialized
+        # at the next round turnover, so a changed K is layout, not state.
         state, meta = ckpt.load_any_checkpoint(
             continue_from, state, finetune=finetune,
-            expected_num_seqs=num_seqs)
+            expected_num_seqs=None if hier else num_seqs)
         start_epoch = meta["start_epoch"]
         best_epoch = meta.get("best_epoch", 0)
         best_val_lb = meta.get("best_val_lb", -np.inf)
