@@ -29,13 +29,18 @@ WORKDIR="${1:-$(mktemp -d)}"
 mkdir -p "$WORKDIR"
 REPO="$(cd "$(dirname "${BASH_SOURCE[0]}")/.." && pwd)"
 PLATFORM="${PLATFORM:-}"
-RUN=(python -m pytorch_scalablefhvae_tpu.cli.main)
+# the repo path is inserted at RUNTIME, not via PYTHONPATH: on the
+# tunneled-TPU rig, ANY PYTHONPATH value breaks the axon PJRT plugin
+# discovery ("Unable to initialize backend 'axon'"); see the verify skill
+PYWRAP=(python -c 'import sys; sys.path.insert(0, sys.argv.pop(1))
+from pytorch_scalablefhvae_tpu.cli.main import main
+sys.exit(main())' "$REPO")
+RUN=("${PYWRAP[@]}")
 if [[ -n "$PLATFORM" ]]; then
-  RUN=(env JAX_PLATFORMS="$PLATFORM" python -m pytorch_scalablefhvae_tpu.cli.main)
+  RUN=(env JAX_PLATFORMS="$PLATFORM" "${PYWRAP[@]}")
 fi
 
 cd "$WORKDIR"
-export PYTHONPATH="$REPO${PYTHONPATH:+:$PYTHONPATH}"
 
 "${RUN[@]}" preprocess --dataset synthetic --data-root . \
     --synthetic-speakers 64 --synthetic-utts 5
