@@ -47,20 +47,22 @@ _NATIVE_ARK_BYTES = 1 << 30
 
 
 def _iter_one_ark(ark: str):
-    """Yield (key, float32 matrix) from one archive: native bulk read for
-    small archives, pure-Python sequential streaming for big ones."""
+    """Yield (key, float32 matrix, rxspecifier byte offset) from one
+    archive: native bulk read for small archives, pure-Python sequential
+    streaming for big ones."""
     try:
         if Path(ark).stat().st_size <= _NATIVE_ARK_BYTES:
             from pytorch_scalablefhvae_tpu.native.binding import native_read_ark_packed
 
-            keys, data, offsets = native_read_ark_packed(ark)
+            keys, data, offsets, file_offs = native_read_ark_packed(
+                ark, with_file_offsets=True)
             for i, k in enumerate(keys):
-                yield k, data[offsets[i] : offsets[i + 1]]
+                yield k, data[offsets[i] : offsets[i + 1]], int(file_offs[i])
             return
     except Exception:
         pass  # toolchain unavailable or read failure: python fallback below
-    for k, mat in kaldi_ark.iter_ark(ark):
-        yield k, np.asarray(mat, dtype=np.float32)
+    for k, mat, off in kaldi_ark.iter_ark_offsets(ark):
+        yield k, np.asarray(mat, dtype=np.float32), off
 
 
 def _stream_feats(keep: list[str], feats):
@@ -73,18 +75,20 @@ def _stream_feats(keep: list[str], feats):
     writes each matrix at its own precomputed offset — so peak memory is one
     archive buffer at most, never the whole split."""
     seen: set[str] = set()
-    # keys are matched ONLY against the archive the scp binds them to: a
-    # stale record with the same key in another referenced archive (mixed-
-    # generation scp after a partial re-extraction) must never win
-    by_ark: dict[str, set[str]] = {}
+    # records are matched against the scp's AUTHORITATIVE (archive, byte
+    # offset) binding, not by key alone: after a partial re-extraction a
+    # stale record with the same key — in another referenced archive OR
+    # earlier in the same one — must never win
+    by_ark: dict[str, dict[str, int]] = {}
     for k in keep:
         v = str(feats[k])
         if _is_rxspecifier(v):
-            by_ark.setdefault(v.rpartition(":")[0], set()).add(k)
+            path, _, off = v.rpartition(":")
+            by_ark.setdefault(path, {})[k] = int(off)
     for ark in sorted(by_ark):
         wanted = by_ark[ark]
-        for k, mat in _iter_one_ark(ark):
-            if k in wanted and k not in seen:
+        for k, mat, off in _iter_one_ark(ark):
+            if wanted.get(k) == off and k not in seen:
                 seen.add(k)
                 yield k, np.asarray(mat, dtype=np.float32)
     for k in keep:

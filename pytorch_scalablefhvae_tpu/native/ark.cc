@@ -17,6 +17,8 @@ namespace {
 struct Header {
   char dtype;  // 'F' or 'D'
   int32_t rows, cols;
+  int64_t marker_pos;  // byte offset of the \0B marker (the rxspecifier
+                       // offset ArkWriter records in the scp)
 };
 
 // Reads "key \0B<FM|DM> \4rows\4cols". Returns 1 on success, 0 on clean
@@ -28,6 +30,7 @@ int read_record_header(FILE* f, std::string* key, Header* h) {
   int c;
   while ((c = std::fgetc(f)) != EOF && c != ' ') key->push_back(static_cast<char>(c));
   if (c == EOF) return key->empty() ? 0 : -1;  // mid-key EOF is corruption
+  h->marker_pos = std::ftell(f);
   char marker[2];
   if (std::fread(marker, 1, 2, f) != 2 || marker[0] != '\0' || marker[1] != 'B') return -1;
   char token[3];
@@ -73,10 +76,13 @@ int ark_scan(const char* path, int64_t* n_mats, int64_t* total_rows, int32_t* co
 }
 
 // Pass 2: copy every record into `data` (row-major float32, concatenated),
-// fill `row_offsets` (n_mats + 1 entries) and newline-joined keys.
-// Returns number of records read, or negative on error (-4: corrupt or
-// unsupported record header mid-archive).
+// fill `row_offsets` (n_mats + 1 entries), `file_offsets` (n_mats entries:
+// each record's \0B-marker byte offset — the rxspecifier offset, letting
+// callers match records against the scp's authoritative bindings; may be
+// null) and newline-joined keys. Returns number of records read, or
+// negative on error (-4: corrupt or unsupported record header mid-archive).
 int64_t ark_read_packed(const char* path, float* data, int64_t* row_offsets,
+                        int64_t* file_offsets,
                         char* keys_out, int64_t keys_cap) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return -1;
@@ -96,6 +102,7 @@ int64_t ark_read_packed(const char* path, float* data, int64_t* row_offsets,
       if (std::fread(dbuf.data(), 8, count, f) != static_cast<size_t>(count)) { std::fclose(f); return -3; }
       for (int64_t i = 0; i < count; ++i) dst[i] = static_cast<float>(dbuf[i]);
     }
+    if (file_offsets) file_offsets[n] = h.marker_pos;
     row += h.rows;
     ++n;
     row_offsets[n] = row;

@@ -77,7 +77,8 @@ def load_native(rebuild: bool = False) -> ctypes.CDLL:
         lib.ark_read_packed.restype = ctypes.c_int64
         lib.ark_read_packed.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
-            ctypes.POINTER(ctypes.c_int64), ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_char_p, ctypes.c_int64,
         ]
         lib.fbank_compute.restype = ctypes.c_int
         lib.fbank_compute.argtypes = [
@@ -135,10 +136,16 @@ def native_fbank(
     return out
 
 
-def native_read_ark_packed(path) -> tuple[list[str], np.ndarray, np.ndarray]:
+def native_read_ark_packed(
+    path, with_file_offsets: bool = False
+) -> tuple[list[str], np.ndarray, np.ndarray] | tuple[
+        list[str], np.ndarray, np.ndarray, np.ndarray]:
     """Bulk-read an entire ark file in one C++ pass.
 
-    Returns (keys, data [total_rows, cols] float32, row_offsets [n+1] int64).
+    Returns (keys, data [total_rows, cols] float32, row_offsets [n+1]
+    int64); with ``with_file_offsets`` also each record's rxspecifier byte
+    offset [n] int64 (the \\0B-marker position), so callers can match
+    records against the scp's authoritative ``path:offset`` bindings.
     """
     lib = load_native()
     pb = str(path).encode()
@@ -151,12 +158,14 @@ def native_read_ark_packed(path) -> tuple[list[str], np.ndarray, np.ndarray]:
     n, rows, c = n_mats.value, total_rows.value, max(cols.value, 0)
     data = np.zeros((rows, c), dtype=np.float32)
     offsets = np.zeros(n + 1, dtype=np.int64)
+    file_offsets = np.zeros(max(n, 1), dtype=np.int64)
     keys_cap = 64 * max(n, 1)
     keys_buf = ctypes.create_string_buffer(keys_cap)
     got = lib.ark_read_packed(
         pb,
         data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        file_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         keys_buf, keys_cap,
     )
     if got < 0:
@@ -168,4 +177,6 @@ def native_read_ark_packed(path) -> tuple[list[str], np.ndarray, np.ndarray]:
     keys = keys_buf.value.decode().splitlines()
     if len(keys) != n:
         raise RuntimeError(f"ark key buffer overflow for {path}")
+    if with_file_offsets:
+        return keys, data, offsets, file_offsets[:n]
     return keys, data, offsets

@@ -114,6 +114,18 @@ def load_mat(rxspecifier: str) -> np.ndarray:
 
 def iter_ark(ark_path: str | Path) -> Iterator[tuple[str, np.ndarray]]:
     """Sequentially iterate (key, matrix) records of an archive."""
+    for key, mat, _ in iter_ark_offsets(ark_path):
+        yield key, mat
+
+
+def iter_ark_offsets(
+    ark_path: str | Path,
+) -> Iterator[tuple[str, np.ndarray, int]]:
+    """Like :func:`iter_ark` but also yields each record's byte offset —
+    the position of the binary marker, i.e. exactly the offset an
+    rxspecifier (``path:offset``) written by :class:`ArkWriter` binds to.
+    Lets callers match records against the scp's AUTHORITATIVE offsets,
+    so a stale duplicate key in the same archive cannot win."""
     with open(ark_path, "rb") as f:
         while True:
             key_bytes = bytearray()
@@ -124,10 +136,11 @@ def iter_ark(ark_path: str | Path) -> Iterator[tuple[str, np.ndarray]]:
                 if c == b" ":
                     break
                 key_bytes += c
+            offset = f.tell()
             marker = f.read(2)
             if marker != _BINARY_MARKER:
                 raise ValueError(f"Non-binary ark record for key {key_bytes!r}")
-            yield key_bytes.decode(), _read_matrix(f)
+            yield key_bytes.decode(), _read_matrix(f), offset
 
 
 def read_ark(ark_path: str | Path) -> "OrderedDict[str, np.ndarray]":

@@ -418,3 +418,33 @@ class TestArkKeyBinding:
         len_scp.write_text("\n".join(lines[:-1]) + "\n")
         with pytest.raises(ValueError, match="missing from"):
             FeatureStore(feat_scp, len_scp, min_len=1, verbose=False)
+
+
+class TestSameArkStaleDuplicate:
+    def test_scp_offset_wins_within_one_archive(self, tmp_path, rng):
+        """A partial re-extraction can APPEND a fresh record for a key the
+        same archive already holds; the scp binds the key to the fresh
+        record's offset, and the pack build must honor that binding — not
+        the first same-key record the sequential pass encounters."""
+        from pytorch_scalablefhvae_tpu.utils.kaldi_ark import ArkWriter
+
+        stale = np.zeros((30, 8), np.float32)
+        fresh = rng.standard_normal((30, 8)).astype(np.float32)  # same len
+        ark = tmp_path / "arkA.ark"
+        with ArkWriter(ark, tmp_path / "a.scp") as w:
+            w.write("utt1", stale)
+        # append the fresh record (ArkWriter truncates, so append manually
+        # through a second writer on a temp file)
+        with ArkWriter(tmp_path / "app.ark", tmp_path / "app.scp") as w:
+            w.write("utt1", fresh)
+        base = ark.read_bytes()
+        ark.write_bytes(base + (tmp_path / "app.ark").read_bytes())
+        # the fresh record's offset within arkA = len(base) + its offset
+        # within the appended archive
+        app_off = int((tmp_path / "app.scp").read_text().split(":")[-1])
+        off = len(base) + app_off
+        write_scp(tmp_path / "feats.scp", {"utt1": f"{ark}:{off}"})
+        write_scp(tmp_path / "len.scp", {"utt1": 30})
+        store = FeatureStore(tmp_path / "feats.scp", tmp_path / "len.scp",
+                             min_len=1, verbose=False)
+        np.testing.assert_array_equal(store.sequence(0), fresh)
