@@ -123,3 +123,41 @@ class TestCorruptArk:
         ark.write_bytes(good)
         keys, data, _ = native_read_ark_packed(ark)
         assert keys == ["a", "b"]
+
+
+class TestArkTruncationSweep:
+    def test_every_truncation_errors_or_clean_prefix(self, tmp_path, rng, native):
+        """Truncate a 2-record archive at EVERY byte boundary: the bulk
+        reader must either raise or return exactly the complete-record
+        prefix with bit-correct data — never silently wrong features."""
+        from pytorch_scalablefhvae_tpu.native.binding import (
+            native_read_ark_packed,
+        )
+        from pytorch_scalablefhvae_tpu.utils.kaldi_ark import ArkWriter
+
+        a = rng.standard_normal((3, 4)).astype(np.float32)
+        b = rng.standard_normal((2, 4)).astype(np.float32)
+        ark = tmp_path / "f.ark"
+        with ArkWriter(ark, tmp_path / "f.scp") as w:
+            w.write("a", a)
+            w.write("b", b)
+        full = ark.read_bytes()
+        # end offsets of each complete record
+        rec1_end = full.index(b"b \x00B")
+        cut_points = range(0, len(full))
+        t = tmp_path / "cut.ark"
+        for n in cut_points:
+            t.write_bytes(full[:n])
+            try:
+                keys, data, offs = native_read_ark_packed(t)
+            except RuntimeError:
+                continue  # an error is always acceptable
+            if n < rec1_end:
+                assert keys == [] and data.shape[0] == 0, n
+            elif n < len(full):
+                assert keys == ["a"], n
+                np.testing.assert_array_equal(data, a, err_msg=str(n))
+            else:
+                assert keys == ["a", "b"], n
+                np.testing.assert_array_equal(data[:3], a)
+                np.testing.assert_array_equal(data[3:], b)
