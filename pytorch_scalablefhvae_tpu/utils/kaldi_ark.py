@@ -40,22 +40,33 @@ def _write_matrix(f, mat: np.ndarray) -> None:
     f.write(mat.astype(_TOKEN_DTYPE[token], copy=False).tobytes())
 
 
+def _read_exact(f, n: int) -> bytes:
+    b = f.read(n)
+    if len(b) != n:
+        raise ValueError(
+            f"Truncated Kaldi matrix record (wanted {n} bytes, got {len(b)})")
+    return b
+
+
 def _read_matrix(f) -> np.ndarray:
-    token = f.read(3)
+    token = _read_exact(f, 3)
     if token not in _TOKEN_DTYPE:
         raise ValueError(f"Unsupported Kaldi matrix token {token!r}")
     dtype = _TOKEN_DTYPE[token]
-    # explicit reads + ValueError, never `assert f.read(...)`: python -O
-    # strips asserts INCLUDING their reads, silently corrupting the
-    # stream position
-    m1 = f.read(1)
-    rows = struct.unpack("<i", f.read(4))[0]
-    m2 = f.read(1)
-    cols = struct.unpack("<i", f.read(4))[0]
+    # explicit length-checked reads + ValueError, never `assert f.read(...)`
+    # (python -O strips asserts INCLUDING their reads, silently corrupting
+    # the stream position) and never bare struct.unpack on a short read
+    m1 = _read_exact(f, 1)
+    rows = struct.unpack("<i", _read_exact(f, 4))[0]
+    m2 = _read_exact(f, 1)
+    cols = struct.unpack("<i", _read_exact(f, 4))[0]
     if m1 != b"\x04" or m2 != b"\x04":
         raise ValueError(
             f"Malformed Kaldi matrix header (size markers {m1!r}/{m2!r})")
-    data = np.frombuffer(f.read(rows * cols * dtype.itemsize), dtype=dtype)
+    if rows < 0 or cols <= 0:
+        raise ValueError(f"Malformed Kaldi matrix dims {rows}x{cols}")
+    data = np.frombuffer(
+        _read_exact(f, rows * cols * dtype.itemsize), dtype=dtype)
     return data.reshape(rows, cols)
 
 
@@ -132,6 +143,12 @@ def iter_ark_offsets(
             while True:
                 c = f.read(1)
                 if not c:
+                    if key_bytes:
+                        # EOF mid-key is corruption (a clean archive ends
+                        # exactly at a key start), not a silent end
+                        raise ValueError(
+                            f"Truncated ark record key {bytes(key_bytes)!r} "
+                            f"at end of {ark_path}")
                     return
                 if c == b" ":
                     break

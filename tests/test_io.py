@@ -154,3 +154,34 @@ class TestCorruptArkRejected:
 
         with pytest.raises(ValueError, match="size markers"):
             dict(kaldi_ark.read_ark(ark))
+
+
+class TestPythonArkTruncationSweep:
+    def test_every_truncation_errors_or_clean_prefix(self, tmp_path, rng):
+        """Python-reader mirror of the native sweep: every byte-boundary
+        truncation either raises or yields exactly the complete-record
+        prefix — never silent wrong data (mid-key EOF included)."""
+        from pytorch_scalablefhvae_tpu.utils import kaldi_ark
+
+        a = rng.standard_normal((3, 4)).astype(np.float32)
+        b = rng.standard_normal((2, 4)).astype(np.float32)
+        ark = tmp_path / "f.ark"
+        with kaldi_ark.ArkWriter(ark, tmp_path / "f.scp") as w:
+            w.write("a", a)
+            w.write("b", b)
+        full = ark.read_bytes()
+        rec1_end = full.index(b"b \x00B")
+        t = tmp_path / "cut.ark"
+        for n in range(len(full) + 1):
+            t.write_bytes(full[:n])
+            try:
+                recs = list(kaldi_ark.iter_ark(t))
+            except ValueError:
+                continue
+            if n < rec1_end:
+                assert recs == [], n
+            elif n < len(full):
+                assert [k for k, _ in recs] == ["a"], n
+                np.testing.assert_array_equal(recs[0][1], a)
+            else:
+                assert [k for k, _ in recs] == ["a", "b"], n
