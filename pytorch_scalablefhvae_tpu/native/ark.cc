@@ -76,14 +76,20 @@ int ark_scan(const char* path, int64_t* n_mats, int64_t* total_rows, int32_t* co
 }
 
 // Pass 2: copy every record into `data` (row-major float32, concatenated),
-// fill `row_offsets` (n_mats + 1 entries), `file_offsets` (n_mats entries:
-// each record's \0B-marker byte offset — the rxspecifier offset, letting
-// callers match records against the scp's authoritative bindings; may be
-// null) and newline-joined keys. Returns number of records read, or
-// negative on error (-4: corrupt or unsupported record header mid-archive).
+// fill `row_offsets` (max_mats + 1 entries), `file_offsets` (max_mats
+// entries: each record's \0B-marker byte offset — the rxspecifier offset,
+// letting callers match records against the scp's authoritative bindings;
+// may be null) and newline-joined keys. `max_mats`/`max_rows` are the
+// caller's buffer capacities from the sizing pass (ark_scan): the file can
+// GROW between the two passes (an appending re-extraction), and writing
+// past the capacities would silently corrupt the caller's heap — exceeding
+// them returns -5 instead. Returns number of records read, or negative on
+// error (-4: corrupt or unsupported record header mid-archive; -5: archive
+// larger than the sizing pass saw).
 int64_t ark_read_packed(const char* path, float* data, int64_t* row_offsets,
                         int64_t* file_offsets,
-                        char* keys_out, int64_t keys_cap) {
+                        char* keys_out, int64_t keys_cap,
+                        int64_t max_mats, int64_t max_rows) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return -1;
   std::string key;
@@ -93,6 +99,7 @@ int64_t ark_read_packed(const char* path, float* data, int64_t* row_offsets,
   row_offsets[0] = 0;
   int rc;
   while ((rc = read_record_header(f, &key, &h)) == 1) {
+    if (n >= max_mats || row + h.rows > max_rows) { std::fclose(f); return -5; }
     int64_t count = static_cast<int64_t>(h.rows) * h.cols;
     float* dst = data + row * h.cols;
     if (h.dtype == 'F') {

@@ -79,6 +79,7 @@ def load_native(rebuild: bool = False) -> ctypes.CDLL:
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64,
         ]
         lib.fbank_compute.restype = ctypes.c_int
         lib.fbank_compute.argtypes = [
@@ -167,7 +168,15 @@ def native_read_ark_packed(
         offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         file_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         keys_buf, keys_cap,
+        # buffer capacities from the sizing pass: the file can grow
+        # between ark_scan and this read (appending re-extraction); the
+        # C side stops at these bounds instead of overrunning the heap
+        ctypes.c_int64(n), ctypes.c_int64(rows),
     )
+    if got == -5:
+        raise RuntimeError(
+            f"ark_read_packed({path}): archive grew between the sizing "
+            f"and read passes (concurrent writer?); retry the pack build")
     if got < 0:
         raise RuntimeError(
             f"ark_read_packed({path}) failed with code {got} "

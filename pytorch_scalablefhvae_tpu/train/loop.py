@@ -296,6 +296,7 @@ def run_training(
     # gather segments on device, so per-epoch host->device traffic is one
     # tiny index-plan upload instead of every batch (data/device_store.py)
     from pytorch_scalablefhvae_tpu.data.device_store import (
+        STORE_TAIL_SLACK,
         DeviceDataSource,
         resolve_data_placement,
     )
@@ -437,15 +438,11 @@ def run_training(
         _dev_plan, (_dseq, _dstarts, _dnsegs) = _dev_src.stage_epoch(
             _dev_ds, np.arange(len(_dev_ds)), dev_loader.batch_size,
         )
-        from pytorch_scalablefhvae_tpu.data.device_store import (
-            STORE_TAIL_SLACK as _SLACK,
-        )
-
         _spb = 16
         if (not _dev_ds.rand_seg and mesh is None
                 and dev_loader.batch_size % _spb == 0
                 and (_spb - 1) * _dev_ds.seg_shift + _dev_ds.seg_len
-                <= _SLACK):
+                <= STORE_TAIL_SLACK):
             # the dev MAP pass runs EVERY epoch — use the Pallas
             # chunked-DMA gather (HBM-bandwidth, not the gather unit)
             _dev_padded = int((-(-_dev_ds.nsegs // _spb) * _spb).sum())
@@ -559,15 +556,11 @@ def run_training(
         _spb = 16
         _top = np.sort(np.asarray(train_loader.dataset.nsegs))[-hier_k:]
         _rand = train_loader.dataset.rand_seg
-        from pytorch_scalablefhvae_tpu.data.device_store import (
-            STORE_TAIL_SLACK as _SLACK,
-        )
-
         # the slack gate mirrors make_device_map_pass_chunked's own check,
         # expressed against the SAME constant so the graceful fallback to
         # the array-plan/rows passes cannot drift from the factory's error
         _chunked = (not _rand and mesh is None and _B_map % _spb == 0
-                    and (_spb - 1) * _shift + seg_len <= _SLACK)
+                    and (_spb - 1) * _shift + seg_len <= STORE_TAIL_SLACK)
         _skip = max(getattr(config.train, "map_init_chunk_skip", 8), 1)
         if _chunked:
             # chunk layout: every _skip-th chunk of _spb windows, each

@@ -144,8 +144,9 @@ class TestArkTruncationSweep:
         full = ark.read_bytes()
         # end offsets of each complete record
         rec1_end = full.index(b"b \x00B")
-        cut_points = range(0, len(full))
+        cut_points = range(0, len(full) + 1)  # inclusive: the intact file
         t = tmp_path / "cut.ark"
+        clean_prefix_hits = 0
         for n in cut_points:
             t.write_bytes(full[:n])
             try:
@@ -157,7 +158,12 @@ class TestArkTruncationSweep:
             elif n < len(full):
                 assert keys == ["a"], n
                 np.testing.assert_array_equal(data, a, err_msg=str(n))
+                clean_prefix_hits += 1
             else:
                 assert keys == ["a", "b"], n
                 np.testing.assert_array_equal(data[:3], a)
                 np.testing.assert_array_equal(data[3:], b)
+        # the intact file must parse (the final else actually ran), and at
+        # least the exact record boundary must yield the clean prefix
+        assert keys == ["a", "b"]
+        assert clean_prefix_hits >= 1
