@@ -88,12 +88,16 @@ def add_train_flags(p: argparse.ArgumentParser) -> None:
                    help="Feature-batch dtype shipped host->device; bfloat16 "
                         "halves input-link bytes (model upcasts on entry)")
     p.add_argument("--data-placement", type=str, default="auto",
-                   choices=["host", "device", "auto"],
+                   choices=["host", "device", "stream", "auto"],
                    help="Training-batch source: host loader, device-resident "
                         "packed store (HBM-staged; steps gather on device), "
-                        "or auto (device iff the store fits the budget)")
+                        "stream (chunked double-buffered staging for "
+                        "corpora larger than the budget), or auto (device "
+                        "iff the store fits the budget, else stream)")
     p.add_argument("--device-store-max-bytes", type=int, default=4 << 30,
                    help="auto placement budget for the staged store, bytes")
+    p.add_argument("--stream-chunk-bytes", type=int, default=0,
+                   help="Bytes per streamed chunk (0 = budget // 3)")
     p.add_argument("--epoch-plan", type=str, default="host",
                    choices=["host", "device"],
                    help="Device-resident epoch schedule: host uploads the "
@@ -264,6 +268,7 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
             transfer_dtype=getattr(args, "transfer_dtype", "float32"),
             data_placement=getattr(args, "data_placement", "auto"),
             device_store_max_bytes=getattr(args, "device_store_max_bytes", 4 << 30),
+            stream_chunk_bytes=getattr(args, "stream_chunk_bytes", 0),
             epoch_plan=getattr(args, "epoch_plan", "host"),
             shard_device_store=getattr(args, "shard_device_store", False),
             synthetic_speakers=getattr(args, "synthetic_speakers", 4),

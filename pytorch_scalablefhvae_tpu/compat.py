@@ -237,14 +237,22 @@ def _convert_reference_values(values) -> dict:
     out: dict = {}
     if not isinstance(values, dict):
         return out
+    def per_entry(items) -> dict:
+        # convert entry-by-entry: one corrupt point must not drop the
+        # whole series — partially-corrupt histories keep their valid points
+        conv = {}
+        for ep, x in items:
+            try:
+                conv[int(ep)] = float(x)
+            except (TypeError, ValueError):
+                continue
+        return conv
+
     for k, v in values.items():
-        try:
-            if isinstance(v, dict):
-                out[k] = {int(ep): float(x) for ep, x in v.items()}
-            elif isinstance(v, (list, tuple)):
-                out[k] = {i: float(x) for i, x in enumerate(v)}
-        except (TypeError, ValueError):
-            continue
+        if isinstance(v, dict):
+            out[k] = per_entry(v.items())
+        elif isinstance(v, (list, tuple)):
+            out[k] = per_entry(enumerate(v))
     return out
 
 

@@ -81,12 +81,17 @@ class DataConfig:
     # model upcasts on entry
     transfer_dtype: str = "float32"
     # where training batches come from: "host" (loader ships every batch),
-    # "device" (packed store staged in HBM once; steps gather on device), or
-    # "auto" (device iff the store fits device_store_max_bytes). Device
-    # placement drops per-epoch host->device traffic to one index-plan
-    # upload; legacy mode always uses the host loader.
+    # "device" (packed store staged in HBM once; steps gather on device),
+    # "stream" (chunked double-buffered staging for corpora larger than the
+    # budget; link carries each frame once per epoch, windows materialize
+    # on device — data/stream_store.py), or "auto" (device iff the store
+    # fits device_store_max_bytes, else stream; legacy and hierarchical
+    # runs fall back to host).
     data_placement: str = "auto"
     device_store_max_bytes: int = 4 << 30
+    # bytes per streamed chunk (0 = device_store_max_bytes // 3: two staged
+    # chunks plus a draining dispatch's references stay within budget)
+    stream_chunk_bytes: int = 0
     # how the per-epoch segment schedule is produced on the device-resident
     # path: "host" uploads the shuffled index plan (O(segments) int32 per
     # epoch/round; bit-identical to the host loader's order, which the

@@ -177,6 +177,10 @@ def native_read_ark_packed(
         raise RuntimeError(
             f"ark_read_packed({path}): archive grew between the sizing "
             f"and read passes (concurrent writer?); retry the pack build")
+    if got == -3:
+        raise RuntimeError(
+            f"ark_read_packed({path}) failed with code -3 "
+            f"(truncated record payload: the archive ends mid-matrix)")
     if got < 0:
         raise RuntimeError(
             f"ark_read_packed({path}) failed with code {got} "

@@ -93,6 +93,7 @@ def read_checkpoint_meta(checkpoint_file: str | Path) -> dict:
 def load_any_checkpoint(
     checkpoint_file: str | Path, template_state: TrainState,
     finetune: bool = False, expected_num_seqs: int | None = None,
+    expected_fingerprint: str | None = None,
 ) -> tuple[TrainState, dict]:
     """Backend-dispatching load: .orbax directories or .npz files."""
     if str(checkpoint_file).endswith(".orbax"):
@@ -100,9 +101,28 @@ def load_any_checkpoint(
 
         return load_checkpoint_orbax(checkpoint_file, template_state,
                                      finetune=finetune,
-                                     expected_num_seqs=expected_num_seqs)
+                                     expected_num_seqs=expected_num_seqs,
+                                     expected_fingerprint=expected_fingerprint)
     return load_checkpoint(checkpoint_file, template_state, finetune=finetune,
-                           expected_num_seqs=expected_num_seqs)
+                           expected_num_seqs=expected_num_seqs,
+                           expected_fingerprint=expected_fingerprint)
+
+
+def corpus_fingerprint(seq_keys) -> str:
+    """Cheap order-sensitive fingerprint of a corpus's sequence-key list.
+
+    The mu2 table pairs row i with sequence i BY POSITION, so two corpora
+    with the same sequence count but different (or reordered) keys must not
+    resume into each other — the count-only check cannot see that. Persisted
+    in the sidecar and compared by :func:`check_same_corpus` (skip-if-absent
+    for old checkpoints)."""
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=16)
+    for k in seq_keys:
+        h.update(str(k).encode())
+        h.update(b"\n")
+    return h.hexdigest()
 
 
 def finalize_load_meta(meta: dict, finetune: bool) -> dict:
@@ -130,7 +150,8 @@ def mu2_rows_adaptable(path_str: str, saved_shape, t_shape) -> bool:
 
 
 def check_same_corpus(meta: dict, expected_num_seqs: int | None,
-                      finetune: bool, checkpoint_file) -> None:
+                      finetune: bool, checkpoint_file,
+                      expected_fingerprint: str | None = None) -> None:
     """Refuse resuming (non-finetune) onto a different corpus.
 
     The mu2 table is per-sequence state: row i holds sequence i's posterior
@@ -150,6 +171,17 @@ def check_same_corpus(meta: dict, expected_num_seqs: int | None,
             f"--finetune to reuse the encoder/decoder weights with a fresh "
             f"table."
         )
+    saved_fp = meta.get("corpus_fingerprint")
+    if (not finetune and saved_fp is not None
+            and expected_fingerprint is not None
+            and saved_fp != expected_fingerprint):
+        raise ValueError(
+            f"Checkpoint {checkpoint_file} was trained on a corpus whose "
+            f"ordered sequence-key list differs from this run's (same count "
+            f"does not mean same corpus): the mu2 table pairs rows with "
+            f"sequences by position. Use --finetune to reuse the "
+            f"encoder/decoder weights with a fresh table."
+        )
 
 
 def load_checkpoint(
@@ -157,6 +189,7 @@ def load_checkpoint(
     template_state: TrainState,
     finetune: bool = False,
     expected_num_seqs: int | None = None,
+    expected_fingerprint: str | None = None,
 ) -> tuple[TrainState, dict]:
     """Restore a TrainState from ``<name>.npz`` (+ sidecar JSON).
 
@@ -176,7 +209,8 @@ def load_checkpoint(
     """
     checkpoint_file = Path(checkpoint_file)
     meta = read_checkpoint_meta(checkpoint_file)
-    check_same_corpus(meta, expected_num_seqs, finetune, checkpoint_file)
+    check_same_corpus(meta, expected_num_seqs, finetune, checkpoint_file,
+                      expected_fingerprint)
     with np.load(checkpoint_file) as z:
         leaves = [z[f"leaf_{i}"] for i in range(meta["num_leaves"])]
 

@@ -276,6 +276,10 @@ def run_training(
     start_epoch = 0
     best_epoch, best_val_lb = 0, -np.inf
     history = MetricHistory()
+    # order-sensitive corpus identity: saved in every sidecar and compared
+    # on resume — a different corpus with the SAME sequence count must not
+    # silently pair its sequences with the table's unrelated rows
+    corpus_fp = ckpt.corpus_fingerprint(ds.store.seq_keys)
     if continue_from is not None:
         # expected_num_seqs: a non-finetune resume onto a different corpus
         # must raise — the mu2 table is per-sequence state (--finetune is
@@ -284,7 +288,8 @@ def run_training(
         # at the next round turnover, so a changed K is layout, not state.
         state, meta = ckpt.load_any_checkpoint(
             continue_from, state, finetune=finetune,
-            expected_num_seqs=None if hier else num_seqs)
+            expected_num_seqs=None if hier else num_seqs,
+            expected_fingerprint=None if hier else corpus_fp)
         start_epoch = meta["start_epoch"]
         best_epoch = meta.get("best_epoch", 0)
         best_val_lb = meta.get("best_val_lb", -np.inf)
@@ -294,31 +299,35 @@ def run_training(
 
     # device-resident data path: stage the packed store in HBM once; steps
     # gather segments on device, so per-epoch host->device traffic is one
-    # tiny index-plan upload instead of every batch (data/device_store.py)
+    # tiny index-plan upload instead of every batch (data/device_store.py).
+    # Corpora larger than the budget stream through HBM in double-buffered
+    # sequence-aligned chunks instead (data/stream_store.py): the link
+    # carries each frame once per epoch, windows still materialize on device.
     from pytorch_scalablefhvae_tpu.data.device_store import (
         STORE_TAIL_SLACK,
         DeviceDataSource,
-        resolve_data_placement,
+    )
+    from pytorch_scalablefhvae_tpu.data.stream_store import (
+        StreamingDeviceSource,
+        resolve_data_mode,
     )
 
-    use_device_data = resolve_data_placement(
+    data_mode = resolve_data_mode(
         config.data.data_placement, ds.store, mesh,
         shard_store=config.data.shard_device_store,
         max_bytes=config.data.device_store_max_bytes,
         legacy=config.train.legacy,
         store_dtype=config.data.transfer_dtype,
+        hierarchical=hier,
     )
+    use_device_data = data_mode == "device"
     device_source = None
-    device_step_k = device_step_1 = None
-    if use_device_data:
+    stream_source = None
+    if data_mode in ("device", "stream"):
         from pytorch_scalablefhvae_tpu.train.device_step import (
             make_device_train_step,
         )
 
-        device_source = DeviceDataSource(
-            ds.store, mesh, shard_store=config.data.shard_device_store,
-            store_dtype=config.data.transfer_dtype,
-        )
         _device_steps: dict[int, Any] = {}
 
         def device_step_for(k: int):
@@ -333,11 +342,31 @@ def run_training(
                     donate=config.train.donate_state,
                 )
             return _device_steps[k]
+    if use_device_data:
+        device_source = DeviceDataSource(
+            ds.store, mesh, shard_store=config.data.shard_device_store,
+            store_dtype=config.data.transfer_dtype,
+        )
         if verbose:
             mb = ds.store.data.shape[0] * ds.store.dim * (
                 2 if config.data.transfer_dtype == "bfloat16" else 4) / 1e6
             print(f"Training data device-resident ({mb:.0f} MB staged"
                   f"{', row-sharded' if config.data.shard_device_store and mesh is not None else ''})")
+    elif data_mode == "stream":
+        chunk_bytes = (config.data.stream_chunk_bytes
+                       or max(config.data.device_store_max_bytes // 3, 1))
+        stream_source = StreamingDeviceSource(
+            ds, chunk_bytes, train_loader.batch_size,
+            round_to=max(config.train.steps_per_dispatch, 1), mesh=mesh,
+            shard_store=config.data.shard_device_store,
+            store_dtype=config.data.transfer_dtype,
+        )
+        if verbose:
+            mb = (stream_source.chunk_rows * ds.store.dim
+                  * stream_source.dtype.itemsize) / 1e6
+            print(f"Training data streams through HBM "
+                  f"({len(stream_source.chunks)} chunks of {mb:.0f} MB, "
+                  f"double-buffered)")
 
     if mesh is not None:
         from pytorch_scalablefhvae_tpu.parallel import shard_batch as _shard_batch
@@ -411,9 +440,18 @@ def run_training(
     # and run both per-epoch passes (MAP encode + scoring) as one dispatched
     # program each, instead of re-shipping the whole dev split every epoch.
     dev_device = None
+    from pytorch_scalablefhvae_tpu.data.device_store import (
+        resolve_data_placement,
+    )
+
     _itemsize = 2 if config.data.transfer_dtype == "bfloat16" else 4
-    _train_staged = ds.store.data.shape[0] * ds.store.dim * _itemsize
-    if use_device_data and resolve_data_placement(
+    if stream_source is not None:
+        # streamed runs keep <= 2 chunks staged plus a draining dispatch's
+        # references; budget the dev split against that bound
+        _train_staged = 3 * stream_source.chunk_rows * ds.store.dim * _itemsize
+    else:
+        _train_staged = ds.store.data.shape[0] * ds.store.dim * _itemsize
+    if (use_device_data or stream_source is not None) and resolve_data_placement(
         # opportunistic ("auto" even under forced device placement — dev
         # staging must never OOM a run whose train store barely fits) and
         # budgeted against what the train store already staged
@@ -639,7 +677,9 @@ def run_training(
         if verbose:
             print("Epoch plans derive on device (upload: one PRNG key)")
     elif config.data.epoch_plan == "device" and verbose:
-        print("epoch_plan=device ignored: training data is host-resident")
+        print("epoch_plan=device ignored: training data is "
+              + ("chunk-streamed (plans are per-chunk, host-derived)"
+                 if stream_source is not None else "host-resident"))
 
     hier_round_epochs = max(
         getattr(config.train, "hierarchical_round_epochs", 1), 1)
@@ -773,7 +813,40 @@ def run_training(
             # complete, so the fetch never drains the pipeline)
             return dispatch_losses_diverged(np.asarray(step_losses[-2]))
 
-        if use_device_data:
+        if stream_source is not None:
+            # streaming path: chunks double-buffer through HBM (the next
+            # chunk's transfer is dispatched before the current chunk's
+            # batches are consumed); within a chunk the dispatch structure
+            # mirrors the device-resident path exactly
+            k_dev = max(config.train.steps_per_dispatch, 1)
+            B = epoch_loader.batch_size
+            step_k = device_step_for(k_dev)
+            for plan, chunk_dev, seq_dev, starts_dev in (
+                    stream_source.epoch_batches(
+                        config.train.seed + 1_000_003 * epoch)):
+                counts_all = plan.batch_real_counts()
+                n_real = np.int32(plan.n_real)
+                groups = plan.n_batches // k_dev
+                tail = plan.n_batches % k_dev
+
+                def _stream_dispatch(state, step_fn, base, n_batches):
+                    state, metrics = step_fn(
+                        state, chunk_dev, seq_dev, starts_dev,
+                        stream_source.nsegs_tab, np.int32(base * B), n_real)
+                    step_losses.append(metrics["loss"])
+                    step_counts.extend(counts_all[base : base + n_batches])
+                    if len(step_losses) >= 2 and _prev_dispatch_diverged():
+                        result.state, result.diverged, result.last_epoch = (
+                            state, True, epoch)
+                        _divergence_abort()
+                    return state
+
+                for g in range(groups):
+                    state = _stream_dispatch(state, step_k, g * k_dev, k_dev)
+                if tail:
+                    state = _stream_dispatch(
+                        state, device_step_for(tail), groups * k_dev, tail)
+        elif use_device_data:
             # device-resident path: upload the epoch's index plan, then every
             # dispatch reads HBM only (base offset + real count are scalars).
             # Divergence is checked on the PREVIOUS dispatch's loss, like the
@@ -927,6 +1000,7 @@ def run_training(
             "values": history.to_json_dict(),
             "summary_vals": {k: float(v) for k, v in scalars.items()},
             "num_seqs": num_seqs, "feat_dim": dim, "seg_len": seg_len,
+            "corpus_fingerprint": corpus_fp,
         }
         if config.train.ckpt_backend == "orbax":
             from pytorch_scalablefhvae_tpu.train.orbax_backend import (
@@ -949,7 +1023,9 @@ def run_training(
                 best_val_lb=best_val_lb,
                 values=history.to_json_dict(),
                 summary_vals=ckpt_meta["summary_vals"],
-                extra_meta={"num_seqs": num_seqs, "feat_dim": dim, "seg_len": seg_len},
+                extra_meta={"num_seqs": num_seqs, "feat_dim": dim,
+                            "seg_len": seg_len,
+                            "corpus_fingerprint": corpus_fp},
             )
 
         result = TrainResult(state, best_epoch, best_val_lb, epoch, history)

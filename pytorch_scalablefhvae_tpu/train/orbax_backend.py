@@ -105,6 +105,7 @@ def load_checkpoint_orbax(
     template_state: TrainState,
     finetune: bool = False,
     expected_num_seqs: int | None = None,
+    expected_fingerprint: str | None = None,
 ) -> tuple[TrainState, dict]:
     wait_for_saves()  # the checkpoint may still be committing
     checkpoint_path = Path(checkpoint_path).resolve()
@@ -147,7 +148,8 @@ def load_checkpoint_orbax(
     )
     from pytorch_scalablefhvae_tpu.train.checkpoint import check_same_corpus
 
-    check_same_corpus(meta, expected_num_seqs, finetune, checkpoint_path)
+    check_same_corpus(meta, expected_num_seqs, finetune, checkpoint_path,
+                      expected_fingerprint)
     ckptr = _checkpointer()
     # the saved (possibly mesh-padded) mu2 row count: orbax's own array
     # metadata is authoritative and works for any sidecar vintage; the
