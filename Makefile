@@ -2,7 +2,7 @@
 # to obtain compute-fbank-feats; here `make native` builds the in-tree C++
 # equivalents in one compiler invocation).
 
-.PHONY: native native-asan test bench quality clean
+.PHONY: native native-asan test test-all bench quality clean
 
 native:
 	python -c "from pytorch_scalablefhvae_tpu.native.binding import build_native; print(build_native(rebuild=True))"
@@ -10,7 +10,12 @@ native:
 native-asan:
 	python -c "from pytorch_scalablefhvae_tpu.native.binding import build_native; print(build_native(rebuild=True, sanitize=True))"
 
+# fast gate: skips the `slow`-marked compile-heavy tiers (<5 min on a
+# 1-core CPU box); `test-all` is the full pyramid
 test:
+	python -m pytest tests/ -q -m "not slow"
+
+test-all:
 	python -m pytest tests/ -q
 
 bench:

@@ -157,6 +157,8 @@ class TestConfigFlagCompleteness:
             ("data", "data_placement"): (["--data-placement", "device"], "device"),
             ("data", "device_store_max_bytes"): (
                 ["--device-store-max-bytes", "1024"], 1024),
+            ("data", "stream_chunk_bytes"): (
+                ["--stream-chunk-bytes", "4096"], 4096),
             ("data", "shard_device_store"): (["--shard-device-store"], True),
             ("data", "epoch_plan"): (["--epoch-plan", "device"], "device"),
             ("data", "train_list"): (["--train-list", "train-other-500"],

@@ -215,6 +215,7 @@ def final_params(corpus, tmp_path, placement, **kw):
     return res
 
 
+@pytest.mark.slow
 class TestHostDeviceEquivalence:
     def test_same_parameter_trajectory(self, corpus, tmp_path):
         """Same seed + same permutation => same trained params, K=1."""
@@ -272,6 +273,7 @@ class TestHostDeviceEquivalence:
             )
 
 
+@pytest.mark.slow
 class TestDeviceEpochPlanTraining:
     """--epoch-plan device: full runs with in-graph epoch schedules."""
 
@@ -309,6 +311,7 @@ class TestDeviceEpochPlanTraining:
         ).all()
 
 
+@pytest.mark.slow
 class TestMesh:
     def test_device_data_on_mesh(self, corpus, tmp_path):
         dev = final_params(corpus, tmp_path, "device", mesh_shape=(4, 2))
@@ -366,6 +369,7 @@ class TestMesh:
         ).all()
 
 
+@pytest.mark.slow
 class TestDeviceMapPass:
     """make_device_map_pass: the single-dispatch MAP table vs the host path."""
 

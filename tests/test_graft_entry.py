@@ -17,6 +17,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import __graft_entry__ as graft  # noqa: E402
 
+pytestmark = pytest.mark.slow  # subprocess jax bootstraps + mesh compiles
+
 
 def test_entry_compiles_and_runs():
     fn, args = graft.entry()

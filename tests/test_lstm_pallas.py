@@ -14,6 +14,8 @@ import pytest
 from pytorch_scalablefhvae_tpu.models.fhvae import init_lstm_stack, run_lstm
 from pytorch_scalablefhvae_tpu.ops.lstm_pallas import lstm2_pallas
 
+pytestmark = pytest.mark.slow  # compile-heavy: interpret-mode Pallas kernels
+
 
 def _params(key, d_in=12, hid=16):
     return init_lstm_stack(jax.random.PRNGKey(key), d_in, (hid, hid))

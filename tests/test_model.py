@@ -151,6 +151,7 @@ class TestSimpleFHVAE:
             build_model("nope", T * F, cfg, NUM_SEQS)
 
 
+@pytest.mark.slow
 class TestRecurrentFHVAE:
     def test_forward_shapes_and_grads(self, rng):
         model = FHVAE(input_size=T * F, num_seqs=NUM_SEQS, feat_dim=F,
@@ -181,6 +182,7 @@ class TestRecurrentFHVAE:
         assert np.isfinite(np.asarray(x_sample)).all()
 
 
+@pytest.mark.slow
 class TestScanUnroll:
     def test_unroll_factor_does_not_change_lstm_math(self, rng):
         """scan_unroll is a scheduling knob (XLA software-pipelining of the

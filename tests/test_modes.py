@@ -23,6 +23,8 @@ from pytorch_scalablefhvae_tpu.train.step import (
     make_train_step,
 )
 
+pytestmark = pytest.mark.slow  # compile-heavy: end-to-end runs per mode
+
 
 def cfg_for(tmp_path, *, features=None, data_extra=None, model_extra=None, train_extra=None):
     return ExperimentConfig(

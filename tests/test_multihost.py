@@ -10,6 +10,8 @@ import pytest
 from pytorch_scalablefhvae_tpu.cli.main import _maybe_init_multihost
 from pytorch_scalablefhvae_tpu.parallel.mesh import validate_multihost_mesh
 
+pytestmark = pytest.mark.slow  # spawns subprocess jax.distributed workers
+
 
 class TestMultihostInit:
     def _args(self, multihost=False, mesh=None):

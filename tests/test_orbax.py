@@ -25,6 +25,8 @@ from pytorch_scalablefhvae_tpu.train.step import (
     make_train_step,
 )
 
+pytestmark = pytest.mark.slow  # compile-heavy: full loop runs with async saves
+
 B, T, F, NUM_SEQS = 8, 20, 8, 6
 
 

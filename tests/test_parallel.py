@@ -29,6 +29,8 @@ from pytorch_scalablefhvae_tpu.train.step import (
     make_train_step,
 )
 
+pytestmark = pytest.mark.slow  # compile-heavy: mesh-compiled step equivalence runs
+
 B, T, F, NUM_SEQS = 16, 20, 8, 8
 
 

@@ -30,6 +30,8 @@ from pytorch_scalablefhvae_tpu.parallel.mesh import (
 from pytorch_scalablefhvae_tpu.parallel.sharded_step import make_sharded_train_step
 from pytorch_scalablefhvae_tpu.train.step import create_train_state, make_optimizer
 
+pytestmark = pytest.mark.slow  # compile-heavy: 281k-row sharded-table programs
+
 LARGE_N = 281_241  # LibriSpeech-960 train utterance count
 B, T, F, Z = 64, 8, 4, 4
 
