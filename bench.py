@@ -282,6 +282,71 @@ def bench_device_resident(k_dispatch: int = 64, epochs: int = 3,
     return best
 
 
+def bench_stream(k_dispatch: int = 64, epochs: int = 3,
+                 num_seqs: int = 1600, frames: int = 250,
+                 transfer_dtype: str = "float32",
+                 n_chunks: int = 4) -> tuple[float, float]:
+    """End-to-end epochs through the STREAMING tier with the chunk budget
+    forced below the store size — the oversized-corpus configuration
+    (BASELINE config 4: the pack does not fit HBM). Chunks double-buffer
+    through HBM while the train step consumes the previous chunk's segments
+    in-graph; the link carries each frame once per epoch instead of the
+    host loader's seg_len/seg_shift-fold overlapping windows.
+
+    Returns (best-of-epochs segments/sec, link bytes shipped per segment).
+    """
+    from pytorch_scalablefhvae_tpu.data.feature_store import FeatureStore
+    from pytorch_scalablefhvae_tpu.data.segments import SegmentDataset
+    from pytorch_scalablefhvae_tpu.data.stream_store import StreamingDeviceSource
+    from pytorch_scalablefhvae_tpu.models import SimpleFHVAE
+    from pytorch_scalablefhvae_tpu.train.device_step import make_device_train_step
+    from pytorch_scalablefhvae_tpu.train.step import create_train_state, make_optimizer
+
+    rng = np.random.default_rng(0)
+    store = FeatureStore.from_arrays({
+        f"s{i}": rng.standard_normal((frames, N_MELS)).astype(np.float32)
+        for i in range(num_seqs)
+    })
+    ds = SegmentDataset(store, seg_len=SEG_LEN, seg_shift=8)
+    itemsize = 2 if transfer_dtype == "bfloat16" else 4
+    chunk_bytes = store.data.shape[0] * store.dim * itemsize // n_chunks + 1
+    src = StreamingDeviceSource(ds, chunk_bytes, BATCH, round_to=k_dispatch,
+                                store_dtype=transfer_dtype)
+    model = SimpleFHVAE(input_size=SEG_LEN * N_MELS, num_seqs=num_seqs)
+    optimizer = make_optimizer(1e-3, 0.95, 0.999)
+    state = create_train_state(model, optimizer, seed=0)
+    steps = {}
+
+    def step_for(k):
+        if k not in steps:
+            steps[k] = make_device_train_step(model, optimizer, ALPHA,
+                                              SEG_LEN, BATCH, k)
+        return steps[k]
+
+    def run_epoch(state, epoch):
+        segs, m = 0, None
+        for plan, chunk, seq_d, starts_d, _ in src.epoch_batches(epoch):
+            n_real = np.int32(plan.n_real)
+            base = 0
+            while base < plan.n_batches:
+                nb = min(k_dispatch, plan.n_batches - base)
+                state, m = step_for(nb)(
+                    state, chunk, seq_d, starts_d, src.nsegs_tab,
+                    np.int32(base * BATCH), n_real)
+                base += nb
+            segs += plan.n_real
+        float(np.asarray(m["loss"]).ravel()[-1])  # real host sync
+        return state, segs
+
+    state, total = run_epoch(state, 0)  # warmup/compile
+    best = 0.0
+    for e in range(epochs):
+        t0 = time.perf_counter()
+        state, segs = run_epoch(state, e + 1)
+        best = max(best, segs / (time.perf_counter() - t0))
+    return best, src.host_bytes_per_epoch() / total
+
+
 def bench_fbank_mframes(use_pallas: str, n_frames: int = 6400,
                         iters: int = 64) -> float:
     """On-device frame->log-mel rate (Mframes/s): the fused Pallas kernel
@@ -871,8 +936,25 @@ def main() -> None:
                 bench_end_to_end(host_only=True), 1
             )
             extras["input_link_MB_per_s"] = round(bench_input_link_MBps(), 1)
+            # the host loader ships every overlapping window: bytes/seg is
+            # seg_len*dim*itemsize regardless of schedule
+            extras["host_path_bytes_per_seg"] = SEG_LEN * N_MELS * 4
         except Exception as e:
             print(f"# end-to-end bench failed: {e}")
+        # streaming tier (oversized-corpus configuration): the chunk budget
+        # is forced below the store size, so the pack double-buffers through
+        # HBM — each frame crosses the link once per epoch and the windows
+        # materialize on device (data/stream_store.py)
+        try:
+            sps, bps = bench_stream(k_dispatch=64)
+            extras["end_to_end_oversized_sps"] = round(sps, 1)
+            extras["stream_bytes_per_seg"] = round(bps, 1)
+            sps16, bps16 = bench_stream(k_dispatch=64,
+                                        transfer_dtype="bfloat16")
+            extras["end_to_end_oversized_bf16_sps"] = round(sps16, 1)
+            extras["stream_bf16_bytes_per_seg"] = round(bps16, 1)
+        except Exception as e:
+            print(f"# stream bench failed: {e}")
         try:
             extras["fbank_jnp_mframes_per_s"] = round(
                 bench_fbank_mframes("never"), 1)

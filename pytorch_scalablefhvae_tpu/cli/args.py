@@ -97,7 +97,7 @@ def add_train_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--device-store-max-bytes", type=int, default=4 << 30,
                    help="auto placement budget for the staged store, bytes")
     p.add_argument("--stream-chunk-bytes", type=int, default=0,
-                   help="Bytes per streamed chunk (0 = budget // 3)")
+                   help="Bytes per streamed chunk (0 = budget // 4)")
     p.add_argument("--epoch-plan", type=str, default="host",
                    choices=["host", "device"],
                    help="Device-resident epoch schedule: host uploads the "
@@ -209,6 +209,14 @@ def add_train_flags(p: argparse.ArgumentParser) -> None:
                    help="Bundle K optimizer steps per XLA dispatch (lax.scan)")
     p.add_argument("--ckpt-backend", type=str, default="npz", choices=["npz", "orbax"],
                    help="Checkpoint backend: portable npz or async sharded orbax")
+    p.add_argument("--ckpt-every-steps", type=int, default=0,
+                   help="Also checkpoint every N optimizer steps mid-epoch "
+                        "(0 = per epoch only); resume continues mid-epoch "
+                        "from the saved plan cursor")
+    p.add_argument("--max-steps", type=int, default=0,
+                   help="Stop after N optimizer steps (global), saving a "
+                        "mid-epoch checkpoint at the boundary (0 = run to "
+                        "the epoch budget)")
     p.add_argument("--debug-nans", action="store_true",
                    help="Enable jax_debug_nans (traps the first NaN-producing op)")
     p.add_argument("--multihost", action="store_true",
@@ -308,6 +316,8 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
             log_interval=getattr(args, "log_interval", 200),
             sample_hierarchical=getattr(args, "sample_hierarchical", False),
             ckpt_backend=getattr(args, "ckpt_backend", "npz"),
+            ckpt_every_steps=getattr(args, "ckpt_every_steps", 0),
+            max_steps=getattr(args, "max_steps", 0),
             steps_per_dispatch=getattr(args, "steps_per_dispatch", 1),
             num_hierarchical_sequences=getattr(args, "num_hierarchical_sequences", 5000),
             hierarchical_round_epochs=getattr(

@@ -89,8 +89,9 @@ class DataConfig:
     # runs fall back to host).
     data_placement: str = "auto"
     device_store_max_bytes: int = 4 << 30
-    # bytes per streamed chunk (0 = device_store_max_bytes // 3: two staged
-    # chunks plus a draining dispatch's references stay within budget)
+    # bytes per streamed chunk (0 = device_store_max_bytes // 4: two staged
+    # chunks plus a draining dispatch's references stay within budget, with
+    # a quarter left for the staged dev split)
     stream_chunk_bytes: int = 0
     # how the per-epoch segment schedule is produced on the device-resident
     # path: "host" uploads the shuffled index plan (O(segments) int32 per
@@ -209,6 +210,18 @@ class TrainConfig:
     steps_per_dispatch: int = 1
     # checkpointing: "npz" (portable single-file) | "orbax" (async sharded)
     ckpt_backend: str = "npz"
+    # mid-epoch checkpoint cadence: save every N optimizer steps (0 = per
+    # epoch only, the reference's cadence, utils.py:116-152). At corpus
+    # scale an epoch is hours; the cadence bounds preemption loss. The
+    # sidecar records the epoch-plan cursor (epoch + batches done), so a
+    # resume re-derives the same deterministic schedule and continues
+    # mid-epoch with the identical trajectory. Not supported with legacy
+    # step-epochs or hierarchical rounds (their schedules are not pure
+    # functions of (seed, epoch)).
+    ckpt_every_steps: int = 0
+    # stop after this many optimizer steps (global counter), saving a
+    # mid-epoch checkpoint at the boundary; 0 = run to the epoch budget
+    max_steps: int = 0
     # parallelism: data-parallel and mu2-table (model) mesh axes
     mesh_shape: tuple[int, ...] = (1, 1)  # (data, model)
     donate_state: bool = True

@@ -129,16 +129,22 @@ class SegmentLoader:
             n_real=real,
         )
 
-    def _batches_indices(self) -> Iterator[np.ndarray]:
+    def _batches_indices(self, start_batch: int = 0) -> Iterator[np.ndarray]:
         order = self._order()
         n = len(order)
         stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
-        for s in range(0, stop, self.batch_size):
+        for s in range(start_batch * self.batch_size, stop, self.batch_size):
             yield order[s : s + self.batch_size]
 
     def __iter__(self) -> Iterator[Batch]:
+        return self.batches_from(0)
+
+    def batches_from(self, start_batch: int) -> Iterator[Batch]:
+        """Iterate the epoch from batch ``start_batch`` (mid-epoch resume:
+        the skipped batches are never assembled — the deterministic order
+        is just sliced past them)."""
         if self.prefetch <= 0:
-            for idx in self._batches_indices():
+            for idx in self._batches_indices(start_batch):
                 yield self._assemble(idx)
             return
 
@@ -159,7 +165,7 @@ class SegmentLoader:
 
         def producer():
             try:
-                for idx in self._batches_indices():
+                for idx in self._batches_indices(start_batch):
                     if not _put(self._assemble(idx)):
                         return
             except BaseException as e:  # surface in the consumer, never

@@ -231,21 +231,33 @@ class StreamingDeviceSource:
                          n_rows=n_real + (-n_real) % self.batch_size)
         return plan, seq_pad, start_pad
 
-    def epoch_batches(self, epoch_seed: int):
-        """Yield ``(plan, chunk_dev, seq_dev, starts_dev)`` per chunk, with
-        the NEXT chunk's transfer already dispatched before the current one
-        is yielded — staging overlaps the consumer's train dispatches."""
+    def epoch_batches(self, epoch_seed: int, skip_batches: int = 0):
+        """Yield ``(plan, chunk_dev, seq_dev, starts_dev, start_batch)`` per
+        chunk, with the NEXT chunk's transfer already dispatched before the
+        current one is yielded — staging overlaps the consumer's train
+        dispatches.
+
+        ``skip_batches``: mid-epoch resume cursor — chunks whose batches are
+        entirely behind it are dropped WITHOUT staging; the first surviving
+        chunk carries the within-chunk ``start_batch`` offset.
+        """
         schedule = self.epoch_schedule(epoch_seed)
 
-        def stage(item):
+        def stage(item, start_batch):
             spec, order = item
             plan, seq_np, starts_np = self._plan_for(spec, order)
             return (plan, self._stage_chunk(spec),
-                    self._put_plan(seq_np), self._put_plan(starts_np))
+                    self._put_plan(seq_np), self._put_plan(starts_np),
+                    start_batch)
 
         prev = None
-        for item in schedule:
-            cur = stage(item)
+        for spec, order in schedule:
+            n_batches = -(-len(order) // self.batch_size)
+            if skip_batches >= n_batches:
+                skip_batches -= n_batches
+                continue
+            cur = stage((spec, order), skip_batches)
+            skip_batches = 0
             if prev is not None:
                 yield prev
             prev = cur

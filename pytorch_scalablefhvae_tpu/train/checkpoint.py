@@ -44,14 +44,17 @@ def save_checkpoint(
     values: dict,
     summary_vals: dict | None = None,
     extra_meta: dict | None = None,
+    suffix: str = "",
 ) -> Path:
     """Write ``<model>_<run_info>_e<epoch>.npz`` (+ ``best_model_`` copy).
 
-    Naming parity with reference utils.py:148-152.
+    Naming parity with reference utils.py:148-152. ``suffix`` distinguishes
+    mid-epoch step-cadence checkpoints (``_e<epoch>s<batches>``); those never
+    produce a best-model copy (the best decision is an epoch-level one).
     """
     checkpoint_dir = Path(checkpoint_dir)
     checkpoint_dir.mkdir(parents=True, exist_ok=True)
-    f_str = f"{model_type}_{run_info}_e{epoch}"
+    f_str = f"{model_type}_{run_info}_e{epoch}{suffix}"
     npz_path = checkpoint_dir / f"{f_str}.npz"
     meta_path = checkpoint_dir / f"{f_str}.json"
 
@@ -72,10 +75,30 @@ def save_checkpoint(
         meta.update(extra_meta)
     meta_path.write_text(json.dumps(meta, indent=2))
 
-    if best_epoch == epoch:
+    if best_epoch == epoch and not suffix:
         shutil.copyfile(npz_path, checkpoint_dir / f"best_model_{f_str}.npz")
         shutil.copyfile(meta_path, checkpoint_dir / f"best_model_{f_str}.json")
     return npz_path
+
+
+def cleanup_mid_epoch(checkpoint_dir: str | Path, model_type: str,
+                      run_info: str, upto_epoch: int) -> None:
+    """Delete this run's mid-epoch step-cadence checkpoints for epochs
+    ``<= upto_epoch`` — once the epoch checkpoint is committed they are
+    redundant. Handles both backends (``.npz``+``.json`` files and
+    ``.orbax`` directories). Callers flush async saves first."""
+    import re
+
+    checkpoint_dir = Path(checkpoint_dir)
+    pat = re.compile(
+        re.escape(f"{model_type}_{run_info}_e") + r"(\d+)s\d+\.(npz|json|orbax)$")
+    for p in checkpoint_dir.glob(f"{model_type}_{run_info}_e*s*"):
+        m = pat.match(p.name)
+        if m and int(m.group(1)) <= upto_epoch:
+            if p.is_dir():
+                shutil.rmtree(p, ignore_errors=True)
+            else:
+                p.unlink(missing_ok=True)
 
 
 def _adapt_rows(arr: np.ndarray, rows: int) -> np.ndarray:
@@ -255,7 +278,9 @@ def load_checkpoint(
 
 
 def _epoch_of(path: Path) -> int:
-    """Parse the epoch number from ``<...>_e<N>.<ext>``."""
+    """Parse the epoch number from ``<...>_e<N>.<ext>``. Mid-epoch cadence
+    checkpoints (``_e<N>s<B>``) and unparseable names return -1 — epoch
+    listings must not surface partial-epoch state as an epoch."""
     stem = path.name
     for suffix in (".npz", ".orbax"):
         if stem.endswith(suffix):
@@ -317,11 +342,13 @@ def find_epoch_checkpoint(exp_dir: str | Path, step: int) -> Path:
     indices count from the end, python-style)."""
     exp_dir = Path(exp_dir)
     matches = sorted(
-        (p for p in exp_dir.glob("*_e*.npz") if not p.name.startswith("best_model_")),
+        (p for p in exp_dir.glob("*_e*.npz")
+         if not p.name.startswith("best_model_") and _epoch_of(p) >= 0),
         key=_epoch_of,
     )
     if not matches:
-        matches = sorted(exp_dir.glob("*_e*.orbax"), key=_epoch_of)
+        matches = sorted((p for p in exp_dir.glob("*_e*.orbax")
+                          if _epoch_of(p) >= 0), key=_epoch_of)
     if not matches:
         raise FileNotFoundError(f"No epoch checkpoints under {exp_dir}")
     return matches[step]

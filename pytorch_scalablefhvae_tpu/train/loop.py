@@ -69,6 +69,15 @@ def _replace_mu2_table(state: TrainState, table) -> TrainState:
     return TrainState(params=params, opt_state=opt_state, step=state.step, rng=state.rng)
 
 
+class _StopRun(Exception):
+    """Internal: unwind the epoch loop when --max-steps is reached (the
+    boundary state is already checkpointed)."""
+
+    def __init__(self, state, epoch):
+        self.state = state
+        self.epoch = epoch
+
+
 @dataclass
 class TrainResult:
     state: TrainState
@@ -273,9 +282,21 @@ def run_training(
         if verbose:
             print(f"Training on mesh {dict(mesh.shape)}")
 
+    # mid-epoch checkpoint cadence / step budget: both need the epoch
+    # schedule to be a pure function of (seed, epoch) so a resume can
+    # re-derive and skip into it — legacy and hierarchical runs are not
+    ckpt_every = max(config.train.ckpt_every_steps, 0)
+    max_steps = max(config.train.max_steps, 0)
+    if (ckpt_every or max_steps) and (config.train.legacy or hier):
+        raise ValueError(
+            "--ckpt-every-steps/--max-steps are not supported with legacy "
+            "step-epochs or hierarchical rounds (their schedules are not "
+            "pure functions of (seed, epoch))")
+
     start_epoch = 0
     best_epoch, best_val_lb = 0, -np.inf
     history = MetricHistory()
+    mid_cursor = None  # (epoch, batches_done) from a mid-epoch checkpoint
     # order-sensitive corpus identity: saved in every sidecar and compared
     # on resume — a different corpus with the SAME sequence count must not
     # silently pair its sequences with the table's unrelated rows
@@ -294,8 +315,16 @@ def run_training(
         best_epoch = meta.get("best_epoch", 0)
         best_val_lb = meta.get("best_val_lb", -np.inf)
         history = MetricHistory(meta.get("values", {}))
+        mid = None if finetune else meta.get("mid_epoch")
+        if mid is not None:
+            # step-cadence checkpoint: re-enter the SAME epoch and skip the
+            # already-trained prefix of its deterministic schedule
+            start_epoch = int(mid["epoch"])
+            mid_cursor = (start_epoch, int(mid["batches_done"]))
         if verbose:
-            print(f"Resumed from {continue_from} at epoch {start_epoch}")
+            print(f"Resumed from {continue_from} at epoch {start_epoch}"
+                  + (f" (mid-epoch, batch {mid_cursor[1]})"
+                     if mid_cursor else ""))
 
     # device-resident data path: stage the packed store in HBM once; steps
     # gather segments on device, so per-epoch host->device traffic is one
@@ -354,7 +383,7 @@ def run_training(
                   f"{', row-sharded' if config.data.shard_device_store and mesh is not None else ''})")
     elif data_mode == "stream":
         chunk_bytes = (config.data.stream_chunk_bytes
-                       or max(config.data.device_store_max_bytes // 3, 1))
+                       or max(config.data.device_store_max_bytes // 4, 1))
         stream_source = StreamingDeviceSource(
             ds, chunk_bytes, train_loader.batch_size,
             round_to=max(config.train.steps_per_dispatch, 1), mesh=mesh,
@@ -568,6 +597,72 @@ def run_training(
     eval_key = jax.random.PRNGKey(config.train.seed + 17)
     legacy = config.train.legacy
     result = TrainResult(state, best_epoch, best_val_lb, start_epoch - 1, history)
+
+    # host mirror of the global optimizer-step counter (--max-steps); one
+    # sync here, then advanced per dispatched batch
+    gstep = int(jax.device_get(state.step)) if max_steps else 0
+
+    def save_mid_checkpoint(st: TrainState, epoch: int, batches_done: int):
+        """Step-cadence checkpoint: full TrainState + the epoch-plan cursor
+        (epoch, batches done), so a resume continues mid-epoch with the
+        identical trajectory. Saved through the configured backend; mid-epoch
+        files carry an ``s<batches>`` suffix and never update best-model."""
+        cursor = {"epoch": int(epoch), "batches_done": int(batches_done)}
+        meta_common = {
+            "model_type": model.model_type,
+            "model_params": list(model.model_params()),
+            "best_epoch": best_epoch,
+            "best_val_lb": float(best_val_lb),
+            "values": history.to_json_dict(),
+            "num_seqs": num_seqs, "feat_dim": dim, "seg_len": seg_len,
+            "corpus_fingerprint": corpus_fp,
+            "mid_epoch": cursor,
+        }
+        sfx = f"s{int(batches_done)}"
+        if config.train.ckpt_backend == "orbax":
+            from pytorch_scalablefhvae_tpu.train.orbax_backend import (
+                save_checkpoint_orbax,
+            )
+
+            save_checkpoint_orbax(
+                exp_dir, st, model_type=model.model_type,
+                run_info=config.base_string(), epoch=epoch,
+                meta=meta_common, suffix=sfx,
+            )
+        else:
+            ckpt.save_checkpoint(
+                exp_dir, st, model_type=model.model_type,
+                model_params=model.model_params(),
+                run_info=config.base_string(), epoch=epoch,
+                best_epoch=best_epoch, best_val_lb=best_val_lb,
+                values=history.to_json_dict(),
+                extra_meta={"num_seqs": num_seqs, "feat_dim": dim,
+                            "seg_len": seg_len,
+                            "corpus_fingerprint": corpus_fp,
+                            "mid_epoch": cursor},
+                suffix=sfx,
+            )
+
+    def make_after_dispatch(epoch: int, skip0: int):
+        """Per-epoch cadence hook: called after every dispatch with the
+        epoch-schedule cursor. Saves every ``ckpt_every`` batches and
+        unwinds via :class:`_StopRun` at the --max-steps boundary."""
+        last = {"b": skip0}
+
+        def after(st: TrainState, batches_done: int, nb: int):
+            nonlocal gstep
+            gstep += nb
+            saved_here = False
+            if ckpt_every and batches_done - last["b"] >= ckpt_every:
+                last["b"] = batches_done
+                save_mid_checkpoint(st, epoch, batches_done)
+                saved_here = True
+            if max_steps and gstep >= max_steps:
+                if not saved_here:
+                    save_mid_checkpoint(st, epoch, batches_done)
+                raise _StopRun(st, epoch)
+
+        return after
 
     hier_rng = np.random.default_rng(config.train.seed + 23)
 
@@ -813,26 +908,83 @@ def run_training(
             # complete, so the fetch never drains the pipeline)
             return dispatch_losses_diverged(np.asarray(step_losses[-2]))
 
-        if stream_source is not None:
-            # streaming path: chunks double-buffer through HBM (the next
-            # chunk's transfer is dispatched before the current chunk's
-            # batches are consumed); within a chunk the dispatch structure
-            # mirrors the device-resident path exactly
-            k_dev = max(config.train.steps_per_dispatch, 1)
-            B = epoch_loader.batch_size
-            step_k = device_step_for(k_dev)
-            for plan, chunk_dev, seq_dev, starts_dev in (
-                    stream_source.epoch_batches(
-                        config.train.seed + 1_000_003 * epoch)):
-                counts_all = plan.batch_real_counts()
-                n_real = np.int32(plan.n_real)
-                groups = plan.n_batches // k_dev
-                tail = plan.n_batches % k_dev
+        # mid-epoch resume: skip the already-trained prefix of this epoch's
+        # deterministic schedule (no-op except on the checkpointed epoch)
+        skip0 = (mid_cursor[1]
+                 if mid_cursor is not None and epoch == mid_cursor[0] else 0)
+        after_dispatch = make_after_dispatch(epoch, skip0)
 
-                def _stream_dispatch(state, step_fn, base, n_batches):
+        stopped = False
+        try:
+            if stream_source is not None:
+                # streaming path: chunks double-buffer through HBM (the next
+                # chunk's transfer is dispatched before the current chunk's
+                # batches are consumed); within a chunk the dispatch structure
+                # mirrors the device-resident path exactly
+                k_dev = max(config.train.steps_per_dispatch, 1)
+                B = epoch_loader.batch_size
+                device_step_for(k_dev)  # compile the main program up front
+                global_b = skip0  # epoch-schedule cursor across chunks
+                for plan, chunk_dev, seq_dev, starts_dev, start_b in (
+                        stream_source.epoch_batches(
+                            config.train.seed + 1_000_003 * epoch,
+                            skip_batches=skip0)):
+                    counts_all = plan.batch_real_counts()
+                    n_real = np.int32(plan.n_real)
+
+                    def _stream_dispatch(state, step_fn, base, n_batches):
+                        state, metrics = step_fn(
+                            state, chunk_dev, seq_dev, starts_dev,
+                            stream_source.nsegs_tab, np.int32(base * B), n_real)
+                        step_losses.append(metrics["loss"])
+                        step_counts.extend(counts_all[base : base + n_batches])
+                        if len(step_losses) >= 2 and _prev_dispatch_diverged():
+                            result.state, result.diverged, result.last_epoch = (
+                                state, True, epoch)
+                            _divergence_abort()
+                        return state
+
+                    base_b = start_b
+                    while base_b < plan.n_batches:
+                        nb = min(k_dev, plan.n_batches - base_b)
+                        state = _stream_dispatch(
+                            state, device_step_for(nb), base_b, nb)
+                        base_b += nb
+                        global_b += nb
+                        after_dispatch(state, global_b, nb)
+            elif use_device_data:
+                # device-resident path: upload the epoch's index plan, then every
+                # dispatch reads HBM only (base offset + real count are scalars).
+                # Divergence is checked on the PREVIOUS dispatch's loss, like the
+                # stack path — the fetch never drains the pipeline.
+                k_dev = max(config.train.steps_per_dispatch, 1)
+                if dev_planner is not None:
+                    from pytorch_scalablefhvae_tpu.data.device_store import (
+                        EpochPlan,
+                    )
+
+                    _n_real = len(epoch_loader.dataset)
+                    seq_dev, starts_dev = dev_planner(
+                        jax.random.fold_in(dev_plan_key, epoch),
+                        dev_plan_meta[0], dev_plan_meta[1], np.int32(_n_real))
+                    nsegs_dev = dev_plan_meta[2]
+                    plan = EpochPlan.meta(_n_real, epoch_loader.batch_size)
+                else:
+                    plan, (seq_dev, starts_dev, nsegs_dev) = (
+                        device_source.stage_epoch(
+                            epoch_loader.dataset, epoch_loader._order(),
+                            epoch_loader.batch_size, pad_rows=dev_plan_rows,
+                        ))
+                counts_all = plan.batch_real_counts()
+                B = epoch_loader.batch_size
+                n_real = np.int32(plan.n_real)
+                store_dev = device_source.data
+
+                def _dev_dispatch(state, step_fn, base, n_batches):
                     state, metrics = step_fn(
-                        state, chunk_dev, seq_dev, starts_dev,
-                        stream_source.nsegs_tab, np.int32(base * B), n_real)
+                        state, store_dev, seq_dev, starts_dev, nsegs_dev,
+                        np.int32(base * B), n_real,
+                    )
                     step_losses.append(metrics["loss"])
                     step_counts.extend(counts_all[base : base + n_batches])
                     if len(step_losses) >= 2 and _prev_dispatch_diverged():
@@ -841,102 +993,76 @@ def run_training(
                         _divergence_abort()
                     return state
 
-                for g in range(groups):
-                    state = _stream_dispatch(state, step_k, g * k_dev, k_dev)
-                if tail:
-                    state = _stream_dispatch(
-                        state, device_step_for(tail), groups * k_dev, tail)
-        elif use_device_data:
-            # device-resident path: upload the epoch's index plan, then every
-            # dispatch reads HBM only (base offset + real count are scalars).
-            # Divergence is checked on the PREVIOUS dispatch's loss, like the
-            # stack path — the fetch never drains the pipeline.
-            k_dev = max(config.train.steps_per_dispatch, 1)
-            if dev_planner is not None:
-                from pytorch_scalablefhvae_tpu.data.device_store import (
-                    EpochPlan,
-                )
+                device_step_for(k_dev)  # compile the main program up front
+                base_b = skip0
+                while base_b < plan.n_batches:
+                    nb = min(k_dev, plan.n_batches - base_b)
+                    state = _dev_dispatch(state, device_step_for(nb), base_b, nb)
+                    base_b += nb
+                    after_dispatch(state, base_b, nb)
+            elif multi_train_step is not None and config.train.steps_per_dispatch > 1:
+                from pytorch_scalablefhvae_tpu.data.loader import stack_prefetch
 
-                _n_real = len(epoch_loader.dataset)
-                seq_dev, starts_dev = dev_planner(
-                    jax.random.fold_in(dev_plan_key, epoch),
-                    dev_plan_meta[0], dev_plan_meta[1], np.int32(_n_real))
-                nsegs_dev = dev_plan_meta[2]
-                plan = EpochPlan.meta(_n_real, epoch_loader.batch_size)
+                # stacks transfer ahead of compute (stack_prefetch); divergence
+                # is checked on the PREVIOUS flush's loss — already complete, so
+                # the fetch never drains the dispatch pipeline
+                k_dispatch = max(config.train.steps_per_dispatch, 1)
+                batches_done = skip0
+                for item in stack_prefetch(epoch_loader.batches_from(skip0),
+                                           k_dispatch, put=stack_placer):
+                    if item[0] == "stack":
+                        _, arrs, counts = item
+                        state, metrics = multi_train_step(state, *arrs)
+                        step_losses.append(metrics["loss"])  # [k] device array
+                        step_counts.extend(counts)
+                        if len(step_losses) >= 2 and _prev_dispatch_diverged():
+                            result.state, result.diverged, result.last_epoch = state, True, epoch
+                            _divergence_abort()
+                        batches_done += len(counts)
+                        after_dispatch(state, batches_done, len(counts))
+                    else:  # tail: single-step path for the leftover batches
+                        _, b, n = item
+                        state, metrics = train_step(state, b.feats, b.seq_idx,
+                                                    b.nsegs, b.weight)
+                        step_losses.append(metrics["loss"])
+                        step_counts.append(n)
+                        batches_done += 1
+                        after_dispatch(state, batches_done, 1)
             else:
-                plan, (seq_dev, starts_dev, nsegs_dev) = (
-                    device_source.stage_epoch(
-                        epoch_loader.dataset, epoch_loader._order(),
-                        epoch_loader.batch_size, pad_rows=dev_plan_rows,
-                    ))
-            counts_all = plan.batch_real_counts()
-            B = epoch_loader.batch_size
-            n_real = np.int32(plan.n_real)
-            groups = plan.n_batches // k_dev
-            tail = plan.n_batches % k_dev
-            store_dev = device_source.data
-
-            def _dev_dispatch(state, step_fn, base, n_batches):
-                state, metrics = step_fn(
-                    state, store_dev, seq_dev, starts_dev, nsegs_dev,
-                    np.int32(base * B), n_real,
-                )
-                step_losses.append(metrics["loss"])
-                step_counts.extend(counts_all[base : base + n_batches])
-                if len(step_losses) >= 2 and _prev_dispatch_diverged():
-                    result.state, result.diverged, result.last_epoch = (
-                        state, True, epoch)
-                    _divergence_abort()
-                return state
-
-            step_k = device_step_for(k_dev)
-            for g in range(groups):
-                state = _dev_dispatch(state, step_k, g * k_dev, k_dev)
-            if tail:
-                state = _dev_dispatch(state, device_step_for(tail),
-                                      groups * k_dev, tail)
-        elif multi_train_step is not None and config.train.steps_per_dispatch > 1:
-            from pytorch_scalablefhvae_tpu.data.loader import stack_prefetch
-
-            # stacks transfer ahead of compute (stack_prefetch); divergence
-            # is checked on the PREVIOUS flush's loss — already complete, so
-            # the fetch never drains the dispatch pipeline
-            k_dispatch = max(config.train.steps_per_dispatch, 1)
-            for item in stack_prefetch(epoch_loader, k_dispatch, put=stack_placer):
-                if item[0] == "stack":
-                    _, arrs, counts = item
-                    state, metrics = multi_train_step(state, *arrs)
-                    step_losses.append(metrics["loss"])  # [k] device array
-                    step_counts.extend(counts)
-                    if len(step_losses) >= 2 and _prev_dispatch_diverged():
+                for batch_idx, b in enumerate(
+                        device_prefetch(epoch_loader.batches_from(skip0))):
+                    state, metrics = train_step(state, b.feats, b.seq_idx, b.nsegs, b.weight)
+                    step_losses.append(metrics["loss"])
+                    step_counts.append(b.num_real)
+                    after_dispatch(state, skip0 + batch_idx + 1, 1)
+                    if (batch_idx + 1) % nan_check_every == 0 and not np.isfinite(
+                        float(step_losses[-1])
+                    ):
                         result.state, result.diverged, result.last_epoch = state, True, epoch
                         _divergence_abort()
-                else:  # tail: single-step path for the leftover batches
-                    _, b, n = item
-                    state, metrics = train_step(state, b.feats, b.seq_idx,
-                                                b.nsegs, b.weight)
-                    step_losses.append(metrics["loss"])
-                    step_counts.append(n)
-        else:
-            for batch_idx, b in enumerate(device_prefetch(epoch_loader)):
-                state, metrics = train_step(state, b.feats, b.seq_idx, b.nsegs, b.weight)
-                step_losses.append(metrics["loss"])
-                step_counts.append(b.num_real)
-                if (batch_idx + 1) % nan_check_every == 0 and not np.isfinite(
-                    float(step_losses[-1])
-                ):
-                    result.state, result.diverged, result.last_epoch = state, True, epoch
-                    _divergence_abort()
-                if legacy and (batch_idx + 1) % config.train.log_interval == 0:  # B4 fixed
-                    if verbose:
-                        pct = 100.0 * batch_idx / len(epoch_loader)
-                        print(
-                            f"====> Train Epoch: {epoch} "
-                            f"[{batch_idx * epoch_loader.batch_size}/{len(epoch_loader.dataset)} "
-                            f"({pct:.0f}%)]\tLoss: {float(step_losses[-1]):.6f}"
-                        )
-                if legacy and (batch_idx + 1) % config.train.steps_per_epoch == 0:
-                    break
+                    if legacy and (batch_idx + 1) % config.train.log_interval == 0:  # B4 fixed
+                        if verbose:
+                            pct = 100.0 * batch_idx / len(epoch_loader)
+                            print(
+                                f"====> Train Epoch: {epoch} "
+                                f"[{batch_idx * epoch_loader.batch_size}/{len(epoch_loader.dataset)} "
+                                f"({pct:.0f}%)]\tLoss: {float(step_losses[-1]):.6f}"
+                            )
+                    if legacy and (batch_idx + 1) % config.train.steps_per_epoch == 0:
+                        break
+
+        except _StopRun as stop:
+            # --max-steps boundary: the state was checkpointed by
+            # after_dispatch; skip this epoch's eval/epoch-checkpoint
+            state = stop.state
+            stopped = True
+        if stopped:
+            result = TrainResult(state, best_epoch, best_val_lb,
+                                 epoch, history)
+            if verbose:
+                print(f"Reached --max-steps at epoch {epoch}; "
+                      f"mid-epoch checkpoint saved")
+            break
 
         losses = np.concatenate([np.atleast_1d(np.asarray(l, dtype=np.float64))
                                  for l in step_losses]) if step_losses else np.zeros(0)
@@ -1027,6 +1153,19 @@ def run_training(
                             "seg_len": seg_len,
                             "corpus_fingerprint": corpus_fp},
             )
+
+        if ckpt_every:
+            # the epoch checkpoint supersedes this epoch's (and any stale
+            # earlier) step-cadence checkpoints; flush async saves so the
+            # deletion cannot race a still-committing mid-epoch save
+            if config.train.ckpt_backend == "orbax":
+                from pytorch_scalablefhvae_tpu.train.orbax_backend import (
+                    wait_for_saves,
+                )
+
+                wait_for_saves()
+            ckpt.cleanup_mid_epoch(exp_dir, model.model_type,
+                                   config.base_string(), epoch)
 
         result = TrainResult(state, best_epoch, best_val_lb, epoch, history)
         if check_terminate(epoch, best_epoch, config.train.patience, config.train.epochs):

@@ -59,10 +59,13 @@ def save_checkpoint_orbax(
     run_info: str,
     epoch: int,
     meta: dict,
+    suffix: str = "",
 ) -> Path:
+    """``suffix`` marks mid-epoch step-cadence checkpoints
+    (``_e<epoch>s<batches>``); those never update the best pointer."""
     checkpoint_dir = Path(checkpoint_dir)
     checkpoint_dir.mkdir(parents=True, exist_ok=True)
-    name = f"{model_type}_{run_info}_e{epoch}"
+    name = f"{model_type}_{run_info}_e{epoch}{suffix}"
     path = (checkpoint_dir / f"{name}.orbax").resolve()
     ckptr = _checkpointer()
     ckptr.save(path, state, force=True)  # async: returns once staged
@@ -71,7 +74,7 @@ def save_checkpoint_orbax(
     if table is not None:
         meta_out["table_rows"] = int(np.shape(table)[0])
     (checkpoint_dir / f"{name}.json").write_text(json.dumps(meta_out, indent=2))
-    if meta.get("best_epoch") == epoch:
+    if meta.get("best_epoch") == epoch and not suffix:
         # pointer instead of the npz backend's file copy (orbax checkpoints
         # are directories); find_best_checkpoint resolves it
         (checkpoint_dir / "best_model_pointer.json").write_text(

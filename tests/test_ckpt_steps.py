@@ -1,0 +1,164 @@
+"""Step-cadence checkpointing + mid-epoch resume (--ckpt-every-steps /
+--max-steps).
+
+The contract: a run killed at an arbitrary optimizer step resumes from the
+step-cadence checkpoint and produces the SAME trajectory as the
+uninterrupted run — the sidecar's plan cursor (epoch, batches done) plus the
+deterministic epoch schedule make the continuation exact. Covered on the
+device-resident, streamed, and host (K-stack) data paths, both backends.
+"""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from pytorch_scalablefhvae_tpu.config import (
+    DataConfig,
+    ExperimentConfig,
+    ModelConfig,
+    TrainConfig,
+)
+from pytorch_scalablefhvae_tpu.features.pipeline import preprocess_data
+from pytorch_scalablefhvae_tpu.train import checkpoint as ckpt
+from pytorch_scalablefhvae_tpu.train.driver import train_from_config
+
+
+class TestMidEpochNaming:
+    def test_epoch_of_ignores_cadence_suffix(self, tmp_path):
+        from pathlib import Path
+
+        from pytorch_scalablefhvae_tpu.train.checkpoint import _epoch_of
+
+        assert _epoch_of(Path("m_run_e3.npz")) == 3
+        assert _epoch_of(Path("m_run_e3s40.npz")) == -1
+        assert _epoch_of(Path("m_run_e12s7.orbax")) == -1
+
+    def test_cleanup_mid_epoch(self, tmp_path):
+        for name in ("m_run_e0s3.npz", "m_run_e0s3.json", "m_run_e1s5.npz",
+                     "m_run_e2s4.npz", "m_run_e1.npz", "other_run_e0s3.npz"):
+            (tmp_path / name).write_text("x")
+        (tmp_path / "m_run_e1s9.orbax").mkdir()
+        ckpt.cleanup_mid_epoch(tmp_path, "m", "run", upto_epoch=1)
+        left = sorted(p.name for p in tmp_path.iterdir())
+        assert left == ["m_run_e1.npz", "m_run_e2s4.npz", "other_run_e0s3.npz"]
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    # large enough that an epoch spans MANY batches at B=32 (the kill at
+    # --max-steps must land mid-epoch, not at an epoch boundary)
+    root = tmp_path_factory.mktemp("corpus")
+    cfg = ExperimentConfig(data=DataConfig(
+        dataset="synthetic", synthetic_speakers=6, synthetic_utts=4))
+    preprocess_data(cfg, root=root)
+    return root
+
+
+def make_cfg(tmp_path, tag, placement="auto", **kw):
+    data_kw = dict(
+        dataset="synthetic",
+        mvn_path=str(tmp_path / f"mvn_{tag}.json"),
+        training_batch_size=32,
+        dev_batch_size=64,
+        data_placement=placement,
+    )
+    if "stream_chunk_bytes" in kw:
+        data_kw["stream_chunk_bytes"] = kw.pop("stream_chunk_bytes")
+    return ExperimentConfig(
+        data=DataConfig(**data_kw),
+        model=ModelConfig(z1_hus=(32, 32), z2_hus=(32, 32), x_hus=(32, 32),
+                          z1_dim=8, z2_dim=8),
+        train=TrainConfig(epochs=2, patience=10, seed=0, **kw),
+    )
+
+
+def run(cfg, corpus, tmp_path, tag, continue_from=None, overrides=None):
+    res = train_from_config(
+        cfg, data_root=corpus, exp_root=tmp_path / f"exp_{tag}",
+        is_preprocessed=True, verbose=False, continue_from=continue_from,
+        resume_overrides=overrides,
+    )
+    assert not res.diverged
+    return res
+
+
+def assert_params_close(a, b):
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=2e-4, atol=2e-5),
+        a.state.params, b.state.params,
+    )
+
+
+def kill_resume_roundtrip(corpus, tmp_path, tag, placement, backend="npz",
+                          max_steps=5, **kw):
+    """Full A/B: uninterrupted vs (kill at max_steps -> resume) equivalence."""
+    full = run(make_cfg(tmp_path, f"{tag}_full", placement,
+                        ckpt_backend=backend, **kw),
+               corpus, tmp_path, f"{tag}_full")
+    killed_cfg = make_cfg(tmp_path, f"{tag}_kill", placement,
+                          ckpt_backend=backend, ckpt_every_steps=3,
+                          max_steps=max_steps, **kw)
+    killed = run(killed_cfg, corpus, tmp_path, f"{tag}_kill")
+    # the run stopped mid-epoch, leaving a cadence checkpoint at the cursor
+    assert int(killed.state.step) >= max_steps
+    exp = next((tmp_path / f"exp_{tag}_kill").glob("**/config.json")).parent
+    suffix = ".orbax" if backend == "orbax" else ".npz"
+
+    def cursor(p):
+        e, s = p.name.rsplit("_e", 1)[1].split(".")[0].split("s")
+        return (int(e), int(s))
+
+    mids = sorted(exp.glob(f"*_e*s*{suffix}"), key=cursor)
+    assert mids, f"no mid-epoch checkpoints under {exp}"
+    resumed = run(killed_cfg, corpus, tmp_path, f"{tag}_kill",
+                  continue_from=mids[-1], overrides={"max_steps": 0})
+    assert_params_close(full, resumed)
+    # val metrics of BOTH epochs match the uninterrupted run (epoch 0's
+    # validation runs on identical end-of-epoch params)
+    for series in ("val_loss_results", "lower_bound_results"):
+        np.testing.assert_allclose(
+            list(resumed.history.values[series].values()),
+            list(full.history.values[series].values()),
+            rtol=1e-4, atol=1e-5,
+        )
+    return exp
+
+
+@pytest.mark.slow
+class TestKillResume:
+    def test_device_path_npz(self, corpus, tmp_path):
+        exp = kill_resume_roundtrip(corpus, tmp_path, "dev", "device")
+        # the resumed run's epoch-end checkpoints supersede every cadence file
+        assert not list(exp.glob("*_e*s*.npz"))
+
+    def test_device_path_k_bundled_orbax(self, corpus, tmp_path):
+        kill_resume_roundtrip(corpus, tmp_path, "devk", "device",
+                              backend="orbax", steps_per_dispatch=3,
+                              max_steps=5)
+
+    def test_stream_path(self, corpus, tmp_path):
+        kill_resume_roundtrip(corpus, tmp_path, "stream", "stream",
+                              stream_chunk_bytes=64 << 10,
+                              steps_per_dispatch=2, max_steps=5)
+
+    def test_host_stack_path(self, corpus, tmp_path):
+        kill_resume_roundtrip(corpus, tmp_path, "host", "host",
+                              steps_per_dispatch=3, max_steps=5)
+
+    def test_host_plain_path(self, corpus, tmp_path):
+        kill_resume_roundtrip(corpus, tmp_path, "hostp", "host", max_steps=5)
+
+
+class TestValidation:
+    def test_rejected_with_legacy_and_hier(self, corpus, tmp_path):
+        with pytest.raises(ValueError, match="not supported"):
+            run(make_cfg(tmp_path, "leg", "host", legacy=True,
+                         ckpt_every_steps=2),
+                corpus, tmp_path, "leg")
+        with pytest.raises(ValueError, match="not supported"):
+            run(make_cfg(tmp_path, "hier", "host", sample_hierarchical=True,
+                         num_hierarchical_sequences=3, max_steps=5),
+                corpus, tmp_path, "hier")

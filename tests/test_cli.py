@@ -192,6 +192,9 @@ class TestConfigFlagCompleteness:
                 ["--hierarchical-round-epochs", "3"], 3),
             ("train", "map_init_chunk_skip"): (
                 ["--map-init-chunk-skip", "2"], 2),
+            ("train", "ckpt_every_steps"): (
+                ["--ckpt-every-steps", "50"], 50),
+            ("train", "max_steps"): (["--max-steps", "120"], 120),
             ("train", "profile_dir"): (["--profile-dir", "/prof"], "/prof"),
             ("train", "profile_epoch"): (["--profile-epoch", "0"], 0),
             ("train", "tensorboard"): (["--tensorboard"], True),

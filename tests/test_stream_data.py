@@ -147,7 +147,8 @@ class TestStreamEquivalence:
         }
         state = create_train_state(model, opt, seed=0)
         for epoch in range(2):
-            for plan, chunk, seq_d, starts_d in src.epoch_batches(epoch):
+            for plan, chunk, seq_d, starts_d, start_b in src.epoch_batches(epoch):
+                assert start_b == 0
                 groups, tail = plan.n_batches // k, plan.n_batches % k
                 for g in range(groups):
                     state, _ = step_fns[k](
