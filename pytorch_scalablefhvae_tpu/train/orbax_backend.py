@@ -69,6 +69,11 @@ def save_checkpoint_orbax(
     path = (checkpoint_dir / f"{name}.orbax").resolve()
     ckptr = _checkpointer()
     ckptr.save(path, state, force=True)  # async: returns once staged
+    if jax.process_index() != 0:
+        # multihost: every process participates in the array save above
+        # (each writes its addressable shards), but the JSON sidecar and
+        # best pointer are host files — exactly one writer
+        return path
     meta_out = dict(meta, schema_version=_SCHEMA_VERSION, backend="orbax", epoch=epoch)
     table = state.params.get("mu2_table") if isinstance(state.params, dict) else None
     if table is not None:

@@ -74,52 +74,76 @@ class TestMeshPlacementRules:
             validate_multihost_mesh((4, 4), process_count=4, local_device_count=8)
 
 
+def _spawn_phase(phase: str, ckpt_dir) -> list[str]:
+    """Run one 2-process jax.distributed phase; returns both ranks' stdout."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    # pick a free port for the coordinator
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = str(s.getsockname()[1])
+
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(worker)))
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(("SFHVAE_", "JAX_"))}
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(rank), port, phase, str(ckpt_dir)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        )
+        for rank in (0, 1)
+    ]
+    outs = []
+    for rank, p in enumerate(procs):
+        try:
+            out, err = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, (
+            f"rank {rank} {phase} failed (rc={p.returncode}):\n{err[-3000:]}")
+        outs.append(out)
+    return outs
+
+
+def _line(out: str, prefix: str) -> str:
+    hits = [l for l in out.splitlines() if l.startswith(prefix)]
+    assert hits, f"no {prefix} line in:\n{out[-2000:]}"
+    return hits[0]
+
+
 class TestRealTwoProcessRun:
     """A REAL ``jax.distributed`` run: two spawned processes, a local
-    coordinator, ``process_count() == 2`` — no mocks (VERDICT r03 item 3).
-    Covers the CLI init branch, the live-topology mesh validation, and one
-    sharded train step whose gradient all-reduce crosses the process
-    boundary."""
+    coordinator, ``process_count() == 2`` — no mocks (VERDICT r03 item 3,
+    extended per VERDICT r04 item 5). Covers the CLI init branch, the
+    live-topology mesh validation, a sharded train step AND a K-bundled
+    dispatch whose gradient all-reduces cross the process boundary, an
+    orbax save from both processes, and a restore into a FRESH 2-process
+    run whose next-step loss continues identically."""
 
-    def test_two_process_sharded_step(self, tmp_path):
-        import os
-        import socket
-        import subprocess
-        import sys
+    def test_two_process_train_save_restore(self, tmp_path):
+        save_outs = _spawn_phase("save", tmp_path)
+        next_losses, k_lines = [], []
+        for rank, out in enumerate(save_outs):
+            loss = float(_line(out, "MH_OK").split("loss=")[1])
+            assert loss == float(_line(save_outs[0], "MH_OK").split("loss=")[1])
+            k_lines.append(_line(out, "MH_K"))
+            _line(out, "MH_SAVED")
+            next_losses.append(float(_line(out, "MH_NEXT").split("loss=")[1]))
+        # K-bundle sub-losses and the post-save probe agree across ranks
+        assert k_lines[0] == k_lines[1]
+        assert next_losses[0] == next_losses[1]
+        assert (tmp_path / "simple_fhvae_mh_e0.orbax").exists()
 
-        # pick a free port for the coordinator
-        with socket.socket() as s:
-            s.bind(("localhost", 0))
-            port = str(s.getsockname()[1])
-
-        worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
-        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(worker)))
-        env = {k: v for k, v in os.environ.items()
-               if not k.startswith(("SFHVAE_", "JAX_"))}
-        env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
-        procs = [
-            subprocess.Popen(
-                [sys.executable, worker, str(rank), port],
-                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-                text=True,
-            )
-            for rank in (0, 1)
-        ]
-        outs = []
-        for rank, p in enumerate(procs):
-            try:
-                out, err = p.communicate(timeout=600)
-            except subprocess.TimeoutExpired:
-                for q in procs:
-                    q.kill()
-                raise
-            assert p.returncode == 0, (
-                f"rank {rank} failed (rc={p.returncode}):\n{err[-3000:]}")
-            outs.append(out)
-        losses = []
-        for rank, out in enumerate(outs):
-            ok = [l for l in out.splitlines() if l.startswith("MH_OK")]
-            assert ok, f"rank {rank} produced no MH_OK line:\n{out[-2000:]}"
-            losses.append(float(ok[0].split("loss=")[1]))
-        # the replicated loss must agree bit-for-bit across processes
-        assert losses[0] == losses[1]
+        restore_outs = _spawn_phase("restore", tmp_path)
+        for out in restore_outs:
+            restored = float(_line(out, "MH_NEXT").split("loss=")[1])
+            # the fresh 2-process run continues the trajectory bit-for-bit
+            assert restored == next_losses[0]
