@@ -308,7 +308,7 @@ def bench_stream(k_dispatch: int = 64, epochs: int = 3,
         for i in range(num_seqs)
     })
     ds = SegmentDataset(store, seg_len=SEG_LEN, seg_shift=8)
-    itemsize = 2 if transfer_dtype == "bfloat16" else 4
+    itemsize = {"bfloat16": 2, "int8": 1}.get(transfer_dtype, 4)
     chunk_bytes = store.data.shape[0] * store.dim * itemsize // n_chunks + 1
     src = StreamingDeviceSource(ds, chunk_bytes, BATCH, round_to=k_dispatch,
                                 store_dtype=transfer_dtype)
@@ -953,6 +953,12 @@ def main() -> None:
                                         transfer_dtype="bfloat16")
             extras["end_to_end_oversized_bf16_sps"] = round(sps16, 1)
             extras["stream_bf16_bytes_per_seg"] = round(bps16, 1)
+            # int8 tier: per-column affine uint8 staging (data/quantize.py,
+            # Kaldi CompressedMatrix semantics) — 4x fewer wire bytes than
+            # f32; on a link-bound rig throughput scales with wire bytes
+            sps8, bps8 = bench_stream(k_dispatch=64, transfer_dtype="int8")
+            extras["end_to_end_oversized_int8_sps"] = round(sps8, 1)
+            extras["stream_int8_bytes_per_seg"] = round(bps8, 1)
         except Exception as e:
             print(f"# stream bench failed: {e}")
         try:

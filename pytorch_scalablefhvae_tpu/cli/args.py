@@ -84,9 +84,13 @@ def add_train_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--pack-cache-dir", type=str, default=None,
                    help="Persist+memmap packed feature arrays here (corpus-scale splits)")
     p.add_argument("--transfer-dtype", type=str, default="float32",
-                   choices=["float32", "bfloat16"],
+                   choices=["float32", "bfloat16", "int8"],
                    help="Feature-batch dtype shipped host->device; bfloat16 "
-                        "halves input-link bytes (model upcasts on entry)")
+                        "halves input-link bytes (model upcasts on entry); "
+                        "int8 quantizes the staged store per-column to "
+                        "uint8 (Kaldi CompressedMatrix semantics, 4x fewer "
+                        "link bytes; device/stream placements only — host "
+                        "loaders ship float32)")
     p.add_argument("--data-placement", type=str, default="auto",
                    choices=["host", "device", "stream", "auto"],
                    help="Training-batch source: host loader, device-resident "

@@ -76,9 +76,13 @@ class DataConfig:
     dev_batch_size: int = 2048
     # persist + memmap the packed feature arrays (corpus-scale splits)
     pack_cache_dir: str | None = None
-    # dtype of feature batches shipped host->device ("float32" | "bfloat16");
-    # bfloat16 halves input-link bytes (and the staged store's HBM), the
-    # model upcasts on entry
+    # dtype of feature batches shipped host->device ("float32" | "bfloat16"
+    # | "int8"); bfloat16 halves input-link bytes (and the staged store's
+    # HBM), the model upcasts on entry. int8 quantizes the staged store
+    # per-column to affine uint8 (data/quantize.py — Kaldi CompressedMatrix
+    # semantics): 4x fewer link bytes / 4x staging capacity, dequantized
+    # in-graph after the gather; applies to device/stream placements (host
+    # loaders ship float32)
     transfer_dtype: str = "float32"
     # where training batches come from: "host" (loader ships every batch),
     # "device" (packed store staged in HBM once; steps gather on device),

@@ -223,6 +223,11 @@ class DeviceDataSource:
             import ml_dtypes
 
             dtype = np.dtype(ml_dtypes.bfloat16)
+        elif store_dtype == "int8":
+            # per-column affine uint8 (data/quantize.py — Kaldi
+            # CompressedMatrix semantics): 4x staging capacity vs float32;
+            # the train step dequantizes in-graph after the gather
+            dtype = np.dtype(np.uint8)
         else:
             dtype = data.dtype
         # tail slack for chunked region DMAs (single-device only: the
@@ -236,7 +241,18 @@ class DeviceDataSource:
         # dtype cast — chained np.concatenate would transiently hold two
         # full pack copies (at LibriSpeech-960 scale the pack is ~110 GB)
         total = data.shape[0] + slack + shard_pad
-        if total != data.shape[0] or dtype != data.dtype:
+        quant = None
+        if store_dtype == "int8":
+            from pytorch_scalablefhvae_tpu.data.quantize import (
+                quantize_columns,
+            )
+
+            q, scale, offset = quantize_columns(data)
+            buf = np.zeros((total, data.shape[1]), dtype)
+            buf[: data.shape[0]] = q  # pad rows: byte 0 = column minimum;
+            data = buf                # never addressed by real plan rows
+            quant = (scale, offset)
+        elif total != data.shape[0] or dtype != data.dtype:
             buf = np.zeros((total, data.shape[1]), dtype)
             buf[: data.shape[0]] = data  # pad rows stay zero: never
             data = buf                   # addressed by real plan rows
@@ -250,8 +266,23 @@ class DeviceDataSource:
             sharding = NamedSharding(mesh, P())
         else:
             sharding = None
-        self.data = (jax.device_put(data, sharding) if sharding is not None
-                     else jax.device_put(np.asarray(data)))
+        rows_dev = (jax.device_put(data, sharding) if sharding is not None
+                    else jax.device_put(np.asarray(data)))
+        if quant is not None:
+            repl = None
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                repl = NamedSharding(mesh, P())
+            self.data = (
+                rows_dev,
+                jax.device_put(quant[0], repl) if repl is not None
+                else jax.device_put(quant[0]),
+                jax.device_put(quant[1], repl) if repl is not None
+                else jax.device_put(quant[1]),
+            )
+        else:
+            self.data = rows_dev
         self._plan_sharding = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -314,7 +345,7 @@ def resolve_data_placement(
         return False
     if placement == "host":
         return False
-    itemsize = 2 if store_dtype == "bfloat16" else 4
+    itemsize = {"bfloat16": 2, "int8": 1}.get(store_dtype, 4)
     nbytes = store.data.shape[0] * store.dim * itemsize
     budget = max_bytes
     if mesh is not None and shard_store:

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -36,37 +37,61 @@ _METRIC_KEYS = ("loss", "lower_bound", "log_qy", "log_px_z",
 
 
 def _make_gather(seg_len: int, mesh, shard_store: bool):
-    """Build the [B] starts -> [B, seg_len, dim] segment gather."""
+    """Build the [B] starts -> [B, seg_len, dim] segment gather.
+
+    ``store`` is either the staged ``[rows, dim]`` array or — for the int8
+    staging tier — a ``(q uint8 [rows, dim], scale f32 [dim], offset f32
+    [dim])`` tuple (data/quantize.py): the gather reads the byte rows and
+    dequantizes ``q * scale + offset`` in-graph, so the full-precision
+    features never exist in HBM — only the ``[B, seg_len, dim]`` batch does.
+    """
 
     def abs_index(starts):
         return starts[:, None] + jnp.arange(seg_len, dtype=starts.dtype)[None, :]
 
+    def dequant(g, store):
+        if isinstance(store, tuple):
+            _, scale, offset = store
+            return g.astype(jnp.float32) * scale + offset
+        return g
+
+    def rows_of(store):
+        return store[0] if isinstance(store, tuple) else store
+
     if mesh is None or not shard_store:
         def gather(store, starts):
-            return jnp.take(store, abs_index(starts), axis=0)
+            g = jnp.take(rows_of(store), abs_index(starts), axis=0)
+            return dequant(g, store)
 
         return gather
 
     def gather_local(store_loc, idx):
         # store row-sharded over "model": each shard owns rows
         # [m_i * rows_local, (m_i + 1) * rows_local); contribute owned rows,
-        # zero elsewhere, and psum over "model" to rebuild full segments
-        rows_local = store_loc.shape[0]
+        # zero elsewhere, and psum over "model" to rebuild full segments.
+        # int8 stores dequantize BEFORE the mask/psum (scale/offset are
+        # replicated), so non-owned rows contribute exact zeros in f32.
+        store_rows = rows_of(store_loc)
+        rows_local = store_rows.shape[0]
         rel = idx - jax.lax.axis_index("model") * rows_local
         ok = (rel >= 0) & (rel < rows_local)
-        g = jnp.take(store_loc, jnp.clip(rel, 0, rows_local - 1), axis=0)
+        g = jnp.take(store_rows, jnp.clip(rel, 0, rows_local - 1), axis=0)
+        g = dequant(g, store_loc)
         g = jnp.where(ok[..., None], g, jnp.zeros((), g.dtype))
         return jax.lax.psum(g, "model")
 
-    mapped = shard_map(
-        gather_local,
-        mesh=mesh,
-        in_specs=(P("model", None), P("data", None)),
-        out_specs=P("data", None, None),
-        check_vma=False,
-    )
-
     def gather(store, starts):
+        # the scale/offset legs of a tuple store are replicated alongside
+        # the row-sharded byte rows
+        store_specs = ((P("model", None), P(None), P(None))
+                       if isinstance(store, tuple) else P("model", None))
+        mapped = shard_map(
+            gather_local,
+            mesh=mesh,
+            in_specs=(store_specs, P("data", None)),
+            out_specs=P("data", None, None),
+            check_vma=False,
+        )
         return mapped(store, abs_index(starts))
 
     return gather
@@ -122,9 +147,13 @@ def _compile_on_mesh(mesh, fn, shard_store: bool, lead_shardings,
             lead_sh = lead_shardings(lead)
             out_sh = (out_shardings(lead_sh) if callable(out_shardings)
                       else out_shardings)
+            # int8 tuple stores: only the [rows, dim] byte rows are
+            # row-shardable; the per-column scale/offset legs replicate
+            store_in = jax.tree.map(
+                lambda x: store_sh if np.ndim(x) == 2 else repl, store)
             compiled["fn"] = jax.jit(
                 fn,
-                in_shardings=(lead_sh, store_sh) + (repl,) * n_tail,
+                in_shardings=(lead_sh, store_in) + (repl,) * n_tail,
                 out_shardings=out_sh,
                 donate_argnums=donate_argnums,
             )
@@ -380,6 +409,9 @@ def make_device_map_pass_chunked(model, seg_len: int, seg_shift: int,
         windowed_chunk_gather,
     )
 
+    # int8 tuple stores don't flow through the region-DMA kernel (it reads
+    # raw rows); callers gate on transfer_dtype and use the array-plan/rows
+    # passes, whose gather dequantizes in-graph (_make_gather)
     B = batch_size
     assert B % spb == 0, "batch_size must be a multiple of spb"
     # the staged pack's tail slack must cover a full chunk region: the

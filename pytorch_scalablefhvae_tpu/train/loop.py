@@ -378,7 +378,7 @@ def run_training(
         )
         if verbose:
             mb = ds.store.data.shape[0] * ds.store.dim * (
-                2 if config.data.transfer_dtype == "bfloat16" else 4) / 1e6
+                {"bfloat16": 2, "int8": 1}.get(config.data.transfer_dtype, 4)) / 1e6
             print(f"Training data device-resident ({mb:.0f} MB staged"
                   f"{', row-sharded' if config.data.shard_device_store and mesh is not None else ''})")
     elif data_mode == "stream":
@@ -473,7 +473,7 @@ def run_training(
         resolve_data_placement,
     )
 
-    _itemsize = 2 if config.data.transfer_dtype == "bfloat16" else 4
+    _itemsize = {"bfloat16": 2, "int8": 1}.get(config.data.transfer_dtype, 4)
     if stream_source is not None:
         # streamed runs keep <= 2 chunks staged plus a draining dispatch's
         # references; budget the dev split against that bound
@@ -507,6 +507,7 @@ def run_training(
         )
         _spb = 16
         if (not _dev_ds.rand_seg and mesh is None
+                and config.data.transfer_dtype != "int8"
                 and dev_loader.batch_size % _spb == 0
                 and (_spb - 1) * _dev_ds.seg_shift + _dev_ds.seg_len
                 <= STORE_TAIL_SLACK):
@@ -542,7 +543,7 @@ def run_training(
         }
         if verbose:
             mb = _dev_ds.store.data.shape[0] * _dev_ds.store.dim * (
-                2 if config.data.transfer_dtype == "bfloat16" else 4) / 1e6
+                {"bfloat16": 2, "int8": 1}.get(config.data.transfer_dtype, 4)) / 1e6
             print(f"Dev split device-resident ({mb:.0f} MB staged)")
 
     def _eval_dev_device(params):
@@ -692,7 +693,10 @@ def run_training(
         # the slack gate mirrors make_device_map_pass_chunked's own check,
         # expressed against the SAME constant so the graceful fallback to
         # the array-plan/rows passes cannot drift from the factory's error
+        # int8 tuple stores bypass the region-DMA kernel (it reads raw
+        # rows); the array-plan/rows passes dequantize in their gather
         _chunked = (not _rand and mesh is None and _B_map % _spb == 0
+                    and config.data.transfer_dtype != "int8"
                     and (_spb - 1) * _shift + seg_len <= STORE_TAIL_SLACK)
         _skip = max(getattr(config.train, "map_init_chunk_skip", 8), 1)
         if _chunked:

@@ -361,6 +361,31 @@ class TestMesh:
         expect = store.data[plan.abs_starts[:, None] + np.arange(20)[None, :]]
         np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-6)
 
+    def test_sharded_store_gather_int8(self, rng):
+        """Row-sharded int8 tuple store: dequant happens per shard before
+        the psum; result matches the host per-column dequantization."""
+        from pytorch_scalablefhvae_tpu.data.quantize import (
+            dequantize,
+            quantize_columns,
+        )
+        from pytorch_scalablefhvae_tpu.parallel.mesh import make_mesh
+        from pytorch_scalablefhvae_tpu.train.device_step import _make_gather
+
+        mesh = make_mesh((4, 2))
+        store = make_store(rng, n_seqs=4, frames=50, dim=8)
+        src = DeviceDataSource(store, mesh, shard_store=True,
+                               store_dtype="int8")
+        assert isinstance(src.data, tuple)
+        ds = SegmentDataset(store, seg_len=20, seg_shift=8)
+        order = rng.permutation(len(ds))[:8]
+        plan = build_epoch_plan(ds, order, batch_size=8)
+        gather = _make_gather(20, mesh, shard_store=True)
+        out = jax.jit(gather)(src.data, jax.device_put(plan.abs_starts))
+        deq = dequantize(*quantize_columns(store.data))
+        expect = deq[plan.abs_starts[:, None] + np.arange(20)[None, :]]
+        np.testing.assert_allclose(np.asarray(out), expect,
+                                   rtol=1e-6, atol=1e-6)
+
     def test_sharded_store_training_runs(self, corpus, tmp_path):
         res = final_params(corpus, tmp_path, "device", mesh_shape=(4, 2),
                            shard_device_store=True, steps_per_dispatch=2)

@@ -187,6 +187,192 @@ class TestStreamEquivalence:
         )
 
 
+class TestQuantize:
+    def test_roundtrip_error_bound(self, rng):
+        from pytorch_scalablefhvae_tpu.data.quantize import (
+            dequantize,
+            quantize_columns,
+        )
+
+        x = rng.standard_normal((500, 12)).astype(np.float32) * 3.0 + 1.0
+        q, scale, offset = quantize_columns(x)
+        assert q.dtype == np.uint8 and scale.shape == (12,)
+        err = np.abs(dequantize(q, scale, offset) - x)
+        # affine uint8: worst-case rounding error is scale/2 per column
+        assert (err <= scale / 2 + 1e-6).all()
+        # column extremes reconstruct (q=0 -> min, q=255 -> max)
+        np.testing.assert_allclose(
+            dequantize(q, scale, offset).min(axis=0), x.min(axis=0),
+            rtol=1e-5, atol=1e-6)
+
+    def test_degenerate_and_empty(self, rng):
+        from pytorch_scalablefhvae_tpu.data.quantize import (
+            dequantize,
+            quantize_columns,
+        )
+
+        x = np.full((10, 3), 2.5, np.float32)
+        x[:, 1] = rng.standard_normal(10)
+        q, scale, offset = quantize_columns(x)
+        assert (scale[[0, 2]] == 0).all() and (q[:, [0, 2]] == 0).all()
+        np.testing.assert_array_equal(dequantize(q, scale, offset)[:, 0],
+                                      x[:, 0])
+        q0, s0, o0 = quantize_columns(np.zeros((0, 4), np.float32))
+        assert q0.shape == (0, 4) and s0.shape == (4,)
+
+    def test_stream_bytes_accounting_int8(self, rng):
+        store = make_store(rng)
+        ds = SegmentDataset(store, seg_len=20, seg_shift=8)
+        src = StreamingDeviceSource(ds, 2 * 66 * store.dim, batch_size=8,
+                                    store_dtype="int8")
+        assert src.quantized and src.dtype == np.dtype(np.uint8)
+        assert src.host_bytes_per_epoch() == len(src.chunks) * (
+            src.chunk_rows * store.dim + 2 * store.dim * 4)
+
+
+class TestInt8Equivalence:
+    def test_int8_stream_matches_dequantized_host_replay(self, rng):
+        """int8 streamed training == host-fed training on the SAME
+        dequantized values: quantization is the ONLY difference vs f32, and
+        it is deterministic per chunk — so replaying the schedule through
+        the plain host step with host-dequantized features reproduces the
+        parameter trajectory."""
+        from pytorch_scalablefhvae_tpu.data.quantize import (
+            dequantize,
+            quantize_columns,
+        )
+        from pytorch_scalablefhvae_tpu.models import SimpleFHVAE
+        from pytorch_scalablefhvae_tpu.train.device_step import (
+            make_device_train_step,
+        )
+        from pytorch_scalablefhvae_tpu.train.step import (
+            create_train_state,
+            make_optimizer,
+            make_train_step,
+        )
+
+        store = make_store(rng)
+        ds = SegmentDataset(store, seg_len=20, seg_shift=8)
+        model = SimpleFHVAE(input_size=20 * 8, num_seqs=store.num_seqs,
+                            z1_hus=(16, 16), z2_hus=(16, 16), x_hus=(16, 16),
+                            z1_dim=4, z2_dim=4)
+        opt = make_optimizer(1e-3, 0.9, 0.999)
+        alpha, B = 10.0, 8
+        src = StreamingDeviceSource(ds, 2 * 66 * store.dim, batch_size=B,
+                                    round_to=1, store_dtype="int8")
+        assert len(src.chunks) >= 3
+
+        step1 = make_device_train_step(model, opt, alpha, 20, B, 1,
+                                       donate=False)
+        state = create_train_state(model, opt, seed=0)
+        for epoch in range(2):
+            for plan, chunk, seq_d, starts_d, _ in src.epoch_batches(epoch):
+                assert isinstance(chunk, tuple) and len(chunk) == 3
+                for b in range(plan.n_batches):
+                    state, _ = step1(
+                        state, chunk, seq_d, starts_d, src.nsegs_tab,
+                        np.int32(b * B), np.int32(plan.n_real))
+
+        # host mirror: per-chunk quantize+dequantize of the pack rows
+        deq = np.concatenate([
+            dequantize(*quantize_columns(
+                store.data[c.frame_base : c.frame_base + c.n_frames]))
+            for c in src.chunks
+        ])
+        host_step = make_train_step(model, opt, alpha, donate=False)
+        state_h = create_train_state(model, opt, seed=0)
+        for epoch in range(2):
+            for spec, order in src.epoch_schedule(epoch):
+                for b0 in range(0, len(order), B):
+                    idx = order[b0 : b0 + B]
+                    real = len(idx)
+                    if real < B:
+                        idx = np.concatenate(
+                            [idx, np.full(B - real, idx[0], idx.dtype)])
+                    seq_idx = ds.seq_idx[idx]
+                    abs_start = store.seq_starts[seq_idx] + ds.starts[idx]
+                    feats = np.stack([deq[a : a + 20] for a in abs_start])
+                    weight = np.zeros(B, np.float32)
+                    weight[:real] = 1.0
+                    state_h, _ = host_step(
+                        state_h, feats.astype(np.float32),
+                        seq_idx.astype(np.int32),
+                        ds.nsegs[seq_idx].astype(np.float32), weight)
+
+        assert int(state.step) == int(state_h.step)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5),
+            state.params, state_h.params,
+        )
+
+    def test_int8_device_resident_store(self, rng):
+        """DeviceDataSource with store_dtype=int8 stages a (q, scale,
+        offset) tuple; the device step's gathered batch matches the host
+        dequantization of the same windows."""
+        from pytorch_scalablefhvae_tpu.data.device_store import (
+            DeviceDataSource,
+        )
+        from pytorch_scalablefhvae_tpu.data.quantize import (
+            dequantize,
+            quantize_columns,
+        )
+        from pytorch_scalablefhvae_tpu.models import SimpleFHVAE
+        from pytorch_scalablefhvae_tpu.train.device_step import (
+            make_device_train_step,
+        )
+        from pytorch_scalablefhvae_tpu.train.step import (
+            create_train_state,
+            make_optimizer,
+            make_train_step,
+        )
+        from pytorch_scalablefhvae_tpu.data.loader import SegmentLoader
+
+        store = make_store(rng)
+        ds = SegmentDataset(store, seg_len=20, seg_shift=8)
+        model = SimpleFHVAE(input_size=20 * 8, num_seqs=store.num_seqs,
+                            z1_hus=(16, 16), z2_hus=(16, 16), x_hus=(16, 16),
+                            z1_dim=4, z2_dim=4)
+        opt = make_optimizer(1e-3, 0.9, 0.999)
+        B = 8
+        dsrc = DeviceDataSource(store, store_dtype="int8")
+        assert isinstance(dsrc.data, tuple) and dsrc.data[0].dtype == np.uint8
+        loader = SegmentLoader(ds, B, shuffle=True, seed=3)
+        loader.set_epoch(0)
+        plan, (seq_d, starts_d, nsegs_d) = dsrc.stage_epoch(
+            ds, loader._order(), B)
+        step1 = make_device_train_step(model, opt, 10.0, 20, B, 1,
+                                       donate=False)
+        state = create_train_state(model, opt, seed=0)
+        for b in range(plan.n_batches):
+            state, m = step1(state, dsrc.data, seq_d, starts_d, nsegs_d,
+                             np.int32(b * B), np.int32(plan.n_real))
+        assert np.isfinite(float(np.asarray(m["loss"]).ravel()[-1]))
+
+        # whole-pack quantization mirror through the host step
+        deq = dequantize(*quantize_columns(store.data))
+        host_step = make_train_step(model, opt, 10.0, donate=False)
+        state_h = create_train_state(model, opt, seed=0)
+        order = loader._order()
+        n_real = len(order)
+        pad = plan.n_batches * B - n_real
+        idx_all = np.concatenate([order, np.zeros(pad, order.dtype)])
+        for b in range(plan.n_batches):
+            idx = idx_all[b * B : (b + 1) * B]
+            seq_idx = ds.seq_idx[idx]
+            abs_start = store.seq_starts[seq_idx] + ds.starts[idx]
+            feats = np.stack([deq[a : a + 20] for a in abs_start])
+            weight = ((b * B + np.arange(B)) < n_real).astype(np.float32)
+            state_h, _ = host_step(
+                state_h, feats.astype(np.float32), seq_idx.astype(np.int32),
+                ds.nsegs[seq_idx].astype(np.float32), weight)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5),
+            state.params, state_h.params,
+        )
+
+
 @pytest.fixture(scope="module")
 def corpus(tmp_path_factory):
     root = tmp_path_factory.mktemp("corpus")
@@ -244,4 +430,14 @@ class TestStreamRuns:
                          steps_per_dispatch=2)
         assert np.isfinite(
             list(res.history.values["train_loss_results"].values())
+        ).all()
+
+    def test_int8_stream_full_run(self, corpus, tmp_path):
+        res = run_stream(corpus, tmp_path, "q8", transfer_dtype="int8",
+                         steps_per_dispatch=2)
+        assert np.isfinite(
+            list(res.history.values["train_loss_results"].values())
+        ).all()
+        assert np.isfinite(
+            list(res.history.values["val_loss_results"].values())
         ).all()
