@@ -212,7 +212,13 @@ class DeviceDataSource:
     """
 
     def __init__(self, store, mesh=None, shard_store: bool = False,
-                 store_dtype: str = "float32"):
+                 store_dtype: str = "float32", pad_to_rows: int | None = None):
+        """``pad_to_rows``: minimum row count of the staged buffer. Per-round
+        subset staging (hierarchical rounds on packs larger than HBM) stages
+        a DIFFERENT sub-pack every round; padding them all to one fixed
+        ceiling keeps the compiled train/MAP programs' store shape static
+        across rounds. Raises if the store needs more rows than the ceiling.
+        """
         import jax
 
         self.mesh = mesh
@@ -233,14 +239,19 @@ class DeviceDataSource:
         # tail slack for chunked region DMAs (single-device only: the
         # chunked pass does not run under a mesh, see STORE_TAIL_SLACK)
         slack = STORE_TAIL_SLACK if mesh is None else 0
-        shard_pad = 0
+        total = data.shape[0] + slack
+        if pad_to_rows is not None:
+            if total > pad_to_rows:
+                raise ValueError(
+                    f"staged store needs {total} rows (incl. slack) but "
+                    f"pad_to_rows={pad_to_rows}; raise the ceiling")
+            total = pad_to_rows
         if self.shard_store:
             m = mesh.shape["model"]
-            shard_pad = (-(data.shape[0] + slack)) % m
+            total += (-total) % m
         # ONE allocation + ONE copy for slack/row padding and the optional
         # dtype cast — chained np.concatenate would transiently hold two
         # full pack copies (at LibriSpeech-960 scale the pack is ~110 GB)
-        total = data.shape[0] + slack + shard_pad
         quant = None
         if store_dtype == "int8":
             from pytorch_scalablefhvae_tpu.data.quantize import (
@@ -297,29 +308,47 @@ class DeviceDataSource:
         return jax.device_put(arr)
 
     def stage_epoch(self, dataset: SegmentDataset, order: np.ndarray,
-                    batch_size: int, pad_rows: int | None = None):
+                    batch_size: int, pad_rows: int | None = None,
+                    pad_seqs: int | None = None):
         """Upload one epoch's plan; returns (plan, device arrays).
 
         Device arrays: ``(seq_idx [Npad], abs_starts [Npad], nsegs_tab [S])``
         — a few bytes per segment, the only recurring host->device traffic.
+        ``pad_seqs`` zero-pads the nsegs table (per-round subset staging:
+        one static table shape across trimmed rounds).
         """
         plan = build_epoch_plan(dataset, order, batch_size, pad_rows=pad_rows)
+        nsegs = dataset.nsegs.astype(np.float32)
+        if pad_seqs is not None and pad_seqs > len(nsegs):
+            nsegs = np.concatenate(
+                [nsegs, np.zeros(pad_seqs - len(nsegs), np.float32)])
         dev = (
             self._put(plan.seq_idx),
             self._put(plan.abs_starts),
-            self._put(dataset.nsegs.astype(np.float32)),
+            self._put(nsegs),
         )
         return plan, dev
 
-    def stage_meta(self, dataset: SegmentDataset):
+    def stage_meta(self, dataset: SegmentDataset, pad_seqs: int | None = None):
         """Upload the O(S) per-sequence metadata device-side planning needs:
         ``(seq_starts i32, nsegs i32, nsegs f32)``. Round-invariant — one
         upload per (sub)dataset, shared by every epoch's plan derivation
-        (and by the hierarchical MAP pass, which takes the same vectors)."""
+        (and by the hierarchical MAP pass, which takes the same vectors).
+
+        ``pad_seqs``: zero-pad the vectors to this length — per-round subset
+        staging trims oversized draws, and the compiled planner/MAP programs
+        need ONE static sequence-count across rounds (nsegs-0 padding rows
+        contribute no segments and accumulate nothing)."""
+        starts = dataset.store.seq_starts.astype(np.int32)
+        nsegs = np.asarray(dataset.nsegs)
+        if pad_seqs is not None and pad_seqs > len(nsegs):
+            pad = pad_seqs - len(nsegs)
+            starts = np.concatenate([starts, np.zeros(pad, np.int32)])
+            nsegs = np.concatenate([nsegs, np.zeros(pad, nsegs.dtype)])
         return (
-            self._put(dataset.store.seq_starts.astype(np.int32)),
-            self._put(dataset.nsegs.astype(np.int32)),
-            self._put(dataset.nsegs.astype(np.float32)),
+            self._put(starts),
+            self._put(nsegs.astype(np.int32)),
+            self._put(nsegs.astype(np.float32)),
         )
 
 

@@ -312,17 +312,39 @@ class FeatureStore:
         idx = abs_starts[:, None] + np.arange(seg_len)[None, :]
         return self.data[idx]
 
-    def subset(self, keys: Sequence[str]) -> "FeatureStore":
-        """Zero-copy view restricted to ``keys`` (hierarchical sampling:
-        each round trains against a sampled subset of sequences with local
-        indices 0..K-1; train_model.py:424-436 intent, B10 fixed)."""
+    def subset(self, keys: Sequence[str],
+               materialize: bool = False) -> "FeatureStore":
+        """View restricted to ``keys`` (hierarchical sampling: each round
+        trains against a sampled subset of sequences with local indices
+        0..K-1; train_model.py:424-436 intent, B10 fixed).
+
+        Default: zero-copy — ``data`` is the SHARED packed buffer and
+        ``seq_starts`` index into it (round subsets of an already-staged
+        pack read HBM directly). ``materialize=True`` instead gathers the
+        subset's rows into a fresh CONTIGUOUS pack with local seq_starts —
+        what per-round device staging needs when the full pack does not fit
+        HBM (the round's sub-pack is uploaded each round)."""
         idx = np.asarray([self.seq2idx[k] for k in keys], dtype=np.int64)
         sub = object.__new__(FeatureStore)
         sub.seq_keys = list(keys)
         sub.seq2idx = {k: i for i, k in enumerate(keys)}
         sub.lens = self.lens[idx]
         sub.dim = self.dim
-        sub.data = self.data  # shared packed buffer
-        sub.seq_starts = self.seq_starts[idx]
+        if materialize:
+            rows = int(sub.lens.sum())
+            buf = np.empty((rows, self.dim), self.data.dtype)
+            starts = np.zeros(len(idx), dtype=self.seq_starts.dtype)
+            at = 0
+            for j, i in enumerate(idx):
+                n = int(self.lens[i])
+                s = int(self.seq_starts[i])
+                starts[j] = at
+                buf[at : at + n] = self.data[s : s + n]
+                at += n
+            sub.data = buf
+            sub.seq_starts = starts
+        else:
+            sub.data = self.data  # shared packed buffer
+            sub.seq_starts = self.seq_starts[idx]
         sub.mvn_params = self.mvn_params
         return sub

@@ -352,7 +352,34 @@ def run_training(
     use_device_data = data_mode == "device"
     device_source = None
     stream_source = None
-    if data_mode in ("device", "stream"):
+    # Hierarchical rounds on packs larger than HBM: the full pack cannot
+    # stage (data_mode resolved to "host"), but ONE round's K-sequence
+    # subset usually can — the paper's scalable configuration (round
+    # subsets over LibriSpeech-960-class corpora) is exactly this regime.
+    # Each round materializes its subset into a contiguous sub-pack and
+    # stages it at a FIXED row ceiling (one compiled program for all
+    # rounds); per-round link traffic is O(subset frames) once, instead of
+    # the host loader's per-batch overlapping-window shipping. Subsets
+    # whose frames exceed the ceiling are trimmed from the tail of the
+    # random draw (still a uniform subset, just smaller).
+    round_rows_ceiling = None
+    if (hier and data_mode == "host" and not config.train.legacy
+            and config.data.data_placement in ("auto", "device", "stream")):
+        _isz = {"bfloat16": 2, "int8": 1}.get(config.data.transfer_dtype, 4)
+        _hk = min(hier_k, ds.store.num_seqs)
+        _worst = int(np.sort(np.asarray(ds.store.lens))[-_hk:].sum())
+        # plans/dev-split headroom: cap the sub-pack at 3/4 of the budget
+        _budget_rows = (config.data.device_store_max_bytes * 3 // 4) // max(
+            ds.store.dim * _isz, 1)
+        _need = _worst + STORE_TAIL_SLACK
+        _floor = int(ds.store.lens.max()) + STORE_TAIL_SLACK
+        if _budget_rows >= _floor:
+            round_rows_ceiling = min(_need, int(_budget_rows))
+            if verbose:
+                mb = round_rows_ceiling * ds.store.dim * _isz / 1e6
+                print(f"Hierarchical rounds stage their subset device-"
+                      f"resident ({mb:.1f} MB ceiling per round)")
+    if data_mode in ("device", "stream") or round_rows_ceiling is not None:
         from pytorch_scalablefhvae_tpu.train.device_step import (
             make_device_train_step,
         )
@@ -478,9 +505,14 @@ def run_training(
         # streamed runs keep <= 2 chunks staged plus a draining dispatch's
         # references; budget the dev split against that bound
         _train_staged = 3 * stream_source.chunk_rows * ds.store.dim * _itemsize
+    elif round_rows_ceiling is not None:
+        # per-round sub-pack at the fixed ceiling (plus the previous
+        # round's buffer while a dispatch drains)
+        _train_staged = 2 * round_rows_ceiling * ds.store.dim * _itemsize
     else:
         _train_staged = ds.store.data.shape[0] * ds.store.dim * _itemsize
-    if (use_device_data or stream_source is not None) and resolve_data_placement(
+    if (use_device_data or stream_source is not None
+            or round_rows_ceiling is not None) and resolve_data_placement(
         # opportunistic ("auto" even under forced device placement — dev
         # staging must never OOM a run whose train store barely fits) and
         # budgeted against what the train store already staged
@@ -673,7 +705,7 @@ def run_training(
     # features. Plans pad to a fixed batch-count CEILING (the K largest
     # per-sequence segment counts) so every round reuses ONE compiled pass.
     hier_device = None
-    if hier and use_device_data:
+    if hier and (use_device_data or round_rows_ceiling is not None):
         from pytorch_scalablefhvae_tpu.data.device_store import build_epoch_plan
         from pytorch_scalablefhvae_tpu.train.device_step import (
             make_device_map_pass,
@@ -749,7 +781,7 @@ def run_training(
     dev_plan_rows = None  # fixed plan-array length: a per-run CEILING, so
     # hierarchical rounds of varying subset size never re-specialize the
     # compiled device step on a new plan shape (host and device plans alike)
-    if use_device_data:
+    if use_device_data or round_rows_ceiling is not None:
         if hier:
             dev_plan_rows = int(
                 np.sort(np.asarray(train_loader.dataset.nsegs))[-hier_k:]
@@ -757,7 +789,8 @@ def run_training(
         else:
             dev_plan_rows = len(train_loader.dataset)
         dev_plan_rows += (-dev_plan_rows) % train_loader.batch_size
-    if use_device_data and config.data.epoch_plan == "device":
+    if ((use_device_data or round_rows_ceiling is not None)
+            and config.data.epoch_plan == "device"):
         if train_loader.dataset.rand_seg:
             raise ValueError(
                 "--epoch-plan device requires deterministic windowing "
@@ -783,6 +816,7 @@ def run_training(
     hier_round_epochs = max(
         getattr(config.train, "hierarchical_round_epochs", 1), 1)
     epoch_loader = None
+    round_source = None  # per-round staged sub-pack (hier, pack > HBM)
     for epoch in range(start_epoch, config.train.epochs):
         if hier and (epoch_loader is None
                      or (epoch - start_epoch) % hier_round_epochs == 0):
@@ -797,7 +831,27 @@ def run_training(
             keys = list(hier_rng.choice(full_ds.store.seq_keys, size=hier_k, replace=False))
             from pytorch_scalablefhvae_tpu.data.segments import SegmentDataset as _SD
 
-            sub_ds = _SD(full_ds.store.subset(keys), seg_len=full_ds.seg_len,
+            if round_rows_ceiling is not None:
+                # per-round subset staging (pack > HBM): trim the draw's
+                # tail until the sub-pack fits the fixed ceiling (a random
+                # draw's prefix is still a uniform subset), materialize it
+                # contiguously, and stage it — every round reuses the same
+                # compiled programs via the padded ceiling shape
+                _lens = {k: int(full_ds.store.lens[full_ds.store.seq2idx[k]])
+                         for k in keys}
+                _cap = round_rows_ceiling - STORE_TAIL_SLACK
+                while keys and sum(_lens[k] for k in keys) > _cap:
+                    keys.pop()
+                sub_store = full_ds.store.subset(keys, materialize=True)
+                round_source = DeviceDataSource(
+                    sub_store, mesh,
+                    shard_store=config.data.shard_device_store,
+                    store_dtype=config.data.transfer_dtype,
+                    pad_to_rows=round_rows_ceiling,
+                )
+            else:
+                sub_store = full_ds.store.subset(keys)
+            sub_ds = _SD(sub_store, seg_len=full_ds.seg_len,
                          seg_shift=full_ds.seg_shift, rand_seg=full_ds.rand_seg,
                          seed=config.train.seed + epoch)
             epoch_loader = SegmentLoader(
@@ -822,7 +876,7 @@ def run_training(
                     seq_rows = np.zeros(rows, plan.seq_idx.dtype)
                     seq_rows[: len(plan.seq_idx)] = plan.seq_idx
                     table = hier_device["pass"](
-                        state.params, device_source.data,
+                        state.params, (round_source or device_source).data,
                         jax.device_put(seq_rows), jax.device_put(starts),
                         np.int32(plan.n_real))
                 else:
@@ -830,16 +884,26 @@ def run_training(
                     # in-graph from per-sequence (abs offset, nseg). With
                     # device planning the SAME two staged vectors also feed
                     # the round's epoch plans.
+                    # trimmed rounds (subset staging) zero-pad the vectors
+                    # to hier_k so the compiled passes keep ONE shape
+                    _pad_k = hier_k if round_source is not None else None
                     if dev_planner is not None:
-                        dev_plan_meta = device_source.stage_meta(sub_ds)
+                        dev_plan_meta = (round_source or device_source
+                                         ).stage_meta(sub_ds, pad_seqs=_pad_k)
                         _starts_i, _nsegs_i = dev_plan_meta[:2]
                     else:
-                        _starts_i = jax.device_put(
-                            sub_ds.store.seq_starts.astype(np.int32))
-                        _nsegs_i = jax.device_put(
-                            sub_ds.nsegs.astype(np.int32))
+                        _st = sub_ds.store.seq_starts.astype(np.int32)
+                        _ns = sub_ds.nsegs.astype(np.int32)
+                        if _pad_k is not None and _pad_k > len(_ns):
+                            _st = np.concatenate(
+                                [_st, np.zeros(_pad_k - len(_st), np.int32)])
+                            _ns = np.concatenate(
+                                [_ns, np.zeros(_pad_k - len(_ns), np.int32)])
+                        _starts_i = jax.device_put(_st)
+                        _nsegs_i = jax.device_put(_ns)
                     table = hier_device["pass"](
-                        state.params, device_source.data, _starts_i, _nsegs_i)
+                        state.params, (round_source or device_source).data,
+                        _starts_i, _nsegs_i)
             else:
                 # host-loader MAP init honors the same chunk-skip
                 # subsampling as the device pass (the table is an
@@ -956,7 +1020,7 @@ def run_training(
                         base_b += nb
                         global_b += nb
                         after_dispatch(state, global_b, nb)
-            elif use_device_data:
+            elif use_device_data or round_source is not None:
                 # device-resident path: upload the epoch's index plan, then every
                 # dispatch reads HBM only (base offset + real count are scalars).
                 # Divergence is checked on the PREVIOUS dispatch's loss, like the
@@ -975,14 +1039,16 @@ def run_training(
                     plan = EpochPlan.meta(_n_real, epoch_loader.batch_size)
                 else:
                     plan, (seq_dev, starts_dev, nsegs_dev) = (
-                        device_source.stage_epoch(
+                        (round_source or device_source).stage_epoch(
                             epoch_loader.dataset, epoch_loader._order(),
                             epoch_loader.batch_size, pad_rows=dev_plan_rows,
+                            pad_seqs=(hier_k if round_source is not None
+                                      else None),
                         ))
                 counts_all = plan.batch_real_counts()
                 B = epoch_loader.batch_size
                 n_real = np.int32(plan.n_real)
-                store_dev = device_source.data
+                store_dev = (round_source or device_source).data
 
                 def _dev_dispatch(state, step_fn, base, n_batches):
                     state, metrics = step_fn(
