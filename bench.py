@@ -347,6 +347,98 @@ def bench_stream(k_dispatch: int = 64, epochs: int = 3,
     return best, src.host_bytes_per_epoch() / total
 
 
+def bench_hier_oversized(transfer_dtype: str = "float32",
+                         num_seqs: int = 1600, frames: int = 250,
+                         hier_k: int = 400, rounds: int = 3,
+                         k_dispatch: int = 64) -> float:
+    """Hierarchical rounds with the pack FORCED oversized (round-subset
+    staging, train/loop.py round_rows_ceiling): each round materializes its
+    K-sequence subset, stages it at a fixed ceiling, MAP-initializes the
+    table in one dispatch, and trains the round's epoch device-resident.
+    The link carries the subset's frames once per round — vs the host
+    loader's overlapping windows per batch (the pre-round-5 fallback for
+    this regime). Returns best-of-rounds segments/sec including the
+    staging + MAP turnover."""
+    import jax
+
+    from pytorch_scalablefhvae_tpu.data.device_store import (
+        STORE_TAIL_SLACK,
+        DeviceDataSource,
+    )
+    from pytorch_scalablefhvae_tpu.data.feature_store import FeatureStore
+    from pytorch_scalablefhvae_tpu.data.segments import SegmentDataset
+    from pytorch_scalablefhvae_tpu.models import SimpleFHVAE
+    from pytorch_scalablefhvae_tpu.train.device_step import (
+        make_device_map_pass_rows,
+        make_device_train_step,
+    )
+    from pytorch_scalablefhvae_tpu.train.step import (
+        create_train_state,
+        make_optimizer,
+    )
+
+    rng = np.random.default_rng(0)
+    store = FeatureStore.from_arrays({
+        f"s{i}": rng.standard_normal((frames, N_MELS)).astype(np.float32)
+        for i in range(num_seqs)
+    })
+    ceiling = hier_k * frames + STORE_TAIL_SLACK
+    model = SimpleFHVAE(input_size=SEG_LEN * N_MELS, num_seqs=hier_k)
+    optimizer = make_optimizer(1e-3, 0.95, 0.999)
+    state = create_train_state(model, optimizer, seed=0)
+    nsegs_per = (frames - SEG_LEN) // 8 + 1
+    n_round = hier_k * nsegs_per
+    pad_rows = n_round + (-n_round) % BATCH
+    B_map = 2048
+    map_batches = max(-(-n_round // B_map), 1)
+    map_pass = make_device_map_pass_rows(
+        model, SEG_LEN, 8, B_map, map_batches, model.table_rows, 0.25)
+    steps = {}
+
+    def step_for(k):
+        if k not in steps:
+            steps[k] = make_device_train_step(model, optimizer, ALPHA,
+                                              SEG_LEN, BATCH, k)
+        return steps[k]
+
+    draw = np.random.default_rng(7)
+
+    def run_round(state, r):
+        keys = list(draw.choice(store.seq_keys, size=hier_k, replace=False))
+        sub_store = store.subset(keys, materialize=True)
+        src = DeviceDataSource(sub_store, store_dtype=transfer_dtype,
+                               pad_to_rows=ceiling)
+        sub_ds = SegmentDataset(sub_store, seg_len=SEG_LEN, seg_shift=8)
+        table = map_pass(
+            state.params,
+            src.data,
+            jax.device_put(sub_store.seq_starts.astype(np.int32)),
+            jax.device_put(sub_ds.nsegs.astype(np.int32)),
+        )
+        state = state._replace(params=dict(state.params, mu2_table=table))
+        order = np.random.default_rng(100 + r).permutation(len(sub_ds))
+        plan, (seq_d, starts_d, nsegs_d) = src.stage_epoch(
+            sub_ds, order, BATCH, pad_rows=pad_rows)
+        n_real = np.int32(plan.n_real)
+        m = None
+        base = 0
+        while base < plan.n_batches:
+            nb = min(k_dispatch, plan.n_batches - base)
+            state, m = step_for(nb)(state, src.data, seq_d, starts_d,
+                                    nsegs_d, np.int32(base * BATCH), n_real)
+            base += nb
+        float(np.asarray(m["loss"]).ravel()[-1])  # host sync
+        return state, plan.n_real
+
+    state, _ = run_round(state, 0)  # warmup/compile
+    best = 0.0
+    for r in range(rounds):
+        t0 = time.perf_counter()
+        state, segs = run_round(state, r + 1)
+        best = max(best, segs / (time.perf_counter() - t0))
+    return best
+
+
 def bench_fbank_mframes(use_pallas: str, n_frames: int = 6400,
                         iters: int = 64) -> float:
     """On-device frame->log-mel rate (Mframes/s): the fused Pallas kernel
@@ -972,6 +1064,15 @@ def main() -> None:
             extras.update(bench_hier_round())
         except Exception as e:
             print(f"# hier-round bench failed: {e}")
+        # hierarchical rounds on an oversized pack: per-round subset
+        # staging (round 5) vs the old host-loader fallback; the host
+        # number for this regime is end_to_end_sps (same link physics)
+        try:
+            extras["hier_oversized_sps"] = round(bench_hier_oversized(), 1)
+            extras["hier_oversized_int8_sps"] = round(
+                bench_hier_oversized(transfer_dtype="int8"), 1)
+        except Exception as e:
+            print(f"# hier-oversized bench failed: {e}")
 
     def sig2(x: float) -> float:
         """2 significant figures: the torch-CPU baseline swings ~±40%
