@@ -287,11 +287,12 @@ def run_training(
     # re-derive and skip into it — legacy and hierarchical runs are not
     ckpt_every = max(config.train.ckpt_every_steps, 0)
     max_steps = max(config.train.max_steps, 0)
-    if (ckpt_every or max_steps) and (config.train.legacy or hier):
+    if (ckpt_every or max_steps) and config.train.legacy:
         raise ValueError(
             "--ckpt-every-steps/--max-steps are not supported with legacy "
-            "step-epochs or hierarchical rounds (their schedules are not "
-            "pure functions of (seed, epoch))")
+            "step-epochs (their schedule is not a pure function of "
+            "(seed, epoch)); hierarchical rounds ARE supported — round "
+            "subsets draw from an rng keyed by the boundary epoch")
 
     start_epoch = 0
     best_epoch, best_val_lb = 0, -np.inf
@@ -697,7 +698,6 @@ def run_training(
 
         return after
 
-    hier_rng = np.random.default_rng(config.train.seed + 23)
 
     # device-resident MAP init for hierarchical rounds: the round subsets are
     # zero-copy views of the already-staged pack, so the per-round encode
@@ -818,8 +818,8 @@ def run_training(
     epoch_loader = None
     round_source = None  # per-round staged sub-pack (hier, pack > HBM)
     for epoch in range(start_epoch, config.train.epochs):
-        if hier and (epoch_loader is None
-                     or (epoch - start_epoch) % hier_round_epochs == 0):
+        _boundary = hier and epoch % hier_round_epochs == 0
+        if hier and (epoch_loader is None or _boundary):
             # sample this round's sequence subset and MAP-initialize its
             # mu2 rows from the current encoder; the table (and its Adam
             # moments) are per-round fast weights. With
@@ -827,8 +827,27 @@ def run_training(
             # are reused for N epochs — the reference keeps ONE subset for
             # the whole run (train_model.py:424-436), so any finite cadence
             # is fresher than its semantics while amortizing the turnover.
+            #
+            # The round schedule is a PURE FUNCTION of (seed, epoch):
+            # boundaries are absolute (epoch % N == 0) and each round's
+            # subset draws from an rng keyed by its boundary epoch — so a
+            # resume (per-epoch or mid-epoch) re-derives exactly the subset
+            # the interrupted run was training, which is what makes
+            # --ckpt-every-steps/--max-steps sound under hierarchical
+            # sampling. The MAP re-init runs only when the round actually
+            # TURNS OVER here: re-entering a live round (resume lands
+            # mid-round, or a mid-epoch cursor points at the boundary
+            # epoch) keeps the restored table — it IS the round's live
+            # state, and re-deriving it from post-init params would fork
+            # the trajectory.
+            _e0 = epoch - (epoch % hier_round_epochs)
+            _fresh_init = _boundary and not (
+                mid_cursor is not None and epoch == mid_cursor[0])
             full_ds = train_loader.dataset
-            keys = list(hier_rng.choice(full_ds.store.seq_keys, size=hier_k, replace=False))
+            _round_rng = np.random.default_rng(
+                (config.train.seed + 23) * 1_000_003 + _e0)
+            keys = list(_round_rng.choice(full_ds.store.seq_keys,
+                                          size=hier_k, replace=False))
             from pytorch_scalablefhvae_tpu.data.segments import SegmentDataset as _SD
 
             if round_rows_ceiling is not None:
@@ -851,15 +870,21 @@ def run_training(
                 )
             else:
                 sub_store = full_ds.store.subset(keys)
+            # seeds key on the round's BOUNDARY epoch (_e0), not the entry
+            # epoch: a resume landing mid-round rebuilds the identical
+            # dataset/loader the uninterrupted run created at the boundary
+            # (per-epoch shuffles re-derive from set_epoch below)
             sub_ds = _SD(sub_store, seg_len=full_ds.seg_len,
                          seg_shift=full_ds.seg_shift, rand_seg=full_ds.rand_seg,
-                         seed=config.train.seed + epoch)
+                         seed=config.train.seed + _e0)
             epoch_loader = SegmentLoader(
                 sub_ds, train_loader.batch_size, shuffle=True,
-                seed=config.train.seed + 31 * epoch,
+                seed=config.train.seed + 31 * _e0,
                 transfer_dtype=config.data.transfer_dtype,
             )
-            if hier_device is not None:
+            if not _fresh_init:
+                pass  # restored table is the round's live state
+            elif hier_device is not None:
                 # the whole round turnover is ONE device program over the
                 # staged pack (subset views keep absolute offsets): encode,
                 # per-sequence accumulation, and the MAP formula all run in
@@ -948,7 +973,8 @@ def run_training(
                     )
                 else:
                     table = jax.device_put(table_np)
-            state = _replace_mu2_table(state, table)
+            if _fresh_init:
+                state = _replace_mu2_table(state, table)
         elif not hier:
             epoch_loader = train_loader
         epoch_loader.set_epoch(epoch)

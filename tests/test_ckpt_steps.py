@@ -151,14 +151,19 @@ class TestKillResume:
     def test_host_plain_path(self, corpus, tmp_path):
         kill_resume_roundtrip(corpus, tmp_path, "hostp", "host", max_steps=5)
 
+    def test_hierarchical_path(self, corpus, tmp_path):
+        """Hierarchical rounds are pure functions of (seed, epoch): the
+        subset draw keys on the boundary epoch, and resuming into a live
+        round keeps the restored table instead of re-MAP-initializing —
+        so a mid-round kill resumes onto the identical trajectory."""
+        kill_resume_roundtrip(corpus, tmp_path, "hier", "device",
+                              sample_hierarchical=True,
+                              num_hierarchical_sequences=6, max_steps=3)
+
 
 class TestValidation:
-    def test_rejected_with_legacy_and_hier(self, corpus, tmp_path):
+    def test_rejected_with_legacy(self, corpus, tmp_path):
         with pytest.raises(ValueError, match="not supported"):
             run(make_cfg(tmp_path, "leg", "host", legacy=True,
                          ckpt_every_steps=2),
                 corpus, tmp_path, "leg")
-        with pytest.raises(ValueError, match="not supported"):
-            run(make_cfg(tmp_path, "hier", "host", sample_hierarchical=True,
-                         num_hierarchical_sequences=3, max_steps=5),
-                corpus, tmp_path, "hier")
