@@ -160,6 +160,15 @@ class TestKillResume:
                               sample_hierarchical=True,
                               num_hierarchical_sequences=6, max_steps=3)
 
+    def test_hierarchical_multi_epoch_rounds_orbax(self, corpus, tmp_path):
+        """--hierarchical-round-epochs > 1 + orbax: the kill lands inside a
+        round's SECOND epoch; the resume must rebuild the boundary epoch's
+        subset (absolute boundaries) without re-initializing the table."""
+        kill_resume_roundtrip(corpus, tmp_path, "hier2", "device",
+                              backend="orbax", sample_hierarchical=True,
+                              num_hierarchical_sequences=6,
+                              hierarchical_round_epochs=2, max_steps=3)
+
 
 class TestValidation:
     def test_rejected_with_legacy(self, corpus, tmp_path):
