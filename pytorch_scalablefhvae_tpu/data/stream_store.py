@@ -316,8 +316,11 @@ def resolve_data_mode(
     ``auto`` picks device iff the packed bytes fit the budget (scaled by the
     model-axis size when row-sharded), else stream — unless the run is
     legacy (per-batch log/break semantics) or hierarchical (round subsets
-    re-sample sequences across the whole pack; the host loader with the
-    staged-subset MAP pass covers that regime), which fall back to host.
+    re-sample sequences across the whole pack, so chunk streaming does not
+    compose), which fall back to host. A hierarchical "host" resolution is
+    then upgraded by the training loop to PER-ROUND subset staging when one
+    round's sub-pack fits the budget (train/loop.py round_rows_ceiling) —
+    the loader stays host-built, but the round's data lives in HBM.
     """
     from pytorch_scalablefhvae_tpu.data.device_store import (
         resolve_data_placement,

@@ -432,6 +432,15 @@ class TestStreamRuns:
             list(res.history.values["train_loss_results"].values())
         ).all()
 
+    def test_int8_stream_on_mesh(self, corpus, tmp_path):
+        """int8 chunks under a mesh: the tuple store's byte rows replicate
+        (shard_store off) and the dequantizing gather runs mesh-compiled."""
+        res = run_stream(corpus, tmp_path, "q8m", transfer_dtype="int8",
+                         mesh_shape=(4, 2), steps_per_dispatch=2)
+        assert np.isfinite(
+            list(res.history.values["train_loss_results"].values())
+        ).all()
+
     def test_int8_stream_full_run(self, corpus, tmp_path):
         res = run_stream(corpus, tmp_path, "q8", transfer_dtype="int8",
                          steps_per_dispatch=2)
