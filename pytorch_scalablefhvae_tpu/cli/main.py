@@ -158,6 +158,12 @@ def _cmd_encode(args) -> int:
     return 0
 
 
+def _cmd_serve(args) -> int:
+    from pytorch_scalablefhvae_tpu.eval.serve import serve
+
+    return serve(args.exp_dir, step=args.step, batch_size=args.batch_size)
+
+
 def _cmd_import_checkpoint(args) -> int:
     from pytorch_scalablefhvae_tpu.compat import import_reference_checkpoint
 
@@ -275,6 +281,21 @@ def build_parser() -> argparse.ArgumentParser:
                         "actually had — encoding at a different rate skews "
                         "the feature geometry")
     p.set_defaults(fn=_cmd_encode)
+
+    p = sub.add_parser(
+        "serve",
+        help="Persistent encode server: load the experiment once, then "
+             "answer JSONL encode requests on stdin (one JSON object per "
+             "line; see eval/serve.py for the protocol). Compiled encoder "
+             "programs stay warm across requests",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    p.add_argument("exp_dir", type=str, help="Experiment directory")
+    p.add_argument("--step", type=int, default=-1,
+                   help="Epoch checkpoint to load; -1 loads the best checkpoint")
+    p.add_argument("--batch-size", type=int, default=2048,
+                   help="Segment batch size for the encoder passes")
+    p.set_defaults(fn=_cmd_serve)
 
     p = sub.add_parser(
         "import-checkpoint",

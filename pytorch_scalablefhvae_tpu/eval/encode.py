@@ -146,12 +146,65 @@ def encode_audio(
 
     Returns (and writes, unless ``output_dir`` is False-y and defaulted off)
     per-segment latents, per-utterance mu2 MAP / mean-z1, and the utterance
-    key list.
+    key list. One-shot form of :class:`EncodeSession` (which keeps the
+    loaded model and compiled programs warm across requests — the serving
+    path, ``sfhvae serve``).
     """
-    from pytorch_scalablefhvae_tpu.eval.evaluate import load_experiment
+    session = EncodeSession(exp_dir, step=step, batch_size=batch_size)
+    return session.encode(inputs, output_dir=output_dir,
+                          sample_rate=sample_rate, verbose=verbose)
 
-    exp_dir = Path(exp_dir)
-    config, model, params, meta = load_experiment(exp_dir, step=step)
+
+class EncodeSession:
+    """A loaded experiment held warm for repeated encode requests.
+
+    ``sfhvae encode`` pays checkpoint-load + XLA compile on every
+    invocation; a serving deployment amortizes both by keeping ONE session:
+    the model/params stay resident and — because SegmentLoader pads every
+    batch to the fixed ``batch_size`` — the encoder programs compile once
+    and serve every subsequent request from jit cache.
+    """
+
+    def __init__(self, exp_dir: str | Path, step: int = -1,
+                 batch_size: int = 2048):
+        from pytorch_scalablefhvae_tpu.eval.evaluate import load_experiment
+
+        self.exp_dir = Path(exp_dir)
+        self.config, self.model, self.params, self.meta = load_experiment(
+            self.exp_dir, step=step)
+        self.batch_size = batch_size
+        self._mvn_params = None
+        if self.config.data.mvn_path:
+            mvn_file = Path(self.config.data.mvn_path)
+            if not mvn_file.exists():
+                # encoding un-normalized features against a model trained
+                # on normalized ones yields numerically valid garbage
+                raise FileNotFoundError(
+                    f"The run was trained with MVN ({mvn_file}) but the "
+                    f"stats file is missing; copy it next to the experiment "
+                    f"or point config.data.mvn_path at it"
+                )
+            self._mvn_params = json.loads(mvn_file.read_text())
+
+    def encode(self, inputs, output_dir: str | Path | None = None,
+               sample_rate: int | None = None, verbose: bool = True) -> dict:
+        return _encode_request(
+            self.config, self.model, self.params, self._mvn_params,
+            inputs, output_dir=output_dir, batch_size=self.batch_size,
+            sample_rate=sample_rate, verbose=verbose)
+
+
+def _encode_request(
+    config,
+    model,
+    params,
+    mvn_params,
+    inputs,
+    output_dir: str | Path | None = None,
+    batch_size: int = 2048,
+    sample_rate: int | None = None,
+    verbose: bool = True,
+) -> dict:
     fcfg = config.features
 
     audio = _collect_audio(inputs if isinstance(inputs, (list, tuple)) else [inputs])
@@ -214,18 +267,6 @@ def encode_audio(
     if not feats:
         raise ValueError("All inputs were shorter than one segment")
 
-    mvn_params = None
-    if config.data.mvn_path:
-        mvn_file = Path(config.data.mvn_path)
-        if not mvn_file.exists():
-            # encoding un-normalized features against a model trained on
-            # normalized ones yields numerically valid garbage — refuse
-            raise FileNotFoundError(
-                f"The run was trained with MVN ({mvn_file}) but the stats "
-                f"file is missing; copy it next to the experiment or point "
-                f"config.data.mvn_path at it"
-            )
-        mvn_params = json.loads(mvn_file.read_text())
     store = FeatureStore.from_arrays(feats, mvn_params=mvn_params,
                                      apply_mvn=mvn_params is not None)
     ds = SegmentDataset(store, seg_len=config.data.seg_len,

@@ -186,6 +186,72 @@ class TestEncodeAudio:
             encode_audio(root, [str(paths[0])], verbose=False)
 
 
+class TestServe:
+    def _serve_lines(self, exp_dir, requests):
+        import io
+
+        from pytorch_scalablefhvae_tpu.eval.serve import serve
+
+        fin = io.StringIO("".join(json.dumps(r) + "\n" for r in requests))
+        fout = io.StringIO()
+        rc = serve(exp_dir, stdin=fin, stdout=fout)
+        assert rc == 0
+        return [json.loads(l) for l in fout.getvalue().splitlines()]
+
+    def test_session_serves_repeated_requests(self, exp_dir, tmp_path):
+        """One loaded session answers multiple requests; inline summaries
+        match the one-shot encode path; bad requests don't kill the loop."""
+        paths = make_wavs(tmp_path, n=2)
+        out = self._serve_lines(exp_dir, [
+            {"cmd": "ping", "id": "p"},
+            {"id": "r1", "inputs": [str(p) for p in paths],
+             "output_dir": str(tmp_path / "srv1")},
+            {"id": "bad", "inputs": [str(tmp_path / "nope.wav")]},
+            {"id": "r2", "inputs": [str(paths[0])]},
+            {"cmd": "shutdown", "id": "q"},
+        ])
+        ready, pong, r1, bad, r2, bye = out
+        assert ready["ready"] and ready["model_type"] == "simple_fhvae"
+        assert pong["ok"] and pong["id"] == "p"
+        assert r1["ok"] and r1["utterances"] == 2
+        assert r1["sequences"] == ["utt0", "utt1"]
+        ref = encode_audio(exp_dir, [str(p) for p in paths], verbose=False)
+        np.testing.assert_allclose(np.asarray(r1["mu2_map"]), ref["mu2_map"],
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(r1["z1_seq_mean"]),
+                                   ref["z1_seq_mean"], rtol=1e-6)
+        with np.load(tmp_path / "srv1" / "latents.npz") as z:
+            np.testing.assert_allclose(z["z2_mu"], ref["z2_mu"], rtol=1e-6)
+        assert not bad["ok"] and "error" in bad
+        assert r2["ok"] and r2["utterances"] == 1  # loop survived the error
+        assert bye["bye"]
+
+    def test_cli_serve_subprocess(self, exp_dir, tmp_path):
+        """The real surface: spawn `sfhvae serve`, pipe two requests, and
+        confirm the SECOND is served by the same warm process."""
+        import subprocess
+        import sys as _sys
+
+        paths = make_wavs(tmp_path, n=2)
+        reqs = "".join(json.dumps(r) + "\n" for r in [
+            {"id": "a", "inputs": [str(paths[0])]},
+            {"id": "b", "inputs": [str(paths[1])],
+             "output_dir": str(tmp_path / "srv_cli")},
+            {"cmd": "shutdown"},
+        ])
+        proc = subprocess.run(
+            [_sys.executable, "-m", "pytorch_scalablefhvae_tpu.cli.main",
+             "serve", str(exp_dir)],
+            input=reqs, capture_output=True, text=True, timeout=300,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        lines = [json.loads(l) for l in proc.stdout.splitlines()]
+        assert lines[0]["ready"]
+        assert lines[1]["id"] == "a" and lines[1]["ok"]
+        assert lines[2]["id"] == "b" and lines[2]["ok"]
+        assert (tmp_path / "srv_cli" / "latents.npz").exists()
+
+
 class TestExplicitIdAfterCollision:
     def test_scp_id_colliding_with_rekeyed_stems_raises(self, tmp_path):
         """An explicit wav.scp id whose stem already collided among
