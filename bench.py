@@ -439,6 +439,69 @@ def bench_hier_oversized(transfer_dtype: str = "float32",
     return best
 
 
+def bench_serve_warm_ms(n_utts: int = 8, seconds: float = 2.0,
+                        iters: int = 5) -> float:
+    """Warm-session encode latency (ms per request): what one `sfhvae
+    serve` request costs once the EncodeSession's programs are compiled —
+    the serving-path counterpart of the cold `sfhvae encode` invocation
+    (checkpoint load + XLA compile, tens of seconds). Request = decode
+    ``n_utts`` WAVs -> features -> MVN -> segment -> batched encoder passes
+    -> per-utterance MAP summaries."""
+    import json
+    import tempfile
+    from pathlib import Path
+
+    from pytorch_scalablefhvae_tpu.config import (
+        DataConfig,
+        ExperimentConfig,
+        FeatureConfig,
+        ModelConfig,
+    )
+    from pytorch_scalablefhvae_tpu.eval.encode import EncodeSession
+    from pytorch_scalablefhvae_tpu.models import SimpleFHVAE
+    from pytorch_scalablefhvae_tpu.train import checkpoint as ckpt
+    from pytorch_scalablefhvae_tpu.train.step import (
+        create_train_state,
+        make_optimizer,
+    )
+    from pytorch_scalablefhvae_tpu.utils.audio_io import write_wav
+
+    sr = 16000
+    with tempfile.TemporaryDirectory() as td:
+        root = Path(td)
+        cfg = ExperimentConfig(
+            features=FeatureConfig(n_mels=N_MELS),
+            data=DataConfig(dataset="synthetic", seg_len=SEG_LEN,
+                            mvn_path=str(root / "mvn.json")),
+            model=ModelConfig(model_type="simple_fhvae"),
+        )
+        cfg.save(root / "config.json")
+        (root / "mvn.json").write_text(json.dumps(
+            {"mean": [[0.0] * N_MELS], "std": [[1.0] * N_MELS]}))
+        model = SimpleFHVAE(input_size=SEG_LEN * N_MELS, num_seqs=n_utts)
+        state = create_train_state(model, make_optimizer(1e-3, 0.95, 0.999),
+                                   seed=0)
+        ckpt.save_checkpoint(
+            root, state, model_type="simple_fhvae",
+            model_params=model.model_params(), run_info="bench", epoch=0,
+            best_epoch=0, best_val_lb=-1.0, values={},
+            extra_meta={"num_seqs": n_utts, "feat_dim": N_MELS,
+                        "seg_len": SEG_LEN})
+        rng = np.random.default_rng(0)
+        wavs = []
+        for i in range(n_utts):
+            y = (0.2 * rng.standard_normal(int(sr * seconds))).astype(np.float32)
+            wavs.append(str(write_wav(root / f"u{i}.wav", y, sr)))
+        session = EncodeSession(root)
+        session.encode(wavs, verbose=False)  # compile / warm
+        best = float("inf")
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            session.encode(wavs, verbose=False)
+            best = min(best, time.perf_counter() - t0)
+        return best * 1000.0
+
+
 def bench_fbank_mframes(use_pallas: str, n_frames: int = 6400,
                         iters: int = 64) -> float:
     """On-device frame->log-mel rate (Mframes/s): the fused Pallas kernel
@@ -1073,6 +1136,10 @@ def main() -> None:
                 bench_hier_oversized(transfer_dtype="int8"), 1)
         except Exception as e:
             print(f"# hier-oversized bench failed: {e}")
+        try:
+            extras["serve_warm_request_ms"] = round(bench_serve_warm_ms(), 1)
+        except Exception as e:
+            print(f"# serve bench failed: {e}")
 
     def sig2(x: float) -> float:
         """2 significant figures: the torch-CPU baseline swings ~±40%

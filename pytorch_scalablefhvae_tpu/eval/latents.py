@@ -39,14 +39,17 @@ def extract_latents(
     key = jax.random.PRNGKey(seed)
     z1s, z2s, seqs, lbs = [], [], [], []
 
-    # only the needed output refs are pushed — dropping x_mu immediately
-    # lets its buffer free as each dispatch completes
+    # only the packed [B, z1+z2+1] block is pushed (x_mu's buffer frees as
+    # each dispatch completes): ONE device->host fetch per batch — each
+    # readback is a full link round trip, which dominates warm serving
+    # latency on high-latency links (train/step.py make_latent_step)
     def drain_one(item):
-        z1, z2, lb, seq_idx, weight = item
+        packed, d1, d2, seq_idx, weight = item
         real = weight > 0
-        z1s.append(np.asarray(z1)[real])
-        z2s.append(np.asarray(z2)[real])
-        lbs.append(np.asarray(lb)[real])
+        block = np.asarray(packed)[real]
+        z1s.append(block[:, :d1])
+        z2s.append(block[:, d1 : d1 + d2])
+        lbs.append(block[:, -1])
         seqs.append(seq_idx[real])
 
     window = DispatchWindow(drain_one)
@@ -54,8 +57,8 @@ def extract_latents(
         args = (params, b.feats, b.seq_idx, b.nsegs,
                 jax.random.fold_in(key, i))
         out = step(*args) if table is None else step(*args, table)
-        window.push((out["z1_mu"], out["z2_mu"], out["lower_bound"],
-                     b.seq_idx, b.weight))
+        window.push((out["packed"], out["z1_mu"].shape[1],
+                     out["z2_mu"].shape[1], b.seq_idx, b.weight))
     window.close()
     return {
         "z1_mu": np.concatenate(z1s) if z1s else np.zeros((0, 0)),
