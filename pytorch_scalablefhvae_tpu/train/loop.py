@@ -102,8 +102,13 @@ def evaluate_split(
     count = 0.0
 
     def drain_one(item):
+        # ONE device->host fetch per batch: the metric sums are stacked
+        # into a single vector right after dispatch — fetching the dict's
+        # scalars individually costs a full link round trip EACH (~150 ms
+        # x 8 metrics per batch on the tunneled rig)
         nonlocal count
-        sums = {k: float(v) for k, v in item.items()}
+        keys, vec = item
+        sums = dict(zip(keys, np.asarray(vec, dtype=np.float64).tolist()))
         count += sums.pop("count")
         for k, v in sums.items():
             totals[k] = totals.get(k, 0.0) + v
@@ -112,8 +117,9 @@ def evaluate_split(
     for i, b in enumerate(loader):
         args = (params, b.feats, b.seq_idx, b.nsegs, b.weight,
                 jax.random.fold_in(key, i))
-        window.push(eval_step(*args) if table is None
-                    else eval_step(*args, table))
+        out = (eval_step(*args) if table is None
+               else eval_step(*args, table))
+        window.push((list(out.keys()), jnp.stack(list(out.values()))))
     window.close()
     if count == 0:
         return {k: float("nan") for k in ("loss", "lower_bound", "log_qy")}
@@ -594,8 +600,12 @@ def run_training(
         # round-trips the host between the two dispatches.
         stacked = dd["eval"](params, dd["src"].data, dseq, dstarts, dnsegs,
                              n_real, table)
-        stacked = {k: np.asarray(v, dtype=np.float64)
-                   for k, v in stacked.items()}
+        # one fetch for all metric rows (per-scalar-array readbacks cost a
+        # link round trip each; same rationale as evaluate_split's drain)
+        _keys = list(stacked.keys())
+        _mat = np.asarray(jnp.stack([stacked[k] for k in _keys]),
+                          dtype=np.float64)
+        stacked = {k: _mat[i] for i, k in enumerate(_keys)}
         count = float(stacked.pop("count").sum())
         if count == 0:
             return {k: float("nan") for k in ("loss", "lower_bound", "log_qy")}
@@ -1160,8 +1170,13 @@ def run_training(
                       f"mid-epoch checkpoint saved")
             break
 
-        losses = np.concatenate([np.atleast_1d(np.asarray(l, dtype=np.float64))
-                                 for l in step_losses]) if step_losses else np.zeros(0)
+        # concatenate the per-dispatch loss stacks ON DEVICE and fetch the
+        # result once: fetching each dispatch's array individually costs a
+        # link round trip per dispatch (at corpus scale, thousands per
+        # epoch on a high-latency link)
+        losses = (np.asarray(
+            jnp.concatenate([jnp.atleast_1d(l) for l in step_losses]),
+            dtype=np.float64) if step_losses else np.zeros(0))
         counts = np.asarray(step_counts)
         epoch_dt = time.perf_counter() - epoch_t0
         segments_per_sec = float(counts.sum() / max(epoch_dt, 1e-9))
