@@ -308,7 +308,8 @@ def bench_stream(k_dispatch: int = 64, epochs: int = 3,
         for i in range(num_seqs)
     })
     ds = SegmentDataset(store, seg_len=SEG_LEN, seg_shift=8)
-    itemsize = {"bfloat16": 2, "int8": 1}.get(transfer_dtype, 4)
+    from pytorch_scalablefhvae_tpu.data.device_store import staging_itemsize
+    itemsize = staging_itemsize(transfer_dtype)
     chunk_bytes = store.data.shape[0] * store.dim * itemsize // n_chunks + 1
     src = StreamingDeviceSource(ds, chunk_bytes, BATCH, round_to=k_dispatch,
                                 store_dtype=transfer_dtype)

@@ -219,9 +219,10 @@ class TrainConfig:
     # scale an epoch is hours; the cadence bounds preemption loss. The
     # sidecar records the epoch-plan cursor (epoch + batches done), so a
     # resume re-derives the same deterministic schedule and continues
-    # mid-epoch with the identical trajectory. Not supported with legacy
-    # step-epochs or hierarchical rounds (their schedules are not pure
-    # functions of (seed, epoch)).
+    # mid-epoch with the identical trajectory — including hierarchical
+    # rounds (subset draws key on the round's boundary epoch). Not
+    # supported with legacy step-epochs (their schedule is not a pure
+    # function of (seed, epoch)).
     ckpt_every_steps: int = 0
     # stop after this many optimizer steps (global counter), saving a
     # mid-epoch checkpoint at the boundary; 0 = run to the epoch budget

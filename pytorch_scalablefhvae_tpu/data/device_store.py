@@ -51,6 +51,15 @@ from pytorch_scalablefhvae_tpu.data.segments import SegmentDataset
 STORE_TAIL_SLACK = 256
 
 
+def staging_itemsize(store_dtype: str) -> int:
+    """Bytes per element a staged store ships/holds for ``store_dtype``
+    ("float32" | "bfloat16" | "int8"). The ONE definition every budget
+    computation uses (placement resolution, stream chunking, round
+    ceilings, verbose MB prints, bench) — drifted copies mis-budget HBM
+    and silently pick the wrong data tier."""
+    return {"bfloat16": 2, "int8": 1}.get(store_dtype, 4)
+
+
 @dataclass
 class EpochPlan:
     """Host-side segment schedule for one epoch (uploaded once per epoch).
@@ -374,7 +383,7 @@ def resolve_data_placement(
         return False
     if placement == "host":
         return False
-    itemsize = {"bfloat16": 2, "int8": 1}.get(store_dtype, 4)
+    itemsize = staging_itemsize(store_dtype)
     nbytes = store.data.shape[0] * store.dim * itemsize
     budget = max_bytes
     if mesh is not None and shard_store:

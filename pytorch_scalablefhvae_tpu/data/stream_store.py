@@ -152,14 +152,14 @@ class StreamingDeviceSource:
             rows += (-rows) % m
         self.chunk_rows = rows
         # fixed plan length: every chunk's plan pads to a whole number of
-        # B*round_to rows (round_to = steps_per_dispatch), so dispatches
-        # never need a separately-compiled tail program — trailing
-        # padding rows carry weight 0
-        quantum = batch_size * max(round_to, 1)
+        # batches, so ONE uploaded-array shape serves every chunk of every
+        # epoch. (Padding further to B*round_to would not save tail
+        # compiles — an all-padding batch still takes an Adam step, so the
+        # consumer dispatches only REAL batches and compiles per tail size
+        # regardless; ``round_to`` is kept for signature compatibility.)
         segs = max(c.n_segments for c in self.chunks)
-        self.plan_rows = segs + (-segs) % quantum
+        self.plan_rows = segs + (-segs) % batch_size
         self.batch_size = batch_size
-        self.quantum = quantum
 
         self._sharding = None
         self._plan_sharding = None

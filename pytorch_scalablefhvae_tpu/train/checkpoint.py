@@ -323,8 +323,13 @@ def find_best_checkpoint(exp_dir: str | Path) -> Path:
         # SAME RUN — several runs may share a directory, and another run's
         # params must never be silently resumed.
         run_prefix = target.name.rsplit("_e", 1)[0]
-        committed = sorted(exp_dir.glob(f"{run_prefix}_e*.orbax"),
-                           key=_epoch_of)
+        # mid-epoch cadence dirs (_e<N>s<B>.orbax, _epoch_of == -1) are
+        # excluded: they are never best-model candidates, and with several
+        # on disk the -1 tie would make glob order pick one arbitrarily
+        committed = sorted(
+            (p for p in exp_dir.glob(f"{run_prefix}_e*.orbax")
+             if _epoch_of(p) >= 0),
+            key=_epoch_of)
         if committed:
             import warnings
 

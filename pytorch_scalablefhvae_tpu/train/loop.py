@@ -304,6 +304,7 @@ def run_training(
     best_epoch, best_val_lb = 0, -np.inf
     history = MetricHistory()
     mid_cursor = None  # (epoch, batches_done) from a mid-epoch checkpoint
+    mid_partial: dict = {}  # pre-kill metric partials of that epoch
     # order-sensitive corpus identity: saved in every sidecar and compared
     # on resume — a different corpus with the SAME sequence count must not
     # silently pair its sequences with the table's unrelated rows
@@ -328,6 +329,12 @@ def run_training(
             # already-trained prefix of its deterministic schedule
             start_epoch = int(mid["epoch"])
             mid_cursor = (start_epoch, int(mid["batches_done"]))
+            # the pre-kill prefix's metric partials (when present): folded
+            # into the resumed epoch's totals so its recorded train_loss /
+            # seg-per-sec cover the WHOLE epoch, not just the remainder
+            mid_partial = {k: float(mid[k])
+                           for k in ("loss_sum", "count_sum", "elapsed_s")
+                           if k in mid}
         if verbose:
             print(f"Resumed from {continue_from} at epoch {start_epoch}"
                   + (f" (mid-epoch, batch {mid_cursor[1]})"
@@ -342,6 +349,7 @@ def run_training(
     from pytorch_scalablefhvae_tpu.data.device_store import (
         STORE_TAIL_SLACK,
         DeviceDataSource,
+        staging_itemsize,
     )
     from pytorch_scalablefhvae_tpu.data.stream_store import (
         StreamingDeviceSource,
@@ -372,7 +380,7 @@ def run_training(
     round_rows_ceiling = None
     if (hier and data_mode == "host" and not config.train.legacy
             and config.data.data_placement in ("auto", "device", "stream")):
-        _isz = {"bfloat16": 2, "int8": 1}.get(config.data.transfer_dtype, 4)
+        _isz = staging_itemsize(config.data.transfer_dtype)
         _hk = min(hier_k, ds.store.num_seqs)
         _worst = int(np.sort(np.asarray(ds.store.lens))[-_hk:].sum())
         # plans/dev-split headroom: cap the sub-pack at 3/4 of the budget
@@ -412,7 +420,7 @@ def run_training(
         )
         if verbose:
             mb = ds.store.data.shape[0] * ds.store.dim * (
-                {"bfloat16": 2, "int8": 1}.get(config.data.transfer_dtype, 4)) / 1e6
+                staging_itemsize(config.data.transfer_dtype)) / 1e6
             print(f"Training data device-resident ({mb:.0f} MB staged"
                   f"{', row-sharded' if config.data.shard_device_store and mesh is not None else ''})")
     elif data_mode == "stream":
@@ -505,9 +513,10 @@ def run_training(
     dev_device = None
     from pytorch_scalablefhvae_tpu.data.device_store import (
         resolve_data_placement,
+        staging_itemsize,
     )
 
-    _itemsize = {"bfloat16": 2, "int8": 1}.get(config.data.transfer_dtype, 4)
+    _itemsize = staging_itemsize(config.data.transfer_dtype)
     if stream_source is not None:
         # streamed runs keep <= 2 chunks staged plus a draining dispatch's
         # references; budget the dev split against that bound
@@ -582,7 +591,7 @@ def run_training(
         }
         if verbose:
             mb = _dev_ds.store.data.shape[0] * _dev_ds.store.dim * (
-                {"bfloat16": 2, "int8": 1}.get(config.data.transfer_dtype, 4)) / 1e6
+                staging_itemsize(config.data.transfer_dtype)) / 1e6
             print(f"Dev split device-resident ({mb:.0f} MB staged)")
 
     def _eval_dev_device(params):
@@ -646,52 +655,72 @@ def run_training(
     # sync here, then advanced per dispatched batch
     gstep = int(jax.device_get(state.step)) if max_steps else 0
 
-    def save_mid_checkpoint(st: TrainState, epoch: int, batches_done: int):
-        """Step-cadence checkpoint: full TrainState + the epoch-plan cursor
-        (epoch, batches done), so a resume continues mid-epoch with the
-        identical trajectory. Saved through the configured backend; mid-epoch
-        files carry an ``s<batches>`` suffix and never update best-model."""
-        cursor = {"epoch": int(epoch), "batches_done": int(batches_done)}
-        meta_common = {
-            "model_type": model.model_type,
-            "model_params": list(model.model_params()),
-            "best_epoch": best_epoch,
-            "best_val_lb": float(best_val_lb),
-            "values": history.to_json_dict(),
-            "num_seqs": num_seqs, "feat_dim": dim, "seg_len": seg_len,
-            "corpus_fingerprint": corpus_fp,
-            "mid_epoch": cursor,
-        }
-        sfx = f"s{int(batches_done)}"
+    def save_state_checkpoint(st: TrainState, epoch: int, *,
+                              cursor: dict | None = None,
+                              summary_vals: dict | None = None,
+                              suffix: str = ""):
+        """The ONE checkpoint writer both cadences use — epoch saves (with
+        per-epoch summary_vals) and step-cadence mid-epoch saves (with the
+        plan cursor and an ``s<batches>`` suffix, never updating
+        best-model). Keeping a single meta builder means a field added to
+        one cadence cannot silently go missing from the other."""
+        extra = {"num_seqs": num_seqs, "feat_dim": dim, "seg_len": seg_len,
+                 "corpus_fingerprint": corpus_fp}
+        if cursor is not None:
+            extra["mid_epoch"] = cursor
         if config.train.ckpt_backend == "orbax":
             from pytorch_scalablefhvae_tpu.train.orbax_backend import (
                 save_checkpoint_orbax,
             )
 
-            save_checkpoint_orbax(
+            meta = {
+                "model_type": model.model_type,
+                "model_params": list(model.model_params()),
+                "best_epoch": best_epoch,
+                "best_val_lb": float(best_val_lb),
+                "values": history.to_json_dict(),
+                **extra,
+            }
+            if summary_vals is not None:
+                meta["summary_vals"] = summary_vals
+            return save_checkpoint_orbax(
                 exp_dir, st, model_type=model.model_type,
-                run_info=config.base_string(), epoch=epoch,
-                meta=meta_common, suffix=sfx,
+                run_info=config.base_string(), epoch=epoch, meta=meta,
+                suffix=suffix,
             )
-        else:
-            ckpt.save_checkpoint(
-                exp_dir, st, model_type=model.model_type,
-                model_params=model.model_params(),
-                run_info=config.base_string(), epoch=epoch,
-                best_epoch=best_epoch, best_val_lb=best_val_lb,
-                values=history.to_json_dict(),
-                extra_meta={"num_seqs": num_seqs, "feat_dim": dim,
-                            "seg_len": seg_len,
-                            "corpus_fingerprint": corpus_fp,
-                            "mid_epoch": cursor},
-                suffix=sfx,
-            )
+        return ckpt.save_checkpoint(
+            exp_dir, st, model_type=model.model_type,
+            model_params=model.model_params(),
+            run_info=config.base_string(), epoch=epoch,
+            best_epoch=best_epoch, best_val_lb=float(best_val_lb),
+            values=history.to_json_dict(),
+            summary_vals=summary_vals, extra_meta=extra, suffix=suffix,
+        )
 
-    def make_after_dispatch(epoch: int, skip0: int):
+    def save_mid_checkpoint(st: TrainState, epoch: int, batches_done: int,
+                            partials: dict | None = None):
+        """Step-cadence checkpoint: full TrainState + the epoch-plan cursor
+        (epoch, batches done, and this epoch's metric partials so the
+        resumed epoch's recorded train_loss / seg-per-sec cover the whole
+        epoch), so a resume continues mid-epoch with the identical
+        trajectory."""
+        cursor = {"epoch": int(epoch), "batches_done": int(batches_done)}
+        if partials:
+            cursor.update(partials)
+        save_state_checkpoint(st, epoch, cursor=cursor,
+                              suffix=f"s{int(batches_done)}")
+
+    def make_after_dispatch(epoch: int, skip0: int, partials_fn=None):
         """Per-epoch cadence hook: called after every dispatch with the
         epoch-schedule cursor. Saves every ``ckpt_every`` batches and
-        unwinds via :class:`_StopRun` at the --max-steps boundary."""
+        unwinds via :class:`_StopRun` at the --max-steps boundary.
+        ``partials_fn()`` supplies the epoch-so-far metric partials stored
+        in the cursor (one device fetch; cadence saves are infrequent)."""
         last = {"b": skip0}
+
+        def save(st, batches_done):
+            save_mid_checkpoint(st, epoch, batches_done,
+                                partials_fn() if partials_fn else None)
 
         def after(st: TrainState, batches_done: int, nb: int):
             nonlocal gstep
@@ -699,11 +728,11 @@ def run_training(
             saved_here = False
             if ckpt_every and batches_done - last["b"] >= ckpt_every:
                 last["b"] = batches_done
-                save_mid_checkpoint(st, epoch, batches_done)
+                save(st, batches_done)
                 saved_here = True
             if max_steps and gstep >= max_steps:
                 if not saved_here:
-                    save_mid_checkpoint(st, epoch, batches_done)
+                    save(st, batches_done)
                 raise _StopRun(st, epoch)
 
         return after
@@ -866,11 +895,14 @@ def run_training(
                 # draw's prefix is still a uniform subset), materialize it
                 # contiguously, and stage it — every round reuses the same
                 # compiled programs via the padded ceiling shape
-                _lens = {k: int(full_ds.store.lens[full_ds.store.seq2idx[k]])
-                         for k in keys}
+                _lens = np.asarray([
+                    int(full_ds.store.lens[full_ds.store.seq2idx[k]])
+                    for k in keys])
                 _cap = round_rows_ceiling - STORE_TAIL_SLACK
-                while keys and sum(_lens[k] for k in keys) > _cap:
-                    keys.pop()
+                # longest prefix of the draw whose frames fit the ceiling
+                # (one cumsum, not a re-sum per pop)
+                keys = keys[: int(np.searchsorted(
+                    np.cumsum(_lens), _cap, side="right"))]
                 sub_store = full_ds.store.subset(keys, materialize=True)
                 round_source = DeviceDataSource(
                     sub_store, mesh,
@@ -892,6 +924,14 @@ def run_training(
                 seed=config.train.seed + 31 * _e0,
                 transfer_dtype=config.data.transfer_dtype,
             )
+            # the round's PLANNER metadata must stage on every turnover —
+            # including resume re-entries that skip the MAP init below — or
+            # the epoch's first dispatch dereferences dev_plan_meta=None
+            # (--epoch-plan device derives each epoch's schedule from it)
+            if dev_planner is not None:
+                dev_plan_meta = (round_source or device_source).stage_meta(
+                    sub_ds,
+                    pad_seqs=hier_k if round_source is not None else None)
             if not _fresh_init:
                 pass  # restored table is the round's live state
             elif hier_device is not None:
@@ -922,9 +962,7 @@ def run_training(
                     # trimmed rounds (subset staging) zero-pad the vectors
                     # to hier_k so the compiled passes keep ONE shape
                     _pad_k = hier_k if round_source is not None else None
-                    if dev_planner is not None:
-                        dev_plan_meta = (round_source or device_source
-                                         ).stage_meta(sub_ds, pad_seqs=_pad_k)
+                    if dev_plan_meta is not None:
                         _starts_i, _nsegs_i = dev_plan_meta[:2]
                     else:
                         _st = sub_ds.store.seq_starts.astype(np.int32)
@@ -1016,7 +1054,28 @@ def run_training(
         # deterministic schedule (no-op except on the checkpointed epoch)
         skip0 = (mid_cursor[1]
                  if mid_cursor is not None and epoch == mid_cursor[0] else 0)
-        after_dispatch = make_after_dispatch(epoch, skip0)
+        # pre-kill metric partials of THIS epoch (mid-epoch resume): folded
+        # into epoch totals below and carried forward by further cadence
+        # saves, so the recorded epoch metrics always span the whole epoch
+        _prior = (dict(mid_partial) if skip0 else {})
+
+        def _epoch_partials():
+            if step_losses:
+                _l = np.asarray(
+                    jnp.concatenate([jnp.atleast_1d(x) for x in step_losses]),
+                    dtype=np.float64)
+                _c = np.asarray(step_counts, dtype=np.float64)
+                ls, cs = float((_l * _c).sum()), float(_c.sum())
+            else:
+                ls = cs = 0.0
+            return {
+                "loss_sum": ls + _prior.get("loss_sum", 0.0),
+                "count_sum": cs + _prior.get("count_sum", 0.0),
+                "elapsed_s": (time.perf_counter() - epoch_t0)
+                + _prior.get("elapsed_s", 0.0),
+            }
+
+        after_dispatch = make_after_dispatch(epoch, skip0, _epoch_partials)
 
         stopped = False
         try:
@@ -1178,8 +1237,14 @@ def run_training(
             jnp.concatenate([jnp.atleast_1d(l) for l in step_losses]),
             dtype=np.float64) if step_losses else np.zeros(0))
         counts = np.asarray(step_counts)
-        epoch_dt = time.perf_counter() - epoch_t0
-        segments_per_sec = float(counts.sum() / max(epoch_dt, 1e-9))
+        # fold in the pre-kill prefix of a mid-epoch-resumed epoch so the
+        # recorded metrics cover the WHOLE epoch (cursor partials)
+        _p_loss = _prior.get("loss_sum", 0.0)
+        _p_count = _prior.get("count_sum", 0.0)
+        epoch_dt = (time.perf_counter() - epoch_t0
+                    + _prior.get("elapsed_s", 0.0))
+        segments_per_sec = float(
+            (counts.sum() + _p_count) / max(epoch_dt, 1e-9))
         if profiling:
             jax.profiler.stop_trace()
             if verbose:
@@ -1187,7 +1252,8 @@ def run_training(
         if not np.isfinite(losses).all():
             result.state, result.diverged, result.last_epoch = state, True, epoch
             _divergence_abort()
-        train_loss = float((losses * counts).sum() / max(counts.sum(), 1.0))
+        train_loss = float(((losses * counts).sum() + _p_loss)
+                           / max(counts.sum() + _p_count, 1.0))
         if verbose:
             print(f"====> Train set average loss: {train_loss:.4f}")
 
@@ -1229,41 +1295,10 @@ def run_training(
             best_epoch = epoch
             best_val_lb = val["lower_bound"]  # B6 fixed: track the best value
 
-        ckpt_meta = {
-            "model_type": model.model_type,
-            "model_params": list(model.model_params()),
-            "best_epoch": best_epoch,
-            "best_val_lb": float(best_val_lb),
-            "values": history.to_json_dict(),
-            "summary_vals": {k: float(v) for k, v in scalars.items()},
-            "num_seqs": num_seqs, "feat_dim": dim, "seg_len": seg_len,
-            "corpus_fingerprint": corpus_fp,
-        }
-        if config.train.ckpt_backend == "orbax":
-            from pytorch_scalablefhvae_tpu.train.orbax_backend import (
-                save_checkpoint_orbax,
-            )
-
-            save_checkpoint_orbax(
-                exp_dir, state, model_type=model.model_type,
-                run_info=config.base_string(), epoch=epoch, meta=ckpt_meta,
-            )
-        else:
-            ckpt.save_checkpoint(
-                exp_dir,
-                state,
-                model_type=model.model_type,
-                model_params=model.model_params(),
-                run_info=config.base_string(),
-                epoch=epoch,
-                best_epoch=best_epoch,
-                best_val_lb=best_val_lb,
-                values=history.to_json_dict(),
-                summary_vals=ckpt_meta["summary_vals"],
-                extra_meta={"num_seqs": num_seqs, "feat_dim": dim,
-                            "seg_len": seg_len,
-                            "corpus_fingerprint": corpus_fp},
-            )
+        save_state_checkpoint(
+            state, epoch,
+            summary_vals={k: float(v) for k, v in scalars.items()},
+        )
 
         if ckpt_every:
             # the epoch checkpoint supersedes this epoch's (and any stale
@@ -1275,8 +1310,17 @@ def run_training(
                 )
 
                 wait_for_saves()
-            ckpt.cleanup_mid_epoch(exp_dir, model.model_type,
-                                   config.base_string(), epoch)
+            # multihost: wait_for_saves only flushes THIS process's async
+            # pipeline — sync all processes before deleting, and delete
+            # from process 0 only, so no rank can rmtree a directory a
+            # lagging peer is still committing shards into
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+
+                multihost_utils.sync_global_devices("cleanup_mid_epoch")
+            if jax.process_index() == 0:
+                ckpt.cleanup_mid_epoch(exp_dir, model.model_type,
+                                       config.base_string(), epoch)
 
         result = TrainResult(state, best_epoch, best_val_lb, epoch, history)
         if check_terminate(epoch, best_epoch, config.train.patience, config.train.epochs):

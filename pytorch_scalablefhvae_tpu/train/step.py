@@ -201,9 +201,6 @@ def make_grad_step(model, alpha: float):
     return jax.jit(step_fn)
 
 
-_LATENT_STEP_CACHE: "weakref.WeakKeyDictionary" = None  # set on first use
-
-
 def make_latent_step(model, with_table_override: bool = False):
     """Jitted latent-extraction step for evaluation (eval_model.py TODO:57-59).
 
@@ -217,13 +214,11 @@ def make_latent_step(model, with_table_override: bool = False):
     The jitted step is CACHED per (model, override-flag): each call
     previously built a fresh closure, so every ``extract_latents`` — and
     therefore every warm `sfhvae serve` request — recompiled from scratch
-    (~1.5 s per request measured on v5e vs ~30 ms served from jit cache)."""
-    global _LATENT_STEP_CACHE
-    if _LATENT_STEP_CACHE is None:
-        import weakref
-
-        _LATENT_STEP_CACHE = weakref.WeakKeyDictionary()
-    per_model = _LATENT_STEP_CACHE.setdefault(model, {})
+    (~1.5 s per request measured on v5e vs ~30 ms served from jit cache).
+    The cache lives ON the model instance (the jitted fn closes over the
+    model, so a weak-keyed registry could never collect its entries) — it
+    dies with the model."""
+    per_model = model.__dict__.setdefault("_latent_step_cache", {})
     cached = per_model.get(with_table_override)
     if cached is not None:
         return cached

@@ -64,8 +64,9 @@ def make_cfg(tmp_path, tag, placement="auto", **kw):
         dev_batch_size=64,
         data_placement=placement,
     )
-    if "stream_chunk_bytes" in kw:
-        data_kw["stream_chunk_bytes"] = kw.pop("stream_chunk_bytes")
+    for dk in ("stream_chunk_bytes", "epoch_plan"):
+        if dk in kw:
+            data_kw[dk] = kw.pop(dk)
     return ExperimentConfig(
         data=DataConfig(**data_kw),
         model=ModelConfig(z1_hus=(32, 32), z2_hus=(32, 32), x_hus=(32, 32),
@@ -116,9 +117,12 @@ def kill_resume_roundtrip(corpus, tmp_path, tag, placement, backend="npz",
     resumed = run(killed_cfg, corpus, tmp_path, f"{tag}_kill",
                   continue_from=mids[-1], overrides={"max_steps": 0})
     assert_params_close(full, resumed)
-    # val metrics of BOTH epochs match the uninterrupted run (epoch 0's
-    # validation runs on identical end-of-epoch params)
-    for series in ("val_loss_results", "lower_bound_results"):
+    # metrics of BOTH epochs match the uninterrupted run — including the
+    # resumed epoch's TRAIN loss: the cadence cursor persists the pre-kill
+    # prefix's metric partials, so the recorded epoch average spans the
+    # whole epoch, not just the post-resume remainder
+    for series in ("train_loss_results", "val_loss_results",
+                   "lower_bound_results"):
         np.testing.assert_allclose(
             list(resumed.history.values[series].values()),
             list(full.history.values[series].values()),
@@ -159,6 +163,16 @@ class TestKillResume:
         kill_resume_roundtrip(corpus, tmp_path, "hier", "device",
                               sample_hierarchical=True,
                               num_hierarchical_sequences=6, max_steps=3)
+
+    def test_hierarchical_device_epoch_plan(self, corpus, tmp_path):
+        """hier + --epoch-plan device + mid-epoch resume: the round's
+        planner metadata must stage on resume re-entry even though the MAP
+        init is skipped (regression: dev_plan_meta stayed None and the
+        first dispatch crashed)."""
+        kill_resume_roundtrip(corpus, tmp_path, "hierplan", "device",
+                              sample_hierarchical=True,
+                              num_hierarchical_sequences=6,
+                              epoch_plan="device", max_steps=3)
 
     def test_hierarchical_multi_epoch_rounds_orbax(self, corpus, tmp_path):
         """--hierarchical-round-epochs > 1 + orbax: the kill lands inside a
