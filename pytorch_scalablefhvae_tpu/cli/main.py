@@ -11,6 +11,7 @@ from __future__ import annotations
 import argparse
 import os
 import sys
+from pathlib import Path
 
 
 def _honor_platform_env() -> None:
@@ -198,6 +199,12 @@ def build_parser() -> argparse.ArgumentParser:
         description="TPU-native ScalableFHVAE framework",
         formatter_class=argparse.ArgumentDefaultsHelpFormatter,
     )
+    parser.add_argument(
+        "--compile-cache", type=str, default=None, metavar="DIR",
+        help="Persistent XLA compilation cache directory (also via "
+             "SFHVAE_COMPILE_CACHE): process restarts — a resumed training "
+             "run, a redeployed `serve` — reuse compiled programs instead "
+             "of paying cold compiles. Place BEFORE the subcommand.")
     sub = parser.add_subparsers(dest="command", required=True)
 
     p = sub.add_parser("preprocess", help="Prepare corpus + extract features",
@@ -380,6 +387,15 @@ def _maybe_init_multihost(args) -> bool:
 def main(argv=None) -> int:
     _honor_platform_env()
     args = build_parser().parse_args(argv)
+    cache_dir = args.compile_cache or os.environ.get("SFHVAE_COMPILE_CACHE")
+    if cache_dir:
+        import jax
+
+        Path(cache_dir).mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+        # cache every program (the default skips sub-second compiles; a
+        # serve/train restart wants ALL of them warm)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     if getattr(args, "debug_nans", False):
         import jax
 
