@@ -311,7 +311,7 @@ def bench_stream(k_dispatch: int = 64, epochs: int = 3,
     from pytorch_scalablefhvae_tpu.data.device_store import staging_itemsize
     itemsize = staging_itemsize(transfer_dtype)
     chunk_bytes = store.data.shape[0] * store.dim * itemsize // n_chunks + 1
-    src = StreamingDeviceSource(ds, chunk_bytes, BATCH, round_to=k_dispatch,
+    src = StreamingDeviceSource(ds, chunk_bytes, BATCH,
                                 store_dtype=transfer_dtype)
     model = SimpleFHVAE(input_size=SEG_LEN * N_MELS, num_seqs=num_seqs)
     optimizer = make_optimizer(1e-3, 0.95, 0.999)

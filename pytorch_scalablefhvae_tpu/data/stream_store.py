@@ -119,7 +119,7 @@ class StreamingDeviceSource:
     """
 
     def __init__(self, dataset: SegmentDataset, chunk_bytes: int,
-                 batch_size: int, round_to: int = 1, mesh=None,
+                 batch_size: int, mesh=None,
                  shard_store: bool = False, store_dtype: str = "float32"):
         import jax
 
@@ -153,10 +153,10 @@ class StreamingDeviceSource:
         self.chunk_rows = rows
         # fixed plan length: every chunk's plan pads to a whole number of
         # batches, so ONE uploaded-array shape serves every chunk of every
-        # epoch. (Padding further to B*round_to would not save tail
-        # compiles — an all-padding batch still takes an Adam step, so the
-        # consumer dispatches only REAL batches and compiles per tail size
-        # regardless; ``round_to`` is kept for signature compatibility.)
+        # epoch. (Padding further to B*steps_per_dispatch would not save
+        # tail compiles — an all-padding batch still takes an Adam step, so
+        # the consumer dispatches only REAL batches and compiles per tail
+        # size regardless.)
         segs = max(c.n_segments for c in self.chunks)
         self.plan_rows = segs + (-segs) % batch_size
         self.batch_size = batch_size
@@ -171,7 +171,14 @@ class StreamingDeviceSource:
             self._plan_sharding = NamedSharding(mesh, P())
         # per-sequence nsegs table (global rows), staged once per run
         self.nsegs_tab = self._put_plan(dataset.nsegs.astype(np.float32))
-        self._qcache: dict[int, tuple] = {}  # int8 tier: per-chunk buffers
+        # int8 tier: per-chunk quantized buffers reused across epochs.
+        # BOUNDED: at corpus scale the f32 pack is memmapped
+        # (pack_cache_dir), so an unbounded cache would become the
+        # dominant heap allocation (a 110 GB pack quantizes to ~27 GB).
+        # Past the cap, chunks are re-quantized per stage — deterministic
+        # (fixed partitions), pure numpy, and cheap next to the upload.
+        self._qcache: dict[int, tuple] = {}
+        self._qcache_left = max(4 * int(chunk_bytes), 256 << 20)
 
     # ---- staging ----
 
@@ -198,15 +205,17 @@ class StreamingDeviceSource:
 
             # chunk partitions are fixed for the run and the quant params
             # deterministic, so quantize each chunk ONCE and reuse the
-            # uint8 buffer every epoch — the cache holds the whole pack at
-            # 1 byte/elem, a quarter of the f32 pack the host already keeps
+            # uint8 buffer every epoch — up to the cache's byte budget
+            # (see __init__; beyond it, re-quantize per stage)
             cached = self._qcache.get(spec.frame_base)
             if cached is None:
                 q, scale, offset = quantize_columns(real)
                 buf = np.zeros((self.chunk_rows, data.shape[1]), self.dtype)
                 buf[: spec.n_frames] = q
                 cached = (buf, scale, offset)
-                self._qcache[spec.frame_base] = cached
+                if self._qcache_left >= buf.nbytes:
+                    self._qcache[spec.frame_base] = cached
+                    self._qcache_left -= buf.nbytes
             buf, scale, offset = cached
             rows = (self._jax.device_put(buf, self._sharding)
                     if self._sharding is not None
@@ -331,9 +340,13 @@ def resolve_data_mode(
             raise ValueError("data_placement=stream is incompatible with "
                              "legacy per-step epochs; use host")
         if hierarchical:
-            raise ValueError(
-                "data_placement=stream does not compose with hierarchical "
-                "sampling (round subsets span the whole pack); use auto")
+            # chunk streaming does not compose with hierarchical sampling
+            # (round subsets re-sample sequences across the whole pack), but
+            # the hier-native staging tier does: resolve to "host" and the
+            # training loop upgrades it to per-round sub-pack staging
+            # (train/loop.py round_rows_ceiling), which raises there if even
+            # one round's subset cannot fit the budget.
+            return "host"
         return "stream"
     if placement == "auto" and not legacy and not hierarchical:
         if resolve_data_placement("auto", store, mesh, shard_store=shard_store,
@@ -341,6 +354,15 @@ def resolve_data_mode(
                                   store_dtype=store_dtype):
             return "device"
         return "stream"
+    if placement == "device" and hierarchical and not legacy:
+        # an over-budget pack is not a hard config error for hier runs: the
+        # unit that must fit is ONE round's sub-pack, checked by the loop's
+        # round-staging gate (which raises if it cannot honor the placement)
+        if resolve_data_placement("auto", store, mesh, shard_store=shard_store,
+                                  max_bytes=max_bytes, legacy=legacy,
+                                  store_dtype=store_dtype):
+            return "device"
+        return "host"
     fits = resolve_data_placement(placement, store, mesh,
                                   shard_store=shard_store,
                                   max_bytes=max_bytes, legacy=legacy,

@@ -394,6 +394,17 @@ def run_training(
                 mb = round_rows_ceiling * ds.store.dim * _isz / 1e6
                 print(f"Hierarchical rounds stage their subset device-"
                       f"resident ({mb:.1f} MB ceiling per round)")
+        elif config.data.data_placement in ("device", "stream"):
+            # the user forced a staged placement but not even one round's
+            # sub-pack fits: fail as a config error rather than silently
+            # degrading to the host loader (auto degrades; explicit doesn't)
+            raise ValueError(
+                f"data_placement={config.data.data_placement} with "
+                f"hierarchical sampling stages each round's sub-pack, but "
+                f"the longest sequence needs {_floor} rows and the "
+                f"device-store budget allows only {int(_budget_rows)} — "
+                f"raise --device-store-max-bytes, use --transfer-dtype "
+                f"bfloat16/int8, or use data_placement=auto/host")
     if data_mode in ("device", "stream") or round_rows_ceiling is not None:
         from pytorch_scalablefhvae_tpu.train.device_step import (
             make_device_train_step,
@@ -427,8 +438,7 @@ def run_training(
         chunk_bytes = (config.data.stream_chunk_bytes
                        or max(config.data.device_store_max_bytes // 4, 1))
         stream_source = StreamingDeviceSource(
-            ds, chunk_bytes, train_loader.batch_size,
-            round_to=max(config.train.steps_per_dispatch, 1), mesh=mesh,
+            ds, chunk_bytes, train_loader.batch_size, mesh=mesh,
             shard_store=config.data.shard_device_store,
             store_dtype=config.data.transfer_dtype,
         )
@@ -856,6 +866,16 @@ def run_training(
         getattr(config.train, "hierarchical_round_epochs", 1), 1)
     epoch_loader = None
     round_source = None  # per-round staged sub-pack (hier, pack > HBM)
+    if max_steps and gstep >= max_steps:
+        # Resumed from a --max-steps boundary checkpoint: the cap is already
+        # reached, so exit BEFORE dispatching. after_dispatch only checks the
+        # cap after a bundle has run, so without this guard every re-invocation
+        # of the same resume command would creep the "stopped" run forward by
+        # up to steps_per_dispatch optimizer steps.
+        if verbose:
+            print(f"--max-steps {max_steps} already reached at restore "
+                  f"(step {gstep}); nothing to train")
+        return result
     for epoch in range(start_epoch, config.train.epochs):
         _boundary = hier and epoch % hier_round_epochs == 0
         if hier and (epoch_loader is None or _boundary):
@@ -965,15 +985,11 @@ def run_training(
                     if dev_plan_meta is not None:
                         _starts_i, _nsegs_i = dev_plan_meta[:2]
                     else:
-                        _st = sub_ds.store.seq_starts.astype(np.int32)
-                        _ns = sub_ds.nsegs.astype(np.int32)
-                        if _pad_k is not None and _pad_k > len(_ns):
-                            _st = np.concatenate(
-                                [_st, np.zeros(_pad_k - len(_st), np.int32)])
-                            _ns = np.concatenate(
-                                [_ns, np.zeros(_pad_k - len(_ns), np.int32)])
-                        _starts_i = jax.device_put(_st)
-                        _nsegs_i = jax.device_put(_ns)
+                        # one padding rule for planner AND MAP vectors:
+                        # stage_meta owns pad-to-hier_k (nsegs-0 rows
+                        # contribute nothing)
+                        _starts_i, _nsegs_i = (round_source or device_source
+                            ).stage_meta(sub_ds, pad_seqs=_pad_k)[:2]
                     table = hier_device["pass"](
                         state.params, (round_source or device_source).data,
                         _starts_i, _nsegs_i)

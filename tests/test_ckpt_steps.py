@@ -190,3 +190,25 @@ class TestValidation:
             run(make_cfg(tmp_path, "leg", "host", legacy=True,
                          ckpt_every_steps=2),
                 corpus, tmp_path, "leg")
+
+    def test_resume_at_cap_does_not_creep(self, corpus, tmp_path):
+        """Resuming from a --max-steps boundary checkpoint with the SAME cap
+        must exit before dispatching anything — after_dispatch only checks
+        the cap after a bundle runs, so without the pre-loop guard each
+        re-invocation crept the "stopped" run forward by a dispatch."""
+        cfg = make_cfg(tmp_path, "cap", "host", ckpt_every_steps=3,
+                       max_steps=5)
+        killed = run(cfg, corpus, tmp_path, "cap")
+        step0 = int(killed.state.step)
+        assert step0 >= 5
+        exp = next((tmp_path / "exp_cap").glob("**/config.json")).parent
+        mid = max(exp.glob("*_e*s*.npz"),
+                  key=lambda p: p.stat().st_mtime)
+        again = run(cfg, corpus, tmp_path, "cap", continue_from=mid)
+        assert int(again.state.step) == step0
+        # and the params are byte-identical — nothing trained
+        jax.tree_util.tree_map(
+            lambda x, y: np.testing.assert_array_equal(
+                np.asarray(x), np.asarray(y)),
+            killed.state.params, again.state.params,
+        )

@@ -171,6 +171,21 @@ class TestRoundStagedRuns:
                 rtol=1e-4, atol=1e-5,
             )
 
+    def test_explicit_device_placement_round_stages(self, corpus, tmp_path,
+                                                    capsys):
+        """--data-placement device + hierarchical on a pack over budget is
+        NOT a config error: the unit that must fit is one round's sub-pack,
+        so the run round-stages (same tier auto picks) instead of raising
+        at resolve_data_placement."""
+        nbytes, _ = pack_bytes(corpus, tmp_path)
+        cfg = hier_cfg(tmp_path, "expl", nbytes - 1, placement="device")
+        res = train_from_config(cfg, data_root=corpus,
+                                exp_root=tmp_path / "exp_expl",
+                                is_preprocessed=True, verbose=True)
+        out = capsys.readouterr().out
+        assert "stage their subset device-resident" in out
+        assert not res.diverged
+
     def test_trim_and_int8(self, corpus, tmp_path, capsys):
         """Budget below the worst-case 2-sequence draw but above the
         largest single sequence: oversized draws trim to a uniform prefix;
@@ -192,3 +207,19 @@ class TestRoundStagedRuns:
         assert np.isfinite(
             list(res.history.values["train_loss_results"].values())
         ).all()
+
+
+class TestExplicitPlacementValidation:
+    def test_device_placement_unstageable_round_raises(self, corpus,
+                                                       tmp_path):
+        """Explicit staged placement where not even one round's sub-pack
+        fits: a config error at startup (auto would silently degrade to the
+        host loader; explicit must not)."""
+        _, store = pack_bytes(corpus, tmp_path)
+        floor = (int(np.asarray(store.lens).max()) + STORE_TAIL_SLACK)
+        budget = floor * store.dim * 4 * 3 // 4 - store.dim * 4
+        cfg = hier_cfg(tmp_path, "tiny", budget, placement="device")
+        with pytest.raises(ValueError, match="sub-pack"):
+            train_from_config(cfg, data_root=corpus,
+                              exp_root=tmp_path / "exp_tiny",
+                              is_preprocessed=True, verbose=False)

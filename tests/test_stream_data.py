@@ -79,8 +79,16 @@ class TestResolveMode:
                                  hierarchical=True) == "host"
         with pytest.raises(ValueError, match="legacy"):
             resolve_data_mode("stream", store, legacy=True)
-        with pytest.raises(ValueError, match="hierarchical"):
-            resolve_data_mode("stream", store, hierarchical=True)
+        # explicit staged placements route hierarchical runs to "host",
+        # which the training loop upgrades to per-round subset staging
+        # (and raises there if a round's sub-pack can't fit the budget)
+        assert resolve_data_mode("stream", store,
+                                 hierarchical=True) == "host"
+        assert resolve_data_mode("device", store, max_bytes=64,
+                                 hierarchical=True) == "host"
+        # ... and when the whole pack fits, explicit device stays device
+        assert resolve_data_mode("device", store, max_bytes=1 << 30,
+                                 hierarchical=True) == "device"
 
 
 class TestSchedule:
@@ -137,7 +145,7 @@ class TestStreamEquivalence:
         opt = make_optimizer(1e-3, 0.9, 0.999)
         alpha, B, k = 10.0, 8, 2
         src = StreamingDeviceSource(ds, 2 * 66 * store.dim * 4,
-                                    batch_size=B, round_to=k)
+                                    batch_size=B)
         assert len(src.chunks) >= 3
 
         step_fns = {
@@ -259,7 +267,7 @@ class TestInt8Equivalence:
         opt = make_optimizer(1e-3, 0.9, 0.999)
         alpha, B = 10.0, 8
         src = StreamingDeviceSource(ds, 2 * 66 * store.dim, batch_size=B,
-                                    round_to=1, store_dtype="int8")
+                                    store_dtype="int8")
         assert len(src.chunks) >= 3
 
         step1 = make_device_train_step(model, opt, alpha, 20, B, 1,
@@ -305,6 +313,27 @@ class TestInt8Equivalence:
                 np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5),
             state.params, state_h.params,
         )
+
+    def test_int8_qcache_budget_requantizes_identically(self, rng):
+        """The quantized-chunk cache is bounded (at corpus scale an
+        unbounded cache would hold the whole pack in heap); past the
+        budget, chunks re-quantize per stage — deterministically, so the
+        staged bytes are identical with the cache disabled."""
+        store = make_store(rng)
+        ds = SegmentDataset(store, seg_len=20, seg_shift=8)
+        cached = StreamingDeviceSource(ds, 2 * 66 * store.dim, batch_size=8,
+                                       store_dtype="int8")
+        uncached = StreamingDeviceSource(ds, 2 * 66 * store.dim, batch_size=8,
+                                         store_dtype="int8")
+        uncached._qcache_left = 0
+        for spec in cached.chunks:
+            qc, sc, oc = cached._stage_chunk(spec)
+            qu, su, ou = uncached._stage_chunk(spec)
+            np.testing.assert_array_equal(np.asarray(qc), np.asarray(qu))
+            np.testing.assert_array_equal(np.asarray(sc), np.asarray(su))
+            np.testing.assert_array_equal(np.asarray(oc), np.asarray(ou))
+        assert len(cached._qcache) == len(cached.chunks)
+        assert not uncached._qcache  # budget respected: nothing retained
 
     def test_int8_device_resident_store(self, rng):
         """DeviceDataSource with store_dtype=int8 stages a (q, scale,
