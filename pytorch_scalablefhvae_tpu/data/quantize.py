@@ -35,22 +35,46 @@ from __future__ import annotations
 import numpy as np
 
 
-def quantize_columns(x: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def quantize_columns(x: np.ndarray, block_rows: int = 1 << 20,
+                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Quantize ``x [rows, dim]`` to (q uint8, scale f32 [dim], offset f32 [dim]).
 
     ``rows == 0`` is allowed (empty blocks quantize to empty q, zero params).
+
+    Runs in ``block_rows`` row blocks with float32 arithmetic throughout:
+    the whole-pack caller (data/device_store.py) quantizes corpora that may
+    only exist as a memmap, so the transient footprint must stay O(block)
+    beyond the uint8 output — a single full-width float temporary (let alone
+    the float64 ones a naive ``(x - lo) / scale`` upcasts to) would dwarf
+    the pack itself at exactly the scale this tier targets. The quant params
+    are computed in (and applied as) the same float32 the device step
+    dequantizes with, so host and device reconstructions stay bit-identical.
     """
     x = np.asarray(x)
     if x.size == 0:
         dim = x.shape[1] if x.ndim == 2 else 0
         return (np.zeros(x.shape, np.uint8), np.zeros(dim, np.float32),
                 np.zeros(dim, np.float32))
-    lo = x.min(axis=0).astype(np.float64)
-    hi = x.max(axis=0).astype(np.float64)
-    scale = (hi - lo) / 255.0
+    rows, dim = x.shape
+    lo = np.full(dim, np.inf, np.float32)
+    hi = np.full(dim, -np.inf, np.float32)
+    for b in range(0, rows, block_rows):
+        blk = np.asarray(x[b : b + block_rows], dtype=np.float32)
+        np.minimum(lo, blk.min(axis=0), out=lo)
+        np.maximum(hi, blk.max(axis=0), out=hi)
+    scale = (hi - lo) / np.float32(255.0)
     # degenerate columns (constant value): scale 0, q 0, offset reconstructs
-    safe = np.where(scale > 0, scale, 1.0)
-    q = np.clip(np.rint((x - lo) / safe), 0, 255).astype(np.uint8)
+    safe = np.where(scale > 0, scale, np.float32(1.0))
+    q = np.empty((rows, dim), np.uint8)
+    for b in range(0, rows, block_rows):
+        # astype always copies: tmp is mutated in place and must never
+        # alias the caller's pack
+        tmp = x[b : b + block_rows].astype(np.float32)
+        tmp -= lo
+        tmp /= safe
+        np.rint(tmp, out=tmp)
+        np.clip(tmp, 0, 255, out=tmp)
+        q[b : b + block_rows] = tmp.astype(np.uint8)
     q[:, scale <= 0] = 0
     return q, scale.astype(np.float32), lo.astype(np.float32)
 

@@ -109,9 +109,11 @@ class StreamingDeviceSource:
     """Double-buffered chunk staging plus per-chunk epoch plans.
 
     One instance per training run. HBM residency is bounded by ~2 staged
-    chunks plus whatever a draining dispatch still references (the caller's
-    budget should leave ~3x ``chunk_bytes`` of headroom; resolve_data_mode
-    derives ``chunk_bytes`` as budget/3 for exactly that reason).
+    chunks plus whatever a draining dispatch still references, so the
+    caller's budget should leave ~3x ``chunk_bytes`` of headroom: the
+    training loop defaults ``chunk_bytes`` to ``device_store_max_bytes //
+    4`` (train/loop.py), reserving the remaining quarter for the staged
+    dev split.
 
     All chunk arrays share ONE static shape ``[chunk_rows, dim]`` and all
     plans one static length, so a single compiled train-step program serves

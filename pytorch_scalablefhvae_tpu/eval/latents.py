@@ -35,7 +35,8 @@ def extract_latents(
     by the split's sequence ids would pair them with arbitrary training
     rows (documented deviation D6).
     """
-    step = make_latent_step(model, with_table_override=table is not None)
+    step = make_latent_step(model, with_table_override=table is not None,
+                            packed=True)
     key = jax.random.PRNGKey(seed)
     z1s, z2s, seqs, lbs = [], [], [], []
 

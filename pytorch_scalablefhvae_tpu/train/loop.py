@@ -383,8 +383,16 @@ def run_training(
         _isz = staging_itemsize(config.data.transfer_dtype)
         _hk = min(hier_k, ds.store.num_seqs)
         _worst = int(np.sort(np.asarray(ds.store.lens))[-_hk:].sum())
-        # plans/dev-split headroom: cap the sub-pack at 3/4 of the budget
-        _budget_rows = (config.data.device_store_max_bytes * 3 // 4) // max(
+        # plans/dev-split headroom: cap the sub-pack at 3/4 of the budget.
+        # The budget scales by the model-axis size when the sub-pack
+        # row-shards over it — the SAME scaling resolve_data_placement
+        # applies, since each device holds only rows/m of the round's
+        # DeviceDataSource(pad_to_rows=ceiling) staging.
+        _bytes_budget = config.data.device_store_max_bytes
+        if (mesh is not None and config.data.shard_device_store
+                and mesh.shape["model"] > 1):
+            _bytes_budget *= mesh.shape["model"]
+        _budget_rows = (_bytes_budget * 3 // 4) // max(
             ds.store.dim * _isz, 1)
         _need = _worst + STORE_TAIL_SLACK
         _floor = int(ds.store.lens.max()) + STORE_TAIL_SLACK
@@ -720,12 +728,18 @@ def run_training(
         save_state_checkpoint(st, epoch, cursor=cursor,
                               suffix=f"s{int(batches_done)}")
 
-    def make_after_dispatch(epoch: int, skip0: int, partials_fn=None):
+    def make_after_dispatch(epoch: int, skip0: int, partials_fn=None,
+                            divergence_check=None):
         """Per-epoch cadence hook: called after every dispatch with the
         epoch-schedule cursor. Saves every ``ckpt_every`` batches and
         unwinds via :class:`_StopRun` at the --max-steps boundary.
         ``partials_fn()`` supplies the epoch-so-far metric partials stored
-        in the cursor (one device fetch; cadence saves are infrequent)."""
+        in the cursor (one device fetch; cadence saves are infrequent).
+        ``divergence_check(st)`` runs before any save: the per-dispatch NaN
+        check deliberately lags one dispatch (it must not drain the
+        pipeline), but a save forces a sync anyway — and a NaN state must
+        never be persisted, nor a --max-steps run exit 0 having saved one
+        (the epoch-end isfinite gate never runs on the _StopRun unwind)."""
         last = {"b": skip0}
 
         def save(st, batches_done):
@@ -735,13 +749,15 @@ def run_training(
         def after(st: TrainState, batches_done: int, nb: int):
             nonlocal gstep
             gstep += nb
-            saved_here = False
-            if ckpt_every and batches_done - last["b"] >= ckpt_every:
+            due = bool(ckpt_every and batches_done - last["b"] >= ckpt_every)
+            boundary = bool(max_steps and gstep >= max_steps)
+            if (due or boundary) and divergence_check is not None:
+                divergence_check(st)  # raises SystemExit(2) on NaN
+            if due:
                 last["b"] = batches_done
                 save(st, batches_done)
-                saved_here = True
-            if max_steps and gstep >= max_steps:
-                if not saved_here:
+            if boundary:
+                if not due:
                     save(st, batches_done)
                 raise _StopRun(st, epoch)
 
@@ -1066,6 +1082,19 @@ def run_training(
             # complete, so the fetch never drains the pipeline)
             return dispatch_losses_diverged(np.asarray(step_losses[-2]))
 
+        def _record_dispatch(state, metrics, counts_slice):
+            """The one post-dispatch bookkeeping path every K-bundled tier
+            shares: push the on-device loss stack, record real counts, and
+            run the lag-one divergence abort — so a fix to any of it cannot
+            silently miss a tier."""
+            step_losses.append(metrics["loss"])
+            step_counts.extend(counts_slice)
+            if len(step_losses) >= 2 and _prev_dispatch_diverged():
+                result.state, result.diverged, result.last_epoch = (
+                    state, True, epoch)
+                _divergence_abort()
+            return state
+
         # mid-epoch resume: skip the already-trained prefix of this epoch's
         # deterministic schedule (no-op except on the checkpointed epoch)
         skip0 = (mid_cursor[1]
@@ -1091,7 +1120,18 @@ def run_training(
                 + _prior.get("elapsed_s", 0.0),
             }
 
-        after_dispatch = make_after_dispatch(epoch, skip0, _epoch_partials)
+        def _abort_if_latest_diverged(st):
+            # pre-save gate: inspect the MOST RECENT dispatch (the lag-one
+            # per-dispatch check would miss a NaN born in the final dispatch
+            # before a cadence save or the --max-steps boundary)
+            if step_losses and dispatch_losses_diverged(
+                    np.asarray(step_losses[-1])):
+                result.state, result.diverged, result.last_epoch = (
+                    st, True, epoch)
+                _divergence_abort()
+
+        after_dispatch = make_after_dispatch(epoch, skip0, _epoch_partials,
+                                             _abort_if_latest_diverged)
 
         stopped = False
         try:
@@ -1111,23 +1151,15 @@ def run_training(
                     counts_all = plan.batch_real_counts()
                     n_real = np.int32(plan.n_real)
 
-                    def _stream_dispatch(state, step_fn, base, n_batches):
-                        state, metrics = step_fn(
-                            state, chunk_dev, seq_dev, starts_dev,
-                            stream_source.nsegs_tab, np.int32(base * B), n_real)
-                        step_losses.append(metrics["loss"])
-                        step_counts.extend(counts_all[base : base + n_batches])
-                        if len(step_losses) >= 2 and _prev_dispatch_diverged():
-                            result.state, result.diverged, result.last_epoch = (
-                                state, True, epoch)
-                            _divergence_abort()
-                        return state
-
                     base_b = start_b
                     while base_b < plan.n_batches:
                         nb = min(k_dev, plan.n_batches - base_b)
-                        state = _stream_dispatch(
-                            state, device_step_for(nb), base_b, nb)
+                        state, metrics = device_step_for(nb)(
+                            state, chunk_dev, seq_dev, starts_dev,
+                            stream_source.nsegs_tab, np.int32(base_b * B),
+                            n_real)
+                        state = _record_dispatch(
+                            state, metrics, counts_all[base_b : base_b + nb])
                         base_b += nb
                         global_b += nb
                         after_dispatch(state, global_b, nb)
@@ -1161,24 +1193,16 @@ def run_training(
                 n_real = np.int32(plan.n_real)
                 store_dev = (round_source or device_source).data
 
-                def _dev_dispatch(state, step_fn, base, n_batches):
-                    state, metrics = step_fn(
-                        state, store_dev, seq_dev, starts_dev, nsegs_dev,
-                        np.int32(base * B), n_real,
-                    )
-                    step_losses.append(metrics["loss"])
-                    step_counts.extend(counts_all[base : base + n_batches])
-                    if len(step_losses) >= 2 and _prev_dispatch_diverged():
-                        result.state, result.diverged, result.last_epoch = (
-                            state, True, epoch)
-                        _divergence_abort()
-                    return state
-
                 device_step_for(k_dev)  # compile the main program up front
                 base_b = skip0
                 while base_b < plan.n_batches:
                     nb = min(k_dev, plan.n_batches - base_b)
-                    state = _dev_dispatch(state, device_step_for(nb), base_b, nb)
+                    state, metrics = device_step_for(nb)(
+                        state, store_dev, seq_dev, starts_dev, nsegs_dev,
+                        np.int32(base_b * B), n_real,
+                    )
+                    state = _record_dispatch(
+                        state, metrics, counts_all[base_b : base_b + nb])
                     base_b += nb
                     after_dispatch(state, base_b, nb)
             elif multi_train_step is not None and config.train.steps_per_dispatch > 1:
@@ -1194,11 +1218,8 @@ def run_training(
                     if item[0] == "stack":
                         _, arrs, counts = item
                         state, metrics = multi_train_step(state, *arrs)
-                        step_losses.append(metrics["loss"])  # [k] device array
-                        step_counts.extend(counts)
-                        if len(step_losses) >= 2 and _prev_dispatch_diverged():
-                            result.state, result.diverged, result.last_epoch = state, True, epoch
-                            _divergence_abort()
+                        # metrics["loss"] is the [k] on-device sub-loss stack
+                        state = _record_dispatch(state, metrics, counts)
                         batches_done += len(counts)
                         after_dispatch(state, batches_done, len(counts))
                     else:  # tail: single-step path for the leftover batches
@@ -1316,10 +1337,12 @@ def run_training(
             summary_vals={k: float(v) for k, v in scalars.items()},
         )
 
-        if ckpt_every:
+        if ckpt_every or max_steps or mid_cursor is not None:
             # the epoch checkpoint supersedes this epoch's (and any stale
-            # earlier) step-cadence checkpoints; flush async saves so the
-            # deletion cannot race a still-committing mid-epoch save
+            # earlier) step-cadence checkpoints — including ones a previous
+            # --max-steps boundary save left behind when THIS run has no
+            # cadence flag (mid_cursor marks such a resume); flush async
+            # saves so the deletion cannot race a still-committing save
             if config.train.ckpt_backend == "orbax":
                 from pytorch_scalablefhvae_tpu.train.orbax_backend import (
                     wait_for_saves,

@@ -201,7 +201,8 @@ def make_grad_step(model, alpha: float):
     return jax.jit(step_fn)
 
 
-def make_latent_step(model, with_table_override: bool = False):
+def make_latent_step(model, with_table_override: bool = False,
+                     packed: bool = False):
     """Jitted latent-extraction step for evaluation (eval_model.py TODO:57-59).
 
     With ``with_table_override`` the step takes the split's MAP-estimated
@@ -219,25 +220,30 @@ def make_latent_step(model, with_table_override: bool = False):
     model, so a weak-keyed registry could never collect its entries) — it
     dies with the model."""
     per_model = model.__dict__.setdefault("_latent_step_cache", {})
-    cached = per_model.get(with_table_override)
+    cached = per_model.get((with_table_override, packed))
     if cached is not None:
         return cached
 
     def step_fn(params, feats, seq_idx, nsegs, key, table=None):
         out = model.apply(params, feats, seq_idx, nsegs, key, sample=False,
                           mu2_table=table)
-        return {
+        res = {
             "z1_mu": out.z1_mu,
             "z2_mu": out.z2_mu,
             "x_mu": out.x_mu,
             "lower_bound": out.lower_bound,
+        }
+        if packed:
             # one fetchable [B, z1+z2+1] block: on a high-latency link each
             # device->host readback costs a full round trip (~150 ms on the
             # tunneled rig), so extract_latents reads THIS and slices on
-            # the host — one fetch per batch instead of three
-            "packed": jnp.concatenate(
-                [out.z1_mu, out.z2_mu, out.lower_bound[:, None]], axis=1),
-        }
+            # the host — one fetch per batch instead of three. Gated on the
+            # flag: callers that fetch the individual legs (evaluate.py's
+            # reconstruction loop) should not pay for the extra concat
+            # buffer in every compiled batch.
+            res["packed"] = jnp.concatenate(
+                [out.z1_mu, out.z2_mu, out.lower_bound[:, None]], axis=1)
+        return res
 
     if with_table_override:
         fn = jax.jit(step_fn)
@@ -245,5 +251,5 @@ def make_latent_step(model, with_table_override: bool = False):
         fn = jax.jit(lambda params, feats, seq_idx, nsegs, key: step_fn(
             params, feats, seq_idx, nsegs, key
         ))
-    per_model[with_table_override] = fn
+    per_model[(with_table_override, packed)] = fn
     return fn

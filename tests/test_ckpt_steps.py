@@ -191,6 +191,28 @@ class TestValidation:
                          ckpt_every_steps=2),
                 corpus, tmp_path, "leg")
 
+    def test_nan_state_never_checkpointed_at_boundary(self, corpus,
+                                                      tmp_path):
+        """A run that diverges inside its FINAL dispatch before the
+        --max-steps boundary must exit 2 with NO mid-epoch checkpoint: the
+        lag-one per-dispatch NaN check never fires when no later dispatch
+        follows, so without the pre-save gate the boundary save persisted a
+        NaN state and the run exited 0 ('checkpoint saved')."""
+        from pytorch_scalablefhvae_tpu.config import OptimConfig
+
+        cfg = make_cfg(tmp_path, "nan", "host", max_steps=4,
+                       steps_per_dispatch=4)
+        cfg = dataclasses.replace(
+            cfg, optim=OptimConfig(learning_rate=1e18))
+        with pytest.raises(SystemExit) as exc:
+            train_from_config(cfg, data_root=corpus,
+                              exp_root=tmp_path / "exp_nan",
+                              is_preprocessed=True, verbose=False)
+        assert exc.value.code == 2
+        exp = next((tmp_path / "exp_nan").glob("**/config.json")).parent
+        assert not list(exp.glob("*_e*s*.npz")), (
+            "diverged state must not be checkpointed")
+
     def test_resume_at_cap_does_not_creep(self, corpus, tmp_path):
         """Resuming from a --max-steps boundary checkpoint with the SAME cap
         must exit before dispatching anything — after_dispatch only checks

@@ -228,6 +228,23 @@ class TestQuantize:
         q0, s0, o0 = quantize_columns(np.zeros((0, 4), np.float32))
         assert q0.shape == (0, 4) and s0.shape == (4,)
 
+    def test_quantize_blocked_matches_whole_and_never_mutates(self, rng):
+        """quantize_columns runs in row blocks (the whole-pack caller hands
+        it memmapped corpora, so transients must stay O(block)): any block
+        size must produce identical output, and the input — which for f32
+        inputs could silently alias a view — must never be written."""
+        from pytorch_scalablefhvae_tpu.data.quantize import quantize_columns
+
+        x = rng.normal(size=(37, 5)).astype(np.float32) * 8.0
+        x_orig = x.copy()
+        whole = quantize_columns(x)
+        for block in (1, 3, 16, 36, 37):
+            q, s, o = quantize_columns(x, block_rows=block)
+            np.testing.assert_array_equal(q, whole[0])
+            np.testing.assert_array_equal(s, whole[1])
+            np.testing.assert_array_equal(o, whole[2])
+        np.testing.assert_array_equal(x, x_orig)
+
     def test_stream_bytes_accounting_int8(self, rng):
         store = make_store(rng)
         ds = SegmentDataset(store, seg_len=20, seg_shift=8)
