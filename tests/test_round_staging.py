@@ -186,6 +186,34 @@ class TestRoundStagedRuns:
         assert "stage their subset device-resident" in out
         assert not res.diverged
 
+    def test_sharded_budget_scales_by_model_axis(self, corpus, tmp_path,
+                                                 capsys):
+        """With --shard-device-store the round sub-pack row-shards over the
+        mesh's model axis, so the staging budget scales by it — the same
+        scaling resolve_data_placement applies. A budget whose UNSCALED 3/4
+        is below the single-sequence floor must still round-stage (not
+        raise) on a model=2 mesh that affords 2x the rows."""
+        nbytes, store = pack_bytes(corpus, tmp_path)
+        row = store.dim * 4
+        floor = int(np.asarray(store.lens).max()) + STORE_TAIL_SLACK
+        # target: unscaled 3/4-budget below the floor, scaled (x2) above it,
+        # and the WHOLE pack still over the scaled budget (else it would
+        # simply stage device-resident and never round-stage)
+        budget = (floor * 3 // 5) * row * 4 // 3
+        assert (budget * 3 // 4) // row < floor  # unscaled: would raise
+        assert (budget * 2 * 3 // 4) // row >= floor  # scaled: stages
+        assert nbytes > budget * 2  # pack itself still cannot stage
+        cfg = hier_cfg(tmp_path, "shard", budget, placement="device",
+                       mesh_shape=(4, 2))
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, shard_device_store=True))
+        res = train_from_config(cfg, data_root=corpus,
+                                exp_root=tmp_path / "exp_shard",
+                                is_preprocessed=True, verbose=True)
+        out = capsys.readouterr().out
+        assert "stage their subset device-resident" in out
+        assert not res.diverged
+
     def test_trim_and_int8(self, corpus, tmp_path, capsys):
         """Budget below the worst-case 2-sequence draw but above the
         largest single sequence: oversized draws trim to a uniform prefix;
