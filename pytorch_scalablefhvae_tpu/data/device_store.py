@@ -276,38 +276,26 @@ class DeviceDataSource:
             buf = np.zeros((total, data.shape[1]), dtype)
             buf[: data.shape[0]] = data  # pad rows stay zero: never
             data = buf                   # addressed by real plan rows
-        if self.shard_store:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            sharding = NamedSharding(mesh, P("model", None))
-        elif mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            sharding = NamedSharding(mesh, P())
-        else:
-            sharding = None
-        rows_dev = (jax.device_put(data, sharding) if sharding is not None
-                    else jax.device_put(np.asarray(data)))
-        if quant is not None:
-            repl = None
-            if mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
-                repl = NamedSharding(mesh, P())
-            self.data = (
-                rows_dev,
-                jax.device_put(quant[0], repl) if repl is not None
-                else jax.device_put(quant[0]),
-                jax.device_put(quant[1], repl) if repl is not None
-                else jax.device_put(quant[1]),
-            )
-        else:
-            self.data = rows_dev
-        self._plan_sharding = None
+        repl = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            self._plan_sharding = NamedSharding(mesh, P())
+            repl = NamedSharding(mesh, P())
+
+        def put(arr, sharding=None):
+            return (jax.device_put(arr, sharding) if sharding is not None
+                    else jax.device_put(np.asarray(arr)))
+
+        if self.shard_store:
+            rows_dev = put(data, NamedSharding(mesh, P("model", None)))
+        else:
+            rows_dev = put(data, repl)
+        if quant is not None:
+            # the tiny (scale, offset) legs replicate across the mesh
+            self.data = (rows_dev, put(quant[0], repl), put(quant[1], repl))
+        else:
+            self.data = rows_dev
+        self._plan_sharding = repl
 
     def _put(self, arr):
         import jax

@@ -29,11 +29,11 @@ import optax
 from jax import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from pytorch_scalablefhvae_tpu.models.base import loss_from_outputs
+from pytorch_scalablefhvae_tpu.models.base import (
+    METRIC_KEYS as _METRIC_KEYS,
+    loss_from_outputs,
+)
 from pytorch_scalablefhvae_tpu.train.step import TrainState
-
-_METRIC_KEYS = ("loss", "lower_bound", "log_qy", "log_px_z",
-                "neg_kld_z1", "neg_kld_z2", "log_pmu2")
 
 
 def _make_gather(seg_len: int, mesh, shard_store: bool):
@@ -303,15 +303,12 @@ def make_device_map_pass(model, seg_len: int, batch_size: int,
                              pz2_var / pmu2_var, mesh, shard_store,
                              shard_table)
 
-    def pass_fn(params, store, seq_idx_all, starts_all, n_real):
-        return scan_fn(params, store, seq_idx_all, starts_all, n_real)
-
     if mesh is None:
-        return jax.jit(pass_fn)
+        return jax.jit(scan_fn)
 
     from pytorch_scalablefhvae_tpu.parallel.mesh import params_shardings
 
-    return _compile_on_mesh(mesh, pass_fn, shard_store,
+    return _compile_on_mesh(mesh, scan_fn, shard_store,
                             lambda params: params_shardings(mesh, params),
                             n_tail=3)
 
@@ -391,6 +388,13 @@ def make_device_map_pass_chunked(model, seg_len: int, seg_shift: int,
     (data/device_store.py:STORE_TAIL_SLACK). Single-device only — the
     pallas_call does not partition under GSPMD; mesh runs use the
     array-plan/rows passes.
+
+    HBM note: the gather kernel's region DMAs need a 128-multiple feature
+    dim, so the pass lane-pads the staged store ONCE per dispatch in-graph
+    (hoisted out of the batch scan) — a TRANSIENT copy of the whole store
+    at ``(-dim % 128) / dim`` extra relative size (60% at dim=80) that
+    frees when the pass returns. Callers sizing staging against a budget
+    must account for that peak (train/loop.py's round-staging gate does).
 
     ``chunk_skip > 1`` subsamples the MAP estimate: only every
     ``chunk_skip``-th chunk of ``spb`` consecutive windows is encoded

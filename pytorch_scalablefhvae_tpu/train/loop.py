@@ -795,6 +795,22 @@ def run_training(
         _chunked = (not _rand and mesh is None and _B_map % _spb == 0
                     and config.data.transfer_dtype != "int8"
                     and (_spb - 1) * _shift + seg_len <= STORE_TAIL_SLACK)
+        if _chunked and ds.store.dim % 128:
+            # the chunked pass lane-pads the staged store to a 128-multiple
+            # feature dim in-graph — a TRANSIENT second copy in HBM during
+            # the MAP dispatch (device_step.make_device_map_pass_chunked).
+            # If that peak (staged rows x (dim + padded dim)) would exceed
+            # the staging budget, fall back to the rows pass (same math,
+            # O(K) upload, gather-unit instead of region-DMA) rather than
+            # risk a device OOM the placement check never accounted for.
+            _staged_rows = (round_rows_ceiling
+                            if round_rows_ceiling is not None
+                            else ds.store.data.shape[0] + STORE_TAIL_SLACK)
+            _dim = ds.store.dim
+            _peak = _staged_rows * (_dim + (_dim + (-_dim) % 128)) * (
+                staging_itemsize(config.data.transfer_dtype))
+            if _peak > config.data.device_store_max_bytes:
+                _chunked = False
         _skip = max(getattr(config.train, "map_init_chunk_skip", 8), 1)
         if _chunked:
             # chunk layout: every _skip-th chunk of _spb windows, each
@@ -832,6 +848,13 @@ def run_training(
             "batch": _B_map,
             "rows": _ceil_batches * _B_map,
             "plan": build_epoch_plan,
+            # chunk layout of the compiled pass (None = row-per-segment):
+            # the round loop re-derives each subset's row need from these
+            # to guard the static ceiling (the in-graph plans would
+            # otherwise DROP overflow segments silently — the host-plan
+            # path raises for the same condition)
+            "spb": _spb if _chunked else None,
+            "skip": _skip,
         }
 
     # device-side epoch planning (--epoch-plan device): the segment schedule
@@ -998,6 +1021,24 @@ def run_training(
                     # trimmed rounds (subset staging) zero-pad the vectors
                     # to hier_k so the compiled passes keep ONE shape
                     _pad_k = hier_k if round_source is not None else None
+                    # ceiling guard: the pass's plan derives IN-GRAPH, so a
+                    # subset overflowing the compiled row capacity would
+                    # silently drop segments (biasing the MAP mean) instead
+                    # of raising like the host-plan path does. The ceiling
+                    # is built from the K largest sequences, so this can
+                    # only fire on a future caller/ceiling regression.
+                    _ns_g = np.asarray(sub_ds.nsegs, dtype=np.int64)
+                    if hier_device["spb"]:
+                        _sg, _kg = hier_device["spb"], hier_device["skip"]
+                        _need_rows = int(
+                            ((-(-(-(-_ns_g // _sg)) // _kg)) * _sg).sum())
+                    else:
+                        _need_rows = int(_ns_g.sum())
+                    if _need_rows > hier_device["rows"]:
+                        raise RuntimeError(
+                            f"round MAP plan needs {_need_rows} rows but the "
+                            f"compiled pass holds {hier_device['rows']} — "
+                            f"ceiling underestimation bug")
                     if dev_plan_meta is not None:
                         _starts_i, _nsegs_i = dev_plan_meta[:2]
                     else:
