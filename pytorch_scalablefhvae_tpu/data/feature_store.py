@@ -27,10 +27,20 @@ from pytorch_scalablefhvae_tpu.utils.manifest import read_scp
 
 
 def _is_rxspecifier(v: str) -> bool:
+    """Classify a feats.scp value as a Kaldi ``archive:offset`` rxspecifier.
+
+    Classification is by FORMAT, not archive existence: a missing/moved
+    archive must surface as a clear FileNotFoundError naming the archive
+    (kaldi_ark raises it), not silently demote to a plain-file open of the
+    colon-suffixed pseudo-path. The one existence check left is the rare
+    literal file whose NAME contains ``:digits`` — that stays a plain path.
+    """
     if ":" not in v or v.endswith(".npy"):
         return False
     path, _, off = v.rpartition(":")
-    return off.isdigit() and Path(path).exists()
+    if not off.isdigit() or not path:
+        return False
+    return not Path(v).exists()
 
 
 def _load_feat(path_or_rx: str) -> np.ndarray:
@@ -139,6 +149,17 @@ class FeatureStore:
                     f"{'...' if len(missing) > 5 else ''}"
                 )
             keep = [k for k in feats if lens[k] >= min_len]
+        if len(set(keep)) != len(keep):
+            # a duplicated key (user-edited sequence lists) would leave the
+            # EARLIER duplicate's pack rows uninitialized: seq2idx maps the
+            # key to its last index and _stream_feats yields each key once,
+            # so np.empty garbage would silently serve as features
+            from collections import Counter
+
+            dups = [k for k, c in Counter(keep).items() if c > 1]
+            raise ValueError(
+                f"duplicate sequence keys: {dups[:5]}"
+                f"{'...' if len(dups) > 5 else ''}")
         if verbose:
             print(f"FeatureStore: {len(keep)} out of {len(feats)} kept, min_len = {min_len}")
 
@@ -176,6 +197,28 @@ class FeatureStore:
                     f"{'no ' if meta.get('mvn_params') is None else ''}MVN but "
                     "this request differs; delete the cache to rebuild"
                 )
+            if mvn_path is not None:
+                # the cached data was normalized with meta's stats — a
+                # DIFFERENT stats file at mvn_path (regenerated after
+                # re-extraction, or simply another run's) must not be
+                # silently ignored; and when the file is absent, write it
+                # from meta so downstream consumers of the mvn JSON
+                # (reference schema parity) find it where they expect
+                _mvn_path = Path(mvn_path)
+                if _mvn_path.exists():
+                    on_disk = json.loads(_mvn_path.read_text())
+                    for leg in ("mean", "std"):
+                        if not np.allclose(
+                                np.asarray(on_disk[leg], np.float64),
+                                np.asarray(meta["mvn_params"][leg],
+                                           np.float64)):
+                            raise ValueError(
+                                f"pack cache {cache} was normalized with "
+                                f"different MVN stats than {mvn_path} now "
+                                f"holds; delete the cache to rebuild")
+                else:
+                    _mvn_path.parent.mkdir(parents=True, exist_ok=True)
+                    _mvn_path.write_text(json.dumps(meta["mvn_params"]))
             self.dim = meta["dim"]
             self.mvn_params = meta.get("mvn_params")
             self.data = np.memmap(bin_path, dtype=np.float32, mode="r",

@@ -147,6 +147,24 @@ def init_mu2_table(
     return init_std * jax.random.normal(key, (num_seqs, z2_dim), jnp.float32)
 
 
+def resolve_mu2_scoring(model, params: dict, mu2_table):
+    """The ONE mu2-table selection rule every model forward shares.
+
+    Returns ``(mu2_table, num_real, mesh, use_pallas)`` for the
+    discriminative softmax. Without an override, the LEARNED table scores
+    with the model's padding/sharding/kernel settings. Override tables
+    (per-split MAP estimates for held-out sequences, eval_model.py's
+    intended procedure) are unpadded, replicated, and unsharded — and when
+    the model is mesh-compiled, the unwrapped Pallas kernel has no GSPMD
+    partitioning rule, so the partitionable jnp path must score them.
+    """
+    if mu2_table is None:
+        return (params["mu2_table"], model.num_seqs, model.shard_mesh,
+                model.use_pallas)
+    return (mu2_table, mu2_table.shape[0], None,
+            "never" if model.shard_mesh is not None else model.use_pallas)
+
+
 # the exact key set of the metrics dict loss_from_outputs returns — the
 # mesh-compiled steps (parallel/sharded_step.py) build their out_shardings
 # pytree from this, so adding/renaming a metric cannot silently break only

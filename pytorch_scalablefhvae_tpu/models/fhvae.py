@@ -28,6 +28,7 @@ from pytorch_scalablefhvae_tpu.models.base import (
     assemble_elbo,
     discriminative_log_qy,
     init_mu2_table,
+    resolve_mu2_scoring,
 )
 
 
@@ -176,7 +177,12 @@ def run_lstm(
         )
 
         hid = p["cells"][0]["w"].shape[1] // 4
-        over_budget = lstm2_vmem_bytes(hid, xs.shape[0]) > LSTM2_VMEM_BUDGET
+        # lstm2_pallas dispatches to the PROJECTION-FUSED kernel, so the
+        # gate must include the input-width term (lstm2_vmem_bytes: "gates
+        # for the proj kernel MUST pass the input width") — without d_in a
+        # wide-feature model passes here and fails Mosaic compilation
+        over_budget = lstm2_vmem_bytes(
+            hid, xs.shape[0], d_in=xs.shape[2]) > LSTM2_VMEM_BUDGET
         if use_pallas == "always" or not over_budget:
             if use_pallas == "always" and jax.default_backend() != "tpu":
                 import warnings
@@ -433,10 +439,14 @@ class FHVAE:
             hid = p["cells"][0]["w"].shape[1] // 4
             # z2/z1 run the projection-fused kernel streaming the [bt, D]
             # feature blocks; the decoder's per-step input is one constant
-            # [B, 4H] gate block (no x stream), so d_in=0 there
+            # [B, 4H] gate block (no x stream), so d_in=0 there. The z1 leg
+            # additionally carries a batch-tiled xgc operand (the
+            # z2-conditioned gate block) whose backward residency the
+            # estimate must include.
             d_in = self.feat_dim if name != "dec_lstm" else 0
             if (lp == "auto"
-                    and lstm2_vmem_bytes(hid, B, d_in=d_in)
+                    and lstm2_vmem_bytes(hid, B, d_in=d_in,
+                                         xgc_tile=name == "z1_lstm")
                     > LSTM2_VMEM_BUDGET):
                 return False
         return True
@@ -509,17 +519,8 @@ class FHVAE:
         x_mu_tm = x_mu_f.reshape(T, B, self.feat_dim)
         x_logvar_tm = x_logvar_f.reshape(T, B, self.feat_dim)
 
-        if mu2_table is None:
-            mu2_table = params["mu2_table"]
-            num_real, mesh = self.num_seqs, self.shard_mesh
-            up = self.use_pallas
-        else:
-            num_real, mesh = mu2_table.shape[0], None
-            # override tables (per-split MAP estimates) are replicated and
-            # unsharded; when the model is mesh-compiled, the unwrapped
-            # Pallas kernel has no GSPMD partitioning rule, so the
-            # partitionable jnp path must score them
-            up = "never" if self.shard_mesh is not None else self.use_pallas
+        mu2_table, num_real, mesh, up = resolve_mu2_scoring(
+            self, params, mu2_table)
         mu2 = mu2_table[seq_idx]
         lower_bound, log_px_z, neg_kld_z1, neg_kld_z2, log_pmu2 = assemble_elbo(
             xt, mu2, z1_mu, z1_logvar, z2_mu, z2_logvar,
@@ -564,19 +565,9 @@ class FHVAE:
         )
 
         # mu2_table override: evaluation supplies MAP-estimated tables for
-        # held-out splits (the learned table only covers training sequences);
-        # override tables are unpadded and unsharded
-        if mu2_table is None:
-            mu2_table = params["mu2_table"]
-            num_real, mesh = self.num_seqs, self.shard_mesh
-            up = self.use_pallas
-        else:
-            num_real, mesh = mu2_table.shape[0], None
-            # override tables (per-split MAP estimates) are replicated and
-            # unsharded; when the model is mesh-compiled, the unwrapped
-            # Pallas kernel has no GSPMD partitioning rule, so the
-            # partitionable jnp path must score them
-            up = "never" if self.shard_mesh is not None else self.use_pallas
+        # held-out splits (models/base.py:resolve_mu2_scoring)
+        mu2_table, num_real, mesh, up = resolve_mu2_scoring(
+            self, params, mu2_table)
         mu2 = mu2_table[seq_idx]
         lower_bound, log_px_z, neg_kld_z1, neg_kld_z2, log_pmu2 = assemble_elbo(
             x, mu2,

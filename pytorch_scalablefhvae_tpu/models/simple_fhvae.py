@@ -24,6 +24,7 @@ from pytorch_scalablefhvae_tpu.models.base import (
     assemble_elbo,
     discriminative_log_qy,
     init_mu2_table,
+    resolve_mu2_scoring,
 )
 import numpy as np
 
@@ -182,17 +183,8 @@ class SimpleFHVAE:
         # mu2_table override: evaluation supplies MAP-estimated tables for
         # held-out splits (the learned table only covers training sequences);
         # override tables are unpadded and unsharded
-        if mu2_table is None:
-            mu2_table = params["mu2_table"]
-            num_real, mesh = self.num_seqs, self.shard_mesh
-            up = self.use_pallas
-        else:
-            num_real, mesh = mu2_table.shape[0], None
-            # override tables (per-split MAP estimates) are replicated and
-            # unsharded; when the model is mesh-compiled, the unwrapped
-            # Pallas kernel has no GSPMD partitioning rule, so the
-            # partitionable jnp path must score them
-            up = "never" if self.shard_mesh is not None else self.use_pallas
+        mu2_table, num_real, mesh, up = resolve_mu2_scoring(
+            self, params, mu2_table)
         mu2 = mu2_table[seq_idx]
 
         lower_bound, log_px_z, neg_kld_z1, neg_kld_z2, log_pmu2 = assemble_elbo(

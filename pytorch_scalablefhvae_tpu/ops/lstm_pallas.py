@@ -63,7 +63,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def lstm2_vmem_bytes(hid: int, batch: int, block_batch: int = 256,
-                     d_in: int = 0) -> int:
+                     d_in: int = 0, xgc_tile: bool = False) -> int:
     """Worst-case VMEM residency estimate (bytes) for the BACKWARD kernel —
     the larger of the two. Used by run_lstm's "auto" gating to fall back to
     the wavefront scan when a wide stack (e.g. z1_hus=(1024,1024)) would
@@ -81,6 +81,13 @@ def lstm2_vmem_bytes(hid: int, batch: int, block_batch: int = 256,
     double-buffered x / dx [bt, d_in] blocks. Gates for the proj kernel
     MUST pass the input width or a wide-feature model (e.g. D=512
     spectrograms) passes the gate and then fails Mosaic compilation.
+
+    ``xgc_tile`` models a BATCH-TILED xgc operand (the z1 encoder's
+    z2-conditioned gate block, fhvae._apply_fused): its backward keeps the
+    [bt, 4H] xgc in-block plus the revisited [bt, 4H] dxgc out-block
+    resident, both double-buffered — ~2 MB extra at bt=256/H=128 that an
+    un-flagged gate would miss for configs sized just under the budget.
+    (A constant xgc — the decoder's [1, 4H] block — is row-sized, ignored.)
     """
     bt = min(block_batch, max(_round_up(batch, 8), 8))
     weights = 9 * hid * 4 * hid + 4 * (4 * hid)          # [H,4H] x9 + rows
@@ -89,6 +96,8 @@ def lstm2_vmem_bytes(hid: int, batch: int, block_batch: int = 256,
     if d_in > 0:
         weights += 3 * d_in * 4 * hid        # w1x block + dw1x + fp32 accum
         streamed += 2 * bt * (2 * d_in)      # x and dx per-step blocks
+    if xgc_tile:
+        streamed += 2 * bt * (2 * 4 * hid)   # xgc + revisited dxgc blocks
     return 4 * (weights + carries + streamed)
 
 

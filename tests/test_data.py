@@ -82,6 +82,28 @@ class TestFeatureStore:
         store2 = FeatureStore(feat_scp, len_scp, min_len=1, mvn_path=mvn, verbose=False)
         np.testing.assert_allclose(store2.data, store.data, atol=1e-6)
 
+    def test_duplicate_sequence_list_raises(self, tmp_path, rng):
+        """A duplicated key would leave the earlier duplicate's pack rows
+        as uninitialized np.empty memory (seq2idx keeps only the last
+        index and _stream_feats yields each key once) — a hard error, not
+        silent garbage features."""
+        feat_scp, len_scp = build_split(tmp_path, rng)
+        with pytest.raises(ValueError, match="duplicate"):
+            FeatureStore(feat_scp, len_scp,
+                         sequence_list=["utt0", "utt2", "utt0"],
+                         verbose=False)
+
+    def test_missing_ark_names_archive(self, tmp_path):
+        """A deleted/moved archive behind an rxspecifier must fail naming
+        the ARCHIVE, not demote to a plain open of the colon-suffixed
+        pseudo-path."""
+        from pytorch_scalablefhvae_tpu.data.feature_store import _load_feat
+
+        with pytest.raises(FileNotFoundError) as exc:
+            _load_feat(str(tmp_path / "gone.ark") + ":12345")
+        assert "gone.ark:12345" not in str(exc.value)
+        assert "gone.ark" in str(exc.value)
+
     def test_len_mismatch_raises(self, tmp_path, rng):
         feat_scp, len_scp = build_split(tmp_path, rng, lens=(30,))
         write_scp(len_scp, {"utt0": 31})
@@ -163,6 +185,29 @@ class TestPackCache:
         assert s2.mvn_params is not None
         seg = s2.gather_segments(np.array([0]), np.array([3]), 7)
         np.testing.assert_array_equal(seg[0], s2.sequence(0)[3:10])
+
+    def test_cache_rejects_changed_mvn_stats(self, tmp_path, rng):
+        """The cached pack is normalized with the stats recorded in its
+        meta; a DIFFERENT stats file at mvn_path must raise, not be
+        silently ignored — and a MISSING stats file is re-written from
+        meta (schema parity for downstream consumers)."""
+        feat_scp, len_scp = build_split(tmp_path, rng)
+        mvn = tmp_path / "mvn.json"
+        cache = tmp_path / "cache" / "pack"
+        FeatureStore(feat_scp, len_scp, min_len=1, mvn_path=mvn,
+                     pack_cache=cache, verbose=False)
+        orig = mvn.read_text()
+        d = json.loads(orig)
+        d["mean"] = [[m + 1.0 for m in d["mean"][0]]]
+        mvn.write_text(json.dumps(d))
+        with pytest.raises(ValueError, match="different MVN stats"):
+            FeatureStore(feat_scp, len_scp, min_len=1, mvn_path=mvn,
+                         pack_cache=cache, verbose=False)
+        mvn.unlink()
+        s = FeatureStore(feat_scp, len_scp, min_len=1, mvn_path=mvn,
+                         pack_cache=cache, verbose=False)
+        assert s.mvn_params is not None
+        assert json.loads(mvn.read_text()) == json.loads(orig)
 
     def test_cache_rejects_different_keyset(self, tmp_path, rng):
         feat_scp, len_scp = build_split(tmp_path, rng)
