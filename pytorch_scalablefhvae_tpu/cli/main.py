@@ -129,7 +129,7 @@ def _cmd_probe(args) -> int:
 
     import numpy as np
 
-    from pytorch_scalablefhvae_tpu.eval.probes import speaker_probes
+    from pytorch_scalablefhvae_tpu.eval.probes import json_safe, speaker_probes
 
     lat_dir = Path(args.exp_dir) / "eval" / args.set_name
     if not (lat_dir / "latents.npz").exists():
@@ -141,7 +141,7 @@ def _cmd_probe(args) -> int:
         lat = {k: z[k] for k in ("z1_mu", "z2_mu", "seq_idx")}
     seq_keys = json.loads((lat_dir / "sequences.json").read_text())
     res = speaker_probes(lat, seq_keys, seed=args.seed)
-    print(json.dumps(res, indent=2))
+    print(json.dumps(json_safe(res), indent=2))
     return 0
 
 

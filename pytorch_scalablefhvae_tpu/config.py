@@ -53,6 +53,12 @@ class FeatureConfig:
     # Pool(3)/Pool(8) capability); outputs are identical to sequential.
     # Default sequential: on single-core hosts a pool only adds overhead.
     num_workers: int = 0
+    # kaldi format: the PARSED --fbank-conf kwargs, persisted into the run's
+    # config at train time (train/driver.py) so encode/serve rebuild
+    # features with the run's exact conf — without this, a custom conf
+    # (e.g. --window-type=povey) would extract training features one way
+    # and serving features another, silently (shapes still match)
+    fbank_conf_kwargs: dict | None = None
 
     @property
     def n_fft(self) -> int:

@@ -114,16 +114,26 @@ def _featurize(y: np.ndarray, sr: int, fcfg) -> np.ndarray:
     if fcfg.data_format == "kaldi":
         from pytorch_scalablefhvae_tpu.features.kaldi_fbank import kaldi_fbank
 
-        return kaldi_fbank(
-            y, sr,
+        # the run's PARSED fbank conf (persisted by train/driver.py) wins
+        # over FeatureConfig defaults: training extracted with the conf's
+        # settings, so encode must too or the latents silently drift
+        kw = dict(
             frame_length_ms=fcfg.win_t * 1000.0,
             frame_shift_ms=fcfg.hop_t * 1000.0,
             n_mels=fcfg.n_mels,
             window_type=fcfg.window,
-            dither=0.0,  # deterministic inference
             preemphasis=fcfg.preemphasis,
             remove_dc_offset=fcfg.remove_dc_offset,
         )
+        conf_kw = dict(getattr(fcfg, "fbank_conf_kwargs", None) or {})
+        conf_sr = conf_kw.pop("sr", None)
+        if conf_sr is not None and int(conf_sr) != int(sr):
+            raise ValueError(
+                f"Sample rate mismatch: the run's fbank conf expects "
+                f"{conf_sr} Hz but the audio decodes at {sr} Hz")
+        kw.update(conf_kw)
+        kw["dither"] = 0.0  # deterministic inference
+        return kaldi_fbank(y, sr, **kw)
     from pytorch_scalablefhvae_tpu.features.extract import generate_feat
 
     return generate_feat(fcfg.feat_type, y, sr, fcfg.win_t, fcfg.hop_t,

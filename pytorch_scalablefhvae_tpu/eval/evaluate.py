@@ -175,11 +175,15 @@ def evaluate_experiment(
     )
     if recon is not None:
         np.savez(out_dir / "reconstructions.npz", **recon)
+    from pytorch_scalablefhvae_tpu.eval.probes import json_safe
+
     (out_dir / "metrics.json").write_text(
         json.dumps(
-            {"set_name": set_name,
-             **{k: float(v) for k, v in metrics.items()},
-             "probes": probes},
+            # json_safe: an empty probe split reports NaN accuracies, which
+            # json.dumps would emit as the non-standard NaN token
+            json_safe({"set_name": set_name,
+                       **{k: float(v) for k, v in metrics.items()},
+                       "probes": probes}),
             indent=2,
         )
     )

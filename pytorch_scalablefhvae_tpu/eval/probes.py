@@ -27,6 +27,22 @@ def default_speaker_of(seq_key: str) -> str:
     return seq_key.split("-")[0]
 
 
+def json_safe(obj):
+    """Replace non-finite floats with None, recursively.
+
+    ``json.dumps`` emits the non-standard ``NaN`` token for such floats —
+    invalid JSON that jq / JSON.parse / strict parsers reject — so every
+    probe/metrics artifact writer passes its payload through this first.
+    """
+    if isinstance(obj, dict):
+        return {k: json_safe(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [json_safe(v) for v in obj]
+    if isinstance(obj, float) and not np.isfinite(obj):
+        return None
+    return obj
+
+
 def linear_probe_accuracy(
     feats: np.ndarray,
     labels: np.ndarray,
@@ -35,16 +51,59 @@ def linear_probe_accuracy(
     steps: int = 300,
     lr: float = 0.05,
     weight_decay: float = 1e-4,
+    groups: np.ndarray | None = None,
+    overlap_gap: int = 2,
 ) -> dict:
-    """Train a multinomial logistic-regression probe; report accuracies."""
+    """Train a multinomial logistic-regression probe; report accuracies.
+
+    ``groups`` (the owning utterance of each segment, in loader order —
+    segments of one utterance are consecutive and time-ordered): when
+    given, each utterance splits TEMPORALLY — a train prefix, then
+    ``overlap_gap`` dropped boundary segments, then the test suffix.
+    Segments are overlapping sliding windows (seg_shift < seg_len:
+    adjacent segments share most of their frames), so a random
+    segment-level split leaks near-duplicates of every test segment into
+    training and the probe scores frame memorization instead of the
+    factor under test — inflating exactly the z1 accuracy whose
+    near-chance level the diagnostic exists to certify. A whole-utterance
+    holdout would over-correct: on splits with one utterance per speaker
+    it removes the held-out CLASSES from training entirely. The temporal
+    split keeps every class covered while no test frame appears in
+    training (default gap 2 covers seg_len 20 / shift 8: segments i, j
+    share frames iff |i-j| * shift < seg_len).
+    """
     n, d = feats.shape
     n_classes = int(labels.max()) + 1 if n else 0
     rng = np.random.default_rng(seed)
-    order = rng.permutation(n)
-    n_train = max(int(n * train_frac), 1)
-    tr, te = order[:n_train], order[n_train:]
+    if groups is not None and n:
+        g = np.asarray(groups)
+        tr_list, te_list = [], []
+        for gval in np.unique(g):
+            idx = np.flatnonzero(g == gval)
+            m = len(idx)
+            # reserve the test TAIL first (at least one segment), then the
+            # guard gap backwards — utterances are often only a handful of
+            # segments long, and carving train-first would leave the gap
+            # nothing to eat but the test set
+            te_start = m - max(int(m * (1.0 - train_frac)), 1)
+            tr_end = te_start - overlap_gap
+            if tr_end <= 0:  # too short to split leak-free: all train
+                tr_list.append(idx)
+                continue
+            tr_list.append(idx[:tr_end])
+            te_list.append(idx[te_start:])
+        tr = np.concatenate(tr_list) if tr_list else np.zeros(0, np.int64)
+        te = np.concatenate(te_list) if te_list else np.zeros(0, np.int64)
+    else:
+        order = rng.permutation(n)
+        n_train = max(int(n * train_frac), 1)
+        tr, te = order[:n_train], order[n_train:]
 
-    x = jnp.asarray((feats - feats.mean(0)) / (feats.std(0) + 1e-6), jnp.float32)
+    # standardize with TRAIN-split statistics only (test rows must not
+    # shape the preprocessing they are scored under)
+    mu = feats[tr].mean(0) if len(tr) else np.zeros(d)
+    sd = feats[tr].std(0) if len(tr) else np.ones(d)
+    x = jnp.asarray((feats - mu) / (sd + 1e-6), jnp.float32)
     y = jnp.asarray(labels, jnp.int32)
 
     params = {
@@ -105,8 +164,14 @@ def speaker_probes(
     speakers = [speaker_of(k) for k in seq_keys]
     spk_ids = {s: i for i, s in enumerate(sorted(set(speakers)))}
     labels = np.asarray([spk_ids[speakers[i]] for i in latents["seq_idx"]], np.int64)
+    # temporal per-utterance split: a random segment split would leak
+    # overlapping windows of every test segment into training and score
+    # frame memorization, not speaker information
+    groups = np.asarray(latents["seq_idx"])
     return {
-        "z1_speaker_probe": linear_probe_accuracy(latents["z1_mu"], labels, seed=seed),
-        "z2_speaker_probe": linear_probe_accuracy(latents["z2_mu"], labels, seed=seed),
+        "z1_speaker_probe": linear_probe_accuracy(
+            latents["z1_mu"], labels, seed=seed, groups=groups),
+        "z2_speaker_probe": linear_probe_accuracy(
+            latents["z2_mu"], labels, seed=seed, groups=groups),
         "num_speakers": len(spk_ids),
     }

@@ -160,9 +160,11 @@ def _batched_features_jit(
     # pre-emphasis (reference utils.py:181-182)
     if preemphasis > 1e-12:
         y = y - preemphasis * jnp.pad(y[:, :-1], ((0, 0), (1, 0)))
-        # zero out beyond true length so reflect-padding sees clean tails
-        mask = jnp.arange(T)[None, :] < lengths[:, None]
-        y = jnp.where(mask, y, 0.0)
+    # zero out beyond true length UNCONDITIONALLY: the reflect gather and
+    # the short-row constant extension below both read the [len, T) tail
+    # and must see zeros, not whatever the batch assembly padded with
+    mask = jnp.arange(T)[None, :] < lengths[:, None]
+    y = jnp.where(mask, y, 0.0)
 
     # centered reflect pad + framing. The reflection around each signal's
     # *true* end is a per-row gather over the [B, T+2*pad] extended signal
@@ -186,6 +188,13 @@ def _batched_features_jit(
     i = jnp.where(i > L - 1, 2 * (L - 1) - i, i)  # right reflection
     i = jnp.clip(i, 0, T - 1)
     y_ext = jnp.take_along_axis(y, i, axis=1)  # [B, Tp]
+    # rows shorter than the pad need MULTIPLE reflections, which the
+    # single-fold-then-clip above turns into edge replication; the host
+    # path (dsp_numpy.stft_complex) zero-pads such degenerate signals
+    # instead, and the two extractors must emit identical features. y is
+    # already zero-masked beyond each row's length, so the constant
+    # extension is a plain pad — no second gather.
+    y_ext = jnp.where(L <= pad, jnp.pad(y, ((0, 0), (pad, pad))), y_ext)
 
     # frame f = y_ext[f*hop : f*hop + n_fft]: stack ceil(n_fft/hop) shifted
     # hop-chunk views and slice to n_fft columns

@@ -249,12 +249,21 @@ def prepare_jax(
     return count, (wav_path, feat_path, len_path)
 
 
+_NATIVE_FBANK_CACHE: object = "unset"  # per-process memo, incl. failures
+
+
 def _native_fbank():
     """Return the C++ extractor entry point if the shared lib builds+loads.
 
     ``load_native()`` is invoked HERE (the build runs lazily at first load,
     not at import), so a failed g++ compile or a missing toolchain falls
-    back to the Python Kaldi mirror instead of crashing prepare_kaldi."""
+    back to the Python Kaldi mirror instead of crashing prepare_kaldi.
+    The outcome — INCLUDING failure — is memoized per process: the pool
+    path calls this per utterance, and an unmemoized broken toolchain
+    would re-spawn the failing g++ subprocess for every job."""
+    global _NATIVE_FBANK_CACHE
+    if _NATIVE_FBANK_CACHE != "unset":
+        return _NATIVE_FBANK_CACHE
     try:
         from pytorch_scalablefhvae_tpu.native.binding import (
             load_native,
@@ -262,9 +271,10 @@ def _native_fbank():
         )
 
         load_native()
-        return native_fbank
+        _NATIVE_FBANK_CACHE = native_fbank
     except Exception:
-        return None
+        _NATIVE_FBANK_CACHE = None
+    return _NATIVE_FBANK_CACHE
 
 
 def _kaldi_worker(job):

@@ -135,11 +135,33 @@ def parse_fbank_conf(path: str) -> dict:
     return opts
 
 
+# conf options kaldi_fbank implements, plus the accepted-and-inert ones.
+# Anything else RAISES: silently dropping e.g. --snip-edges=false (which
+# changes the framing geometry) would extract with different semantics
+# than the conf on disk claims, the exact drift the conf exists to prevent.
+_CONF_SUPPORTED = {
+    "window_type", "sample_frequency", "dither", "num_mel_bins",
+    "frame_length", "frame_shift", "low_freq", "high_freq",
+    "preemphasis_coefficient", "remove_dc_offset", "use_energy",
+    "htk_compat",  # no output effect when use-energy=false
+}
+
+
 def fbank_kwargs_from_conf(conf: dict) -> dict:
-    """Map parsed conf options onto :func:`kaldi_fbank` keyword args."""
+    """Map parsed conf options onto :func:`kaldi_fbank` keyword args.
+
+    Unsupported options raise (see ``_CONF_SUPPORTED``) — a conf setting
+    this extractor cannot honor must fail loudly, not produce features
+    that silently differ from what the conf requests.
+    """
     def as_bool(v):
         return str(v).lower() in ("true", "1", "yes")
 
+    unsupported = sorted(set(conf) - _CONF_SUPPORTED)
+    if unsupported:
+        raise NotImplementedError(
+            f"fbank conf options not supported by this extractor: "
+            f"{unsupported} (supported: {sorted(_CONF_SUPPORTED)})")
     mapping = {}
     if "window_type" in conf:
         mapping["window_type"] = conf["window_type"]

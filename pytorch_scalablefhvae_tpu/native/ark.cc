@@ -83,13 +83,20 @@ int ark_scan(const char* path, int64_t* n_mats, int64_t* total_rows, int32_t* co
 // caller's buffer capacities from the sizing pass (ark_scan): the file can
 // GROW between the two passes (an appending re-extraction), and writing
 // past the capacities would silently corrupt the caller's heap — exceeding
-// them returns -5 instead. Returns number of records read, or negative on
-// error (-4: corrupt or unsupported record header mid-archive; -5: archive
-// larger than the sizing pass saw).
+// them returns -5 instead. `expected_cols` is the sizing pass's uniform
+// width: the data buffer is allocated max_rows x expected_cols, so a
+// record that comes back WIDER (the archive atomically replaced by a
+// re-extraction with more mel bins — same record/row counts, so the
+// mats/rows guards never fire) would overrun every row it writes; a
+// mismatch returns -2. Returns number of records read, or negative on
+// error (-2: record width differs from the sizing pass; -4: corrupt or
+// unsupported record header mid-archive; -5: archive larger than the
+// sizing pass saw).
 int64_t ark_read_packed(const char* path, float* data, int64_t* row_offsets,
                         int64_t* file_offsets,
                         char* keys_out, int64_t keys_cap,
-                        int64_t max_mats, int64_t max_rows) {
+                        int64_t max_mats, int64_t max_rows,
+                        int32_t expected_cols) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return -1;
   std::string key;
@@ -99,6 +106,7 @@ int64_t ark_read_packed(const char* path, float* data, int64_t* row_offsets,
   row_offsets[0] = 0;
   int rc;
   while ((rc = read_record_header(f, &key, &h)) == 1) {
+    if (h.cols != expected_cols) { std::fclose(f); return -2; }
     if (n >= max_mats || row + h.rows > max_rows) { std::fclose(f); return -5; }
     int64_t count = static_cast<int64_t>(h.rows) * h.cols;
     float* dst = data + row * h.cols;

@@ -79,7 +79,7 @@ def load_native(rebuild: bool = False) -> ctypes.CDLL:
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.c_char_p, ctypes.c_int64,
-            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
         ]
         lib.fbank_compute.restype = ctypes.c_int
         lib.fbank_compute.argtypes = [
@@ -170,9 +170,17 @@ def native_read_ark_packed(
         keys_buf, keys_cap,
         # buffer capacities from the sizing pass: the file can grow
         # between ark_scan and this read (appending re-extraction); the
-        # C side stops at these bounds instead of overrunning the heap
-        ctypes.c_int64(n), ctypes.c_int64(rows),
+        # C side stops at these bounds instead of overrunning the heap.
+        # expected_cols guards the row WIDTH the same way — `data` is
+        # allocated rows x c, and a wider record (archive atomically
+        # replaced with more mel bins, same counts) would overrun it
+        ctypes.c_int64(n), ctypes.c_int64(rows), ctypes.c_int32(c),
     )
+    if got == -2:
+        raise RuntimeError(
+            f"ark_read_packed({path}): record width changed between the "
+            f"sizing and read passes (archive replaced by a re-extraction "
+            f"with a different feature dim?); retry the pack build")
     if got == -5:
         raise RuntimeError(
             f"ark_read_packed({path}): archive grew between the sizing "

@@ -104,6 +104,25 @@ def train_from_config(
             "set the flag directly for a fresh run"
         )
 
+    if (config.features.data_format == "kaldi"
+            and config.features.fbank_conf_kwargs is None
+            and Path(fbank_conf).exists()):
+        # persist the PARSED conf into the run's saved config: encode/serve
+        # rebuild features from the config alone (the conf file may not
+        # exist where they run), and FeatureConfig defaults must never
+        # silently replace a custom conf's settings (eval/encode.py)
+        import dataclasses as _dc
+
+        from pytorch_scalablefhvae_tpu.features.kaldi_fbank import (
+            fbank_kwargs_from_conf,
+            parse_fbank_conf,
+        )
+
+        config = config.replace(features=_dc.replace(
+            config.features,
+            fbank_conf_kwargs=fbank_kwargs_from_conf(
+                parse_fbank_conf(str(fbank_conf)))))
+
     if continue_from is not None and not finetune:
         # a resume continues THE experiment: keep writing into the
         # checkpoint's directory even when an override changes a field that

@@ -144,6 +144,10 @@ class TestConfigFlagCompleteness:
         ("features", "log_floor_mel"), ("features", "dither"),
         ("features", "remove_dc_offset"), ("features", "use_energy"),
         ("features", "htk_compat"),
+        # derived, not a flag: train/driver.py persists the parsed
+        # --fbank-conf here so encode/serve rebuild features from the
+        # saved config alone
+        ("features", "fbank_conf_kwargs"),
     }
 
     def test_every_config_field_reachable_from_argv(self):

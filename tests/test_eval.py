@@ -56,6 +56,41 @@ class TestProbes:
         res = linear_probe_accuracy(feats, labels, seed=0)
         assert res["test_acc"] < 0.6  # chance is 1/3
 
+    def test_grouped_split_is_temporal_and_leak_free(self, rng):
+        """With groups, each utterance splits train-prefix / gap / test-
+        tail: no test index within overlap_gap of a train index of the
+        same group, every class still covered in training, and groups too
+        short to split leak-free go wholly to train."""
+        feats = rng.standard_normal((40, 4)).astype(np.float32)
+        labels = np.repeat([0, 1, 2, 3], 10)
+        groups = np.repeat([0, 1, 2, 3], 10)
+        res = linear_probe_accuracy(feats, labels, seed=0, groups=groups,
+                                    overlap_gap=2)
+        assert res["n_examples"] == 40
+        # reconstruct the split the same way to assert its properties
+        tr, te = [], []
+        for gv in range(4):
+            idx = np.flatnonzero(groups == gv)
+            te_start = len(idx) - max(int(len(idx) * 0.2), 1)
+            tr += idx[: te_start - 2].tolist()
+            te += idx[te_start:].tolist()
+        for t in te:
+            assert all(abs(t - s) > 2 for s in tr if groups[s] == groups[t])
+        assert set(labels[tr]) == {0, 1, 2, 3}
+        # a 3-segment utterance cannot split leak-free -> all train, no NaN
+        res2 = linear_probe_accuracy(
+            feats[:3], labels[:3] * 0, seed=0, groups=np.zeros(3, np.int64))
+        assert res2["test_acc"] is None or np.isnan(res2["test_acc"])
+
+    def test_json_safe_replaces_nonfinite(self):
+        import json
+
+        from pytorch_scalablefhvae_tpu.eval.probes import json_safe
+
+        payload = {"a": float("nan"), "b": [1.0, float("inf")], "c": "x"}
+        s = json.dumps(json_safe(payload))
+        assert json.loads(s) == {"a": None, "b": [1.0, None], "c": "x"}
+
     def test_speaker_probes_structure(self, rng):
         lat = {
             "z1_mu": rng.standard_normal((50, 8)).astype(np.float32),

@@ -136,6 +136,17 @@ class TestKaldiFbank:
         kw = kaldi_fbank.fbank_kwargs_from_conf(opts)
         assert kw == {"window_type": "hamming", "sr": 16000, "dither": 1.0, "n_mels": 80}
 
+    def test_conf_unsupported_option_raises(self, tmp_path):
+        """Options this extractor cannot honor (e.g. --snip-edges=false,
+        which changes framing geometry) must fail loudly — silently
+        dropping them would extract with different semantics than the conf
+        on disk claims."""
+        conf = tmp_path / "fbank.conf"
+        conf.write_text("--num-mel-bins=80\n--snip-edges=false\n")
+        opts = kaldi_fbank.parse_fbank_conf(str(conf))
+        with pytest.raises(NotImplementedError, match="snip_edges"):
+            kaldi_fbank.fbank_kwargs_from_conf(opts)
+
     def test_tone_energy_concentrated(self):
         t = np.arange(SR) / SR
         y = 0.5 * np.sin(2 * np.pi * 1000.0 * t)
@@ -170,6 +181,32 @@ class TestJaxPath:
             mask = ref > -15.0
             assert mask.mean() > 0.5
             np.testing.assert_allclose(got[mask], ref[mask], atol=2e-2, rtol=2e-2)
+
+    def test_short_signal_matches_numpy_zero_pad(self, rng):
+        """Signals shorter than n_fft//2 need MULTIPLE reflections; the
+        host path zero-pads them instead (dsp_numpy.stft_complex), and the
+        jax path must match — its old single-fold-then-clip index math
+        silently edge-replicated, so the two extractors wrote different
+        features for sub-200-sample utterances."""
+        from pytorch_scalablefhvae_tpu.features.dsp_jax import batched_features
+
+        short = make_signal(rng, 0.01)  # 160 samples < pad=200 at n_fft 400
+        longer = make_signal(rng, 0.05)
+        T = len(longer)
+        batch = np.zeros((2, T), np.float32)
+        batch[0, : len(short)] = short
+        batch[1] = longer
+        lengths = np.array([len(short), T], np.int32)
+        feats, n_frames = batched_features(
+            batch, lengths, sr=SR, n_fft=400, n_mels=80)
+        feats, n_frames = np.asarray(feats), np.asarray(n_frames)
+        for i, s in enumerate((short, longer)):
+            ref = dsp_numpy.log_melspec(s, SR, n_fft=400, n_mels=80)
+            assert n_frames[i] == ref.shape[0]
+            got = feats[i, : n_frames[i]]
+            mask = ref > -15.0
+            np.testing.assert_allclose(got[mask], ref[mask],
+                                       atol=2e-2, rtol=2e-2)
 
     def test_spec_feat_type(self, rng):
         from pytorch_scalablefhvae_tpu.features.dsp_jax import batched_features

@@ -121,6 +121,42 @@ class TestKaldiFormatEndToEnd:
                                 is_preprocessed=True, verbose=False)
         assert not res.diverged
 
+    def test_custom_conf_persists_to_encode(self, tmp_path):
+        """A custom --fbank-conf's parsed kwargs ride the run's saved
+        config, and encode's featurizer uses THEM — not FeatureConfig
+        defaults, which would silently drift serving features from
+        training features (same shapes, different window)."""
+        import json
+
+        corpus = tmp_path / "corpus"
+        conf = tmp_path / "fbank.conf"
+        conf.write_text("--window-type=povey\n--num-mel-bins=80\n"
+                        "--dither=0\n--sample-frequency=16000\n")
+        cfg = cfg_for(tmp_path, features=FeatureConfig(data_format="kaldi"))
+        preprocess_data(cfg, root=corpus, fbank_conf=str(conf))
+        res = train_from_config(cfg, data_root=corpus,
+                                exp_root=tmp_path / "exp",
+                                is_preprocessed=True, verbose=False,
+                                fbank_conf=str(conf))
+        assert not res.diverged
+        saved = json.loads(
+            next((tmp_path / "exp").glob("**/config.json")).read_text())
+        assert saved["features"]["fbank_conf_kwargs"]["window_type"] == "povey"
+
+        from pytorch_scalablefhvae_tpu.eval.encode import _featurize
+        from pytorch_scalablefhvae_tpu.features.kaldi_fbank import kaldi_fbank
+
+        cfg2 = ExperimentConfig.from_dict(saved)
+        rng = np.random.default_rng(0)
+        y = rng.normal(size=16000).astype(np.float32)
+        got = _featurize(y, 16000, cfg2.features)
+        want = kaldi_fbank(y, 16000, window_type="povey", dither=0.0,
+                           n_mels=80)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+        hamming = kaldi_fbank(y, 16000, window_type="hamming", dither=0.0,
+                              n_mels=80)
+        assert not np.allclose(got, hamming, atol=1e-3)  # the drift it fixes
+
 
 class TestMeshTraining:
     def test_loop_runs_on_mesh(self, tmp_path):

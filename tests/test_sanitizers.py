@@ -95,7 +95,8 @@ def test_ark_reader_under_asan(tmp_path):
         lib.ark_read_packed.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
-            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32]
 
         full = open({str(ark)!r}, 'rb').read()
         p = {str(tmp_path / 'cut.ark')!r}
@@ -117,7 +118,7 @@ def test_ark_reader_under_asan(tmp_path):
                 data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                 offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
                 foffs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-                keys, len(keys), nm.value, rows)
+                keys, len(keys), nm.value, rows, ctypes.c_int32(c))
             assert got < 0 or got <= nm.value
         # file-grew guard: size for the truncated file, read the full one
         open(p, 'wb').write(full[: len(full) // 2])
@@ -135,8 +136,10 @@ def test_ark_reader_under_asan(tmp_path):
             data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             foffs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            keys, len(keys), nm.value, rows)
-        assert got == -5, got
+            keys, len(keys), nm.value, rows, co)
+        # -5 (over capacity) or -2 (width differs from the sizing pass):
+        # either way the changed archive is rejected before any heap write
+        assert got in (-5, -2), got
         print("ASAN-ARK-OK")
     """))
     env = {"LD_PRELOAD": _libasan_path(), "ASAN_OPTIONS": "detect_leaks=0",
