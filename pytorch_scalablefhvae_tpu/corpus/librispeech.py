@@ -26,13 +26,26 @@ DEFAULT_TEST = ("test-clean", "test-other")
 
 def find_audios(directory: Path, exts=(".flac", ".wav")) -> list[tuple[str, str]]:
     """Sorted (utt_id, path) pairs for audio files under ``directory``
-    (preprocess_librispeech.py:13-28 parity)."""
-    uid_path = []
+    (preprocess_librispeech.py:13-28 parity).
+
+    One path per utterance id: a ``convert=True`` run writes a ``.wav``
+    next to each ``.flac``, so a later run finds BOTH under the same uid —
+    without dedup the scp would list every utterance twice (doubling the
+    split count and letting directory order pick which line wins
+    downstream). The ``.wav`` wins deterministically (it is the already-
+    decoded product of the flac beside it)."""
+    by_uid: dict[str, str] = {}
     for root, _, files in sorted(os.walk(directory)):
         for file in files:
-            if file.lower().endswith(tuple(exts)):
-                uid_path.append((os.path.splitext(file)[0], os.path.join(root, file)))
-    return sorted(uid_path, key=lambda x: x[0])
+            if not file.lower().endswith(tuple(exts)):
+                continue
+            uid = os.path.splitext(file)[0]
+            path = os.path.join(root, file)
+            prev = by_uid.get(uid)
+            if prev is None or (prev.lower().endswith(".flac")
+                                and path.lower().endswith(".wav")):
+                by_uid[uid] = path
+    return sorted(by_uid.items(), key=lambda x: x[0])
 
 
 def write_split_scp(

@@ -59,7 +59,20 @@ def save_checkpoint(
     meta_path = checkpoint_dir / f"{f_str}.json"
 
     leaves = _flatten(state)
-    np.savez(npz_path, **{f"leaf_{i}": leaf for i, leaf in enumerate(leaves)})
+    # atomic commit (tmp + rename, like the orbax backend): np.savez
+    # straight to the final name would leave a truncated .npz on a
+    # mid-save kill, which checkpoint discovery then returns as the
+    # latest checkpoint and the next resume dies inside zipfile
+    import os
+
+    tmp_path = checkpoint_dir / f".{f_str}.npz.{os.getpid()}.tmp"
+    try:
+        with open(tmp_path, "wb") as fh:
+            np.savez(fh, **{f"leaf_{i}": leaf
+                            for i, leaf in enumerate(leaves)})
+        os.replace(tmp_path, npz_path)
+    finally:
+        tmp_path.unlink(missing_ok=True)
     meta = {
         "schema_version": _SCHEMA_VERSION,
         "model_type": model_type,
@@ -73,7 +86,9 @@ def save_checkpoint(
     }
     if extra_meta:
         meta.update(extra_meta)
-    meta_path.write_text(json.dumps(meta, indent=2))
+    meta_tmp = checkpoint_dir / f".{f_str}.json.{os.getpid()}.tmp"
+    meta_tmp.write_text(json.dumps(meta, indent=2))
+    os.replace(meta_tmp, meta_path)
 
     if best_epoch == epoch and not suffix:
         shutil.copyfile(npz_path, checkpoint_dir / f"best_model_{f_str}.npz")
@@ -260,9 +275,12 @@ def load_checkpoint(
                     f"{saved.shape} vs model {t_shape}"
                 )
         adapted.append(saved)
-    # PRNG keys need their original dtype semantics
+    # PRNG keys need their original dtype semantics. Template dtypes come
+    # from the ATTRIBUTE (np.asarray on a template leaf would fetch it to
+    # host — and fail outright on multi-host sharded leaves)
     cast = [
-        np.asarray(s, dtype=np.asarray(t).dtype)
+        np.asarray(s, dtype=(t.dtype if hasattr(t, "dtype")
+                             else np.asarray(t).dtype))
         for s, (_, t) in zip(adapted, with_path)
     ]
     state = jax.tree_util.tree_unflatten(treedef, cast)
@@ -333,18 +351,38 @@ def find_best_checkpoint(exp_dir: str | Path) -> Path:
         if committed:
             import warnings
 
+            # the latest committed SIDECAR records which epoch was best at
+            # that point — fall back to THAT checkpoint when it committed,
+            # not blindly to the newest one (the newest epoch may be a
+            # known-worse model; only the dangling new-best never landed)
+            pick = committed[-1]
+            sidecar = pick.with_suffix(".json")
+            if sidecar.exists():
+                try:
+                    best_e = int(json.loads(
+                        sidecar.read_text()).get("best_epoch", -1))
+                except (ValueError, json.JSONDecodeError):
+                    best_e = -1
+                by_epoch = {_epoch_of(p): p for p in committed}
+                if best_e in by_epoch:
+                    pick = by_epoch[best_e]
             warnings.warn(
                 f"best_model_pointer.json points at {target} which never "
                 f"committed (interrupted async save); falling back to the "
-                f"latest committed checkpoint {committed[-1]}"
+                f"best committed checkpoint {pick}"
             )
-            return committed[-1]
+            return pick
     raise FileNotFoundError(f"No best-model checkpoint under {exp_dir}")
 
 
 def find_epoch_checkpoint(exp_dir: str | Path, step: int) -> Path:
     """The ``step``-th epoch checkpoint in epoch-number order (negative
-    indices count from the end, python-style)."""
+    indices count from the end, python-style).
+
+    Like :func:`find_best_checkpoint`, refuses a directory holding
+    several runs' checkpoints: epoch-number order interleaves them (equal
+    epochs tie on glob order), silently returning an arbitrary run's
+    model."""
     exp_dir = Path(exp_dir)
     matches = sorted(
         (p for p in exp_dir.glob("*_e*.npz")
@@ -356,4 +394,10 @@ def find_epoch_checkpoint(exp_dir: str | Path, step: int) -> Path:
                           if _epoch_of(p) >= 0), key=_epoch_of)
     if not matches:
         raise FileNotFoundError(f"No epoch checkpoints under {exp_dir}")
+    prefixes = {m.name.rsplit("_e", 1)[0] for m in matches}
+    if len(prefixes) > 1:
+        raise ValueError(
+            f"{exp_dir} holds epoch checkpoints from {len(prefixes)} "
+            f"different runs ({sorted(prefixes)}); pass the checkpoint "
+            f"path explicitly")
     return matches[step]

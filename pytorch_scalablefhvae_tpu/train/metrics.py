@@ -72,8 +72,13 @@ class MetricWriter:
 
     def write_epoch(self, epoch: int, scalars: Mapping[str, float], params=None,
                     grads=None) -> None:
+        import math
+
         rec = {"epoch": epoch, "run_id": self.run_id}
-        rec.update({k: float(v) for k, v in scalars.items()})
+        # non-finite values serialize as null: json.dumps' default NaN
+        # token is invalid JSON for strict consumers (jq, JSON.parse)
+        rec.update({k: (float(v) if math.isfinite(float(v)) else None)
+                    for k, v in scalars.items()})
         with open(self.jsonl_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
         if self._tb is not None:

@@ -123,17 +123,31 @@ def load_checkpoint_orbax(
         # fall back to the latest committed epoch checkpoint in the same
         # experiment directory instead of making the human pick one
         # (ADVICE r02 / VERDICT r03 item 8).
-        from pytorch_scalablefhvae_tpu.train.checkpoint import _epoch_of
-
         # only consider checkpoints from the SAME run: filenames are
         # {model_type}_{run_info}_e{epoch}.orbax, and several runs may
         # share one directory — falling back to another run's params
         # would silently resume the wrong model
         run_prefix = checkpoint_path.name.rsplit("_e", 1)[0]
+
+        def _ckpt_order(p: Path):
+            # rank by training progress: (epoch, batches). A mid-epoch
+            # cadence checkpoint e5s300 is NEWER than epoch e4 but older
+            # than the committed e5 (whose own commit supersedes its
+            # mids, hence the +inf batches key). Keying raw _epoch_of
+            # would tie every mid at -1 and let glob order pick one.
+            import re
+
+            m = re.search(r"_e(\d+)(?:s(\d+))?\.orbax$", p.name)
+            if not m:
+                return (-1, -1)
+            return (int(m.group(1)),
+                    int(m.group(2)) if m.group(2) else 1 << 62)
+
         committed = sorted(
             (p for p in checkpoint_path.parent.glob(f"{run_prefix}_e*.orbax")
-             if p.exists() and p != checkpoint_path),
-            key=_epoch_of,
+             if p.exists() and p != checkpoint_path
+             and _ckpt_order(p) >= (0, 0)),
+            key=_ckpt_order,
         )
         if not committed:
             raise FileNotFoundError(
@@ -176,7 +190,12 @@ def load_checkpoint_orbax(
             and shape[0] != saved_rows
         ):
             shape = (saved_rows, shape[1])
-        return jax.ShapeDtypeStruct(shape, np.asarray(x).dtype)
+        # read the dtype ATTRIBUTE, never np.asarray(x): that fetches the
+        # whole leaf to host — a full-model D2H transfer for dtypes alone,
+        # and a hard RuntimeError on multi-host sharded leaves (the mu2
+        # table spans non-addressable devices there)
+        dtype = x.dtype if hasattr(x, "dtype") else np.asarray(x).dtype
+        return jax.ShapeDtypeStruct(shape, dtype)
 
     abstract = jax.tree_util.tree_map_with_path(abstract_leaf, template_state)
     state = ckptr.restore(checkpoint_path, abstract)

@@ -100,6 +100,10 @@ def read_sphere(path: str | Path) -> tuple[np.ndarray, int]:
         raw = f.read()
     dtype = "<i2" if fmt == "01" else ">i2"
     data = np.frombuffer(raw, dtype=dtype)
+    # normalize byte order to NATIVE int16: a '>i2' array fails
+    # _pcm_to_float's dtype check (np.dtype('>i2') != np.int16 — byte order
+    # is part of the dtype, and ascontiguousarray does not change it)
+    data = data.astype(np.int16, copy=False)
     y = _pcm_to_float(np.ascontiguousarray(data))
     if n_channels > 1:
         y = y.reshape(-1, n_channels).mean(axis=1)

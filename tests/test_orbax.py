@@ -258,6 +258,39 @@ class TestOrbaxBackend:
         states_equal(loaded, trained)
         assert meta["epoch"] == 0 and meta["start_epoch"] == 1
 
+    def test_self_heal_prefers_best_committed_not_latest(self, setup,
+                                                         tmp_path, rng):
+        """Dangling new-best pointer with several committed epochs: the
+        fallback must return the epoch the latest committed sidecar
+        records as BEST (e0 here), not blindly the newest committed
+        checkpoint (e1, a known-worse model)."""
+        model, optimizer, state = setup
+        step = make_train_step(model, optimizer, alpha=10.0, donate=False)
+        trained, _ = step(state, *make_batch(rng))
+        for ep, best in ((0, 0), (1, 0)):  # e1 commits but e0 stays best
+            save_checkpoint_orbax(
+                tmp_path, trained, model_type="simple_fhvae", run_info="p",
+                epoch=ep,
+                meta={"best_epoch": best, "best_val_lb": -1.0, "values": {}},
+            )
+        wait_for_saves()
+        dangling = (tmp_path / "simple_fhvae_p_e2.orbax").resolve()
+        (tmp_path / "best_model_pointer.json").write_text(json.dumps(
+            {"path": str(dangling), "epoch": 2}))
+        with pytest.warns(UserWarning, match="best committed"):
+            best = ckpt.find_best_checkpoint(tmp_path)
+        assert best.name == "simple_fhvae_p_e0.orbax"
+
+    def test_find_epoch_checkpoint_rejects_mixed_runs(self, tmp_path):
+        """Two runs' epoch checkpoints in one directory: epoch-number
+        order would interleave them (ties decided by glob order), so the
+        finder refuses instead of silently returning an arbitrary run's
+        model — the same guard find_best_checkpoint has."""
+        for name in ("m_runA_e0.npz", "m_runA_e1.npz", "m_runB_e1.npz"):
+            (tmp_path / name).write_text("x")
+        with pytest.raises(ValueError, match="different runs"):
+            ckpt.find_epoch_checkpoint(tmp_path, -1)
+
     def test_interrupted_save_no_fallback_raises(self, setup, tmp_path):
         model, optimizer, state = setup
         dangling = (tmp_path / "simple_fhvae_x_e0.orbax").resolve()
