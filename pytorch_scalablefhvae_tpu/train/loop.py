@@ -265,6 +265,102 @@ def run_training(
             validate_multihost_mesh(tuple(config.train.mesh_shape))
         mesh = make_mesh(tuple(config.train.mesh_shape))
 
+    # device-resident data path: stage the packed store in HBM once; steps
+    # gather segments on device, so per-epoch host->device traffic is one
+    # tiny index-plan upload instead of every batch (data/device_store.py).
+    # Corpora larger than the budget stream through HBM in double-buffered
+    # sequence-aligned chunks instead (data/stream_store.py): the link
+    # carries each frame once per epoch, windows still materialize on device.
+    # Resolved BEFORE the model is built: the hierarchical round-staging
+    # ceiling below can reduce the effective round size, which sizes the
+    # mu2 table (and so the whole discriminative softmax).
+    from pytorch_scalablefhvae_tpu.data.device_store import (
+        STORE_TAIL_SLACK,
+        DeviceDataSource,
+        resolve_data_placement,
+        staging_itemsize,
+    )
+    from pytorch_scalablefhvae_tpu.data.stream_store import (
+        StreamingDeviceSource,
+        resolve_data_mode,
+    )
+
+    data_mode = resolve_data_mode(
+        config.data.data_placement, ds.store, mesh,
+        shard_store=config.data.shard_device_store,
+        max_bytes=config.data.device_store_max_bytes,
+        legacy=config.train.legacy,
+        store_dtype=config.data.transfer_dtype,
+        hierarchical=hier,
+    )
+    use_device_data = data_mode == "device"
+    device_source = None
+    stream_source = None
+    # Hierarchical rounds on packs larger than HBM: the full pack cannot
+    # stage (data_mode resolved to "host"), but ONE round's K-sequence
+    # subset usually can — the paper's scalable configuration (round
+    # subsets over LibriSpeech-960-class corpora) is exactly this regime.
+    # Each round materializes its subset into a contiguous sub-pack and
+    # stages it at a FIXED row ceiling (one compiled program for all
+    # rounds); per-round link traffic is O(subset frames) once, instead of
+    # the host loader's per-batch overlapping-window shipping.
+    round_rows_ceiling = None
+    if (hier and data_mode == "host" and not config.train.legacy
+            and config.data.data_placement in ("auto", "device", "stream")):
+        _isz = staging_itemsize(config.data.transfer_dtype)
+        _hk = min(hier_k, ds.store.num_seqs)
+        # plans/dev-split headroom: cap the sub-pack at 3/4 of the budget.
+        # The budget scales by the model-axis size when the sub-pack
+        # row-shards over it — the SAME scaling resolve_data_placement
+        # applies, since each device holds only rows/m of the round's
+        # DeviceDataSource(pad_to_rows=ceiling) staging.
+        _bytes_budget = config.data.device_store_max_bytes
+        if (mesh is not None and config.data.shard_device_store
+                and mesh.shape["model"] > 1):
+            _bytes_budget *= mesh.shape["model"]
+        _budget_rows = (_bytes_budget * 3 // 4) // max(
+            ds.store.dim * _isz, 1)
+        _floor = int(ds.store.lens.max()) + STORE_TAIL_SLACK
+        if _budget_rows >= _floor:
+            # STATIC effective round size: the largest k whose WORST-CASE
+            # draw (the k longest sequences) fits the budget. The softmax's
+            # real-row count compiles in statically (models/base.py
+            # compute_log_qy num_real), so the round size must be static
+            # too — trimming an oversized draw at round time would leave
+            # hier_k - K' zero "phantom" rows INSIDE the softmax: scored,
+            # normalized over, and drifting under Adam, diverging from the
+            # host-loader semantics the equivalence tests pin.
+            _desc = np.sort(np.asarray(ds.store.lens))[::-1][:_hk]
+            _k_eff = int(np.searchsorted(
+                np.cumsum(_desc), int(_budget_rows) - STORE_TAIL_SLACK,
+                side="right"))
+            if _k_eff < _hk:
+                if verbose:
+                    print(
+                        f"Hierarchical round size reduced {_hk} -> {_k_eff}:"
+                        f" a round's worst-case sub-pack must fit the "
+                        f"device-store budget (raise "
+                        f"--device-store-max-bytes or use --transfer-dtype "
+                        f"bfloat16/int8 for larger rounds)")
+                hier_k = _k_eff
+                num_seqs = hier_k
+            round_rows_ceiling = int(_desc[:_k_eff].sum()) + STORE_TAIL_SLACK
+            if verbose:
+                mb = round_rows_ceiling * ds.store.dim * _isz / 1e6
+                print(f"Hierarchical rounds stage their subset device-"
+                      f"resident ({mb:.1f} MB ceiling per round)")
+        elif config.data.data_placement in ("device", "stream"):
+            # the user forced a staged placement but not even one round's
+            # sub-pack fits: fail as a config error rather than silently
+            # degrading to the host loader (auto degrades; explicit doesn't)
+            raise ValueError(
+                f"data_placement={config.data.data_placement} with "
+                f"hierarchical sampling stages each round's sub-pack, but "
+                f"the longest sequence needs {_floor} rows and the "
+                f"device-store budget allows only {int(_budget_rows)} — "
+                f"raise --device-store-max-bytes, use --transfer-dtype "
+                f"bfloat16/int8, or use data_placement=auto/host")
+
     model = build_model(config.model.model_type, input_size, config.model, num_seqs,
                         feat_dim=dim)
     if mesh is not None:
@@ -340,79 +436,9 @@ def run_training(
                   + (f" (mid-epoch, batch {mid_cursor[1]})"
                      if mid_cursor else ""))
 
-    # device-resident data path: stage the packed store in HBM once; steps
-    # gather segments on device, so per-epoch host->device traffic is one
-    # tiny index-plan upload instead of every batch (data/device_store.py).
-    # Corpora larger than the budget stream through HBM in double-buffered
-    # sequence-aligned chunks instead (data/stream_store.py): the link
-    # carries each frame once per epoch, windows still materialize on device.
-    from pytorch_scalablefhvae_tpu.data.device_store import (
-        STORE_TAIL_SLACK,
-        DeviceDataSource,
-        staging_itemsize,
-    )
-    from pytorch_scalablefhvae_tpu.data.stream_store import (
-        StreamingDeviceSource,
-        resolve_data_mode,
-    )
-
-    data_mode = resolve_data_mode(
-        config.data.data_placement, ds.store, mesh,
-        shard_store=config.data.shard_device_store,
-        max_bytes=config.data.device_store_max_bytes,
-        legacy=config.train.legacy,
-        store_dtype=config.data.transfer_dtype,
-        hierarchical=hier,
-    )
-    use_device_data = data_mode == "device"
-    device_source = None
-    stream_source = None
-    # Hierarchical rounds on packs larger than HBM: the full pack cannot
-    # stage (data_mode resolved to "host"), but ONE round's K-sequence
-    # subset usually can — the paper's scalable configuration (round
-    # subsets over LibriSpeech-960-class corpora) is exactly this regime.
-    # Each round materializes its subset into a contiguous sub-pack and
-    # stages it at a FIXED row ceiling (one compiled program for all
-    # rounds); per-round link traffic is O(subset frames) once, instead of
-    # the host loader's per-batch overlapping-window shipping. Subsets
-    # whose frames exceed the ceiling are trimmed from the tail of the
-    # random draw (still a uniform subset, just smaller).
-    round_rows_ceiling = None
-    if (hier and data_mode == "host" and not config.train.legacy
-            and config.data.data_placement in ("auto", "device", "stream")):
-        _isz = staging_itemsize(config.data.transfer_dtype)
-        _hk = min(hier_k, ds.store.num_seqs)
-        _worst = int(np.sort(np.asarray(ds.store.lens))[-_hk:].sum())
-        # plans/dev-split headroom: cap the sub-pack at 3/4 of the budget.
-        # The budget scales by the model-axis size when the sub-pack
-        # row-shards over it — the SAME scaling resolve_data_placement
-        # applies, since each device holds only rows/m of the round's
-        # DeviceDataSource(pad_to_rows=ceiling) staging.
-        _bytes_budget = config.data.device_store_max_bytes
-        if (mesh is not None and config.data.shard_device_store
-                and mesh.shape["model"] > 1):
-            _bytes_budget *= mesh.shape["model"]
-        _budget_rows = (_bytes_budget * 3 // 4) // max(
-            ds.store.dim * _isz, 1)
-        _need = _worst + STORE_TAIL_SLACK
-        _floor = int(ds.store.lens.max()) + STORE_TAIL_SLACK
-        if _budget_rows >= _floor:
-            round_rows_ceiling = min(_need, int(_budget_rows))
-            if verbose:
-                mb = round_rows_ceiling * ds.store.dim * _isz / 1e6
-                print(f"Hierarchical rounds stage their subset device-"
-                      f"resident ({mb:.1f} MB ceiling per round)")
-        elif config.data.data_placement in ("device", "stream"):
-            # the user forced a staged placement but not even one round's
-            # sub-pack fits: fail as a config error rather than silently
-            # degrading to the host loader (auto degrades; explicit doesn't)
-            raise ValueError(
-                f"data_placement={config.data.data_placement} with "
-                f"hierarchical sampling stages each round's sub-pack, but "
-                f"the longest sequence needs {_floor} rows and the "
-                f"device-store budget allows only {int(_budget_rows)} — "
-                f"raise --device-store-max-bytes, use --transfer-dtype "
-                f"bfloat16/int8, or use data_placement=auto/host")
+    # (data placement was resolved before the model was built — the
+    # round-staging ceiling can REDUCE the effective round size, which
+    # sizes the mu2 table)
     if data_mode in ("device", "stream") or round_rows_ceiling is not None:
         from pytorch_scalablefhvae_tpu.train.device_step import (
             make_device_train_step,
@@ -529,11 +555,6 @@ def run_training(
     # and run both per-epoch passes (MAP encode + scoring) as one dispatched
     # program each, instead of re-shipping the whole dev split every epoch.
     dev_device = None
-    from pytorch_scalablefhvae_tpu.data.device_store import (
-        resolve_data_placement,
-        staging_itemsize,
-    )
-
     _itemsize = staging_itemsize(config.data.transfer_dtype)
     if stream_source is not None:
         # streamed runs keep <= 2 chunks staged plus a draining dispatch's
@@ -949,19 +970,23 @@ def run_training(
             from pytorch_scalablefhvae_tpu.data.segments import SegmentDataset as _SD
 
             if round_rows_ceiling is not None:
-                # per-round subset staging (pack > HBM): trim the draw's
-                # tail until the sub-pack fits the fixed ceiling (a random
-                # draw's prefix is still a uniform subset), materialize it
-                # contiguously, and stage it — every round reuses the same
-                # compiled programs via the padded ceiling shape
+                # per-round subset staging (pack > HBM): materialize the
+                # draw's sub-pack contiguously and stage it at the fixed
+                # ceiling — every round reuses the same compiled programs.
+                # The ceiling is sized for the K LARGEST sequences (with K
+                # already reduced at setup to the largest worst-case-fitting
+                # round size), so ANY draw fits; trimming here instead
+                # would shrink the round below the compiled softmax's
+                # static num_seqs and leave phantom zero rows inside it.
                 _lens = np.asarray([
                     int(full_ds.store.lens[full_ds.store.seq2idx[k]])
                     for k in keys])
-                _cap = round_rows_ceiling - STORE_TAIL_SLACK
-                # longest prefix of the draw whose frames fit the ceiling
-                # (one cumsum, not a re-sum per pop)
-                keys = keys[: int(np.searchsorted(
-                    np.cumsum(_lens), _cap, side="right"))]
+                if int(_lens.sum()) + STORE_TAIL_SLACK > round_rows_ceiling:
+                    raise RuntimeError(
+                        f"round draw needs {int(_lens.sum())} frames but the "
+                        f"staging ceiling holds "
+                        f"{round_rows_ceiling - STORE_TAIL_SLACK} — ceiling "
+                        f"sizing bug (it must cover the K largest sequences)")
                 sub_store = full_ds.store.subset(keys, materialize=True)
                 round_source = DeviceDataSource(
                     sub_store, mesh,
@@ -1195,6 +1220,14 @@ def run_training(
                     base_b = start_b
                     while base_b < plan.n_batches:
                         nb = min(k_dev, plan.n_batches - base_b)
+                        if max_steps:
+                            # clamp the bundle at the step budget: a full
+                            # K-dispatch would overshoot --max-steps by up
+                            # to K-1 optimizer steps and checkpoint the
+                            # overshot state (the loop already compiles one
+                            # program per tail size, so this costs at most
+                            # one extra compile)
+                            nb = min(nb, max_steps - gstep)
                         state, metrics = device_step_for(nb)(
                             state, chunk_dev, seq_dev, starts_dev,
                             stream_source.nsegs_tab, np.int32(base_b * B),
@@ -1238,6 +1271,10 @@ def run_training(
                 base_b = skip0
                 while base_b < plan.n_batches:
                     nb = min(k_dev, plan.n_batches - base_b)
+                    if max_steps:
+                        # same clamp as the stream path: never dispatch past
+                        # the --max-steps boundary
+                        nb = min(nb, max_steps - gstep)
                     state, metrics = device_step_for(nb)(
                         state, store_dev, seq_dev, starts_dev, nsegs_dev,
                         np.int32(base_b * B), n_real,
@@ -1254,7 +1291,17 @@ def run_training(
                 # the fetch never drains the dispatch pipeline
                 k_dispatch = max(config.train.steps_per_dispatch, 1)
                 batches_done = skip0
-                for item in stack_prefetch(epoch_loader.batches_from(skip0),
+                _src = epoch_loader.batches_from(skip0)
+                if max_steps:
+                    import itertools
+
+                    # cap the epoch's batch feed at the step budget so the
+                    # k-stacker cannot bundle past the --max-steps boundary
+                    # (the final sub-k remainder flows through the stacker's
+                    # own single-step tail path; after_dispatch raises
+                    # _StopRun exactly at the boundary item)
+                    _src = itertools.islice(_src, max(max_steps - gstep, 0))
+                for item in stack_prefetch(_src,
                                            k_dispatch, put=stack_placer):
                     if item[0] == "stack":
                         _, arrs, counts = item
